@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+  1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run
+     (or runs it with --run)
+  2. creates DuckDB views over the same parquet tables
+  3. runs each oracle_sql.json query, compares to the Spark parquet output:
+     row count, column names, and per-value hash (columns sorted by name,
+     rows sorted by all columns) — strictest plausible interpretation.
+"""
+import sys, os, json, glob, subprocess, hashlib
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: decimals -> str, floats stay float64
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def dfhash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        for v in df[c].tolist():
+            h.update(repr(v).encode())
+    return h.hexdigest()[:16]
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    if "--run" in sys.argv:
+        r = subprocess.run(["sbt", "-error", f'runMain graft.Verify {sf} {out}'],
+                           cwd="/root/repo")
+        if r.returncode != 0:
+            print("Verify run FAILED"); sys.exit(1)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    for name in names:
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"  {name}: NO SPARK OUTPUT"); n_fail += 1; continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracle:
+            print(f"  {name}: rows-only ({len(spark_df)} rows) {'OK' if len(spark_df)>0 else 'EMPTY!'}")
+            n_pass += int(len(spark_df) > 0); n_fail += int(len(spark_df) == 0)
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"  {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1; continue
+        if len(a) != len(b):
+            print(f"  {name}: ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}")
+            n_fail += 1; continue
+        ha, hb = dfhash(a), dfhash(b)
+        if ha != hb:
+            print(f"  {name}: HASH MISMATCH")
+            diff = (a.astype(str) != b.astype(str))
+            bad = diff.any(axis=1)
+            print("   spark:", a[bad].head(3).to_dict("records"))
+            print("   duck :", b[bad].head(3).to_dict("records"))
+            n_fail += 1; continue
+        print(f"  {name}: OK ({len(a)} rows)")
+        n_pass += 1
+    print(f"PASS {n_pass} / FAIL {n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
