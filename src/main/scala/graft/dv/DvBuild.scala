@@ -1,0 +1,144 @@
+package graft.dv
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Data-vault builders: each returns the DataFrame a loader would append.
+  *
+  * Re-expresses the reference's generated INSERT DML
+  * (extension/src/controller/dv_loader.rs) as declarative Spark plans:
+  * hub = distinct business keys + ghost records; sat = distinct
+  * (hash-key, hash-diff) attribute versions; link = distinct member-key
+  * combinations. Incremental loads are left-anti joins on the hash key —
+  * at warehouse scale both sides hash-partition on _hk, so the anti-join
+  * is a single co-partitioned shuffle (and AQE broadcasts the small side).
+  */
+object DvBuild {
+  import DvDefaults._
+
+  private def canonAs(c: Col, alias: String): Column = canon(col(c.name), c.typeName).as(alias)
+
+  /** Ghost records: reference inserts hk=hash('-1'|'-2') rows on first load
+    * (dv_loader.rs:110-135). graft hashes the ','-joined per-part ghosts so
+    * composite keys stay consistent with the main hash shape.
+    */
+  def ghostRows(s: SparkSession, spec: HubSpec): DataFrame = {
+    import s.implicits._
+    Seq("-1", "-2").map { g =>
+      (g, spec.bkParts.map(_ => g))
+    }.toDF("ghost", "parts")
+      .select(
+        (sha2(concat_ws(",", col("parts")), 256).as(spec.hkName) +:
+          lit(GhostTs).as("load_ts") +:
+          lit(GhostSource).as("record_source") +:
+          spec.bkParts.map(p => col("ghost").as(s"${p.name}_bk"))): _*)
+  }
+
+  private def select2(first: Column, second: Column, rest: Seq[Column], df: DataFrame): DataFrame =
+    df.select((first +: second +: rest): _*)
+
+  /** Hub load: distinct canonical business keys, hash key, ghosts. */
+  def hub(s: SparkSession, dir: String, spec: HubSpec, loadTs: String = LoadTs): DataFrame = {
+    val src = Tables.load(s, dir, spec.sourceTable)
+    val keys = src.select(spec.bkParts.map(p => canonAs(p, s"${p.name}_bk")): _*).distinct()
+    val hk = dvHash(spec.bkParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)
+    val main = keys.select(
+      (hk +: lit(loadTs).as("load_ts") +: lit(recordSource(spec.sourceTable)).as("record_source") +:
+        spec.bkParts.map(p => col(s"${p.name}_bk"))): _*)
+    ghostRows(s, spec).unionByName(main).orderBy(spec.hkName)
+  }
+
+  /** Satellite load: hash key + hash-diff over canonical descriptors, with
+    * raw descriptor columns carried (dv_loader.rs:325-357). Insert-only
+    * SCD2: one row per distinct (hk, hd).
+    */
+  def sat(s: SparkSession, dir: String, spec: SatSpec, loadTs: String = LoadTs): DataFrame = {
+    val src = Tables.load(s, dir, spec.sourceTable)
+    val hk = dvHash(spec.bkParts.map(p => canon(col(p.name), p.typeName))).as(spec.hkName)
+    val hd = dvHash(spec.descriptors.map(d => canon(col(d.name), d.typeName))).as(spec.hdName)
+    src.select((hk +: hd +: spec.descriptors.map(d => col(d.name))): _*)
+      .distinct()
+      .select(
+        (col(spec.hkName) +: lit(loadTs).as("load_ts") +:
+          lit(recordSource(spec.sourceTable)).as("record_source") +: col(spec.hdName) +:
+          spec.descriptors.map(d => col(d.name))): _*)
+      .orderBy(spec.hkName, spec.hdName)
+  }
+
+  /** Link load: distinct combinations of member hub keys (+ degenerate
+    * columns), with the link hash over all parts and per-member hub hashes.
+    */
+  def link(s: SparkSession, dir: String, spec: LinkSpec, loadTs: String = LoadTs): DataFrame = {
+    val src = Tables.load(s, dir, spec.sourceTable)
+    val allParts = spec.members.flatMap(_.parts) ++ spec.degenerate
+    val distinctKeys = src.select(allParts.map(p => canonAs(p, s"${p.name}_bk")): _*).distinct()
+    val linkHk = dvHash(allParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)
+    val memberHks = spec.members.map(m =>
+      dvHash(m.parts.map(p => col(s"${p.name}_bk"))).as(s"hub_${m.hubName}_hk"))
+    distinctKeys.select(
+      (linkHk +: lit(loadTs).as("load_ts") +: lit(recordSource(spec.sourceTable)).as("record_source") +:
+        (memberHks ++ allParts.map(p => col(s"${p.name}_bk")))): _*)
+      .orderBy(spec.hkName)
+  }
+
+  /** Incremental hub load: rows of `batch` whose hash key is absent from
+    * `existing` (the WHERE hub_hk IS NULL anti-join of dv_loader.rs:177-181).
+    */
+  def hubIncrement(existing: DataFrame, batch: DataFrame, hkName: String): DataFrame =
+    batch.join(existing.select(hkName), Seq(hkName), "left_anti")
+
+  /** SCD2 satellite from an event feed: one row per distinct (key, hash-diff)
+    * with first-seen time and observation count.
+    */
+  def scd2FromEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    ev.groupBy(col("user_id"), col("props"))
+      .agg(min("tms").as("first_seen_ms"), count(lit(1)).as("n_obs"))
+      .select(
+        dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
+        col("user_id").cast("string").as("user_id_bk"),
+        dvHash(Seq(col("props"))).as("sat_user_hd"),
+        col("props"), col("first_seen_ms"), col("n_obs"))
+      .orderBy("hub_user_hk", "sat_user_hd")
+  }
+
+  /** Point-in-time table: for each as-of date, the latest satellite version
+    * per hub key (reference leaves PIT to "future refreshes"; standard DV
+    * practice). Dates broadcast; latest version via windowed dedup.
+    */
+  val PitDates: Seq[String] = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+
+  def pit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+      .select(col("user_id"), col("tms"), col("event_id"), col("props"))
+    val dates = PitDates.toDF("asof_date")
+      .withColumn("asof_ms", unix_millis(col("asof_date").cast("timestamp")))
+    val w = Window.partitionBy("user_id", "asof_date").orderBy(col("tms").desc, col("event_id").desc)
+    ev.join(broadcast(dates), col("tms") <= col("asof_ms"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("asof_date"),
+        dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
+        col("user_id"),
+        dvHash(Seq(col("props"))).as("sat_user_hd"),
+        col("tms").as("version_ms"))
+      .orderBy("asof_date", "user_id")
+  }
+
+  /** Current view: latest satellite version per key (max ts, tie event_id). */
+  def currentView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    val w = Window.partitionBy("user_id").orderBy(col("tms").desc, col("event_id").desc)
+    ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
+        col("user_id"), col("props").as("current_props"), col("tms").as("version_ms"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.dv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source-catalog introspection + DV plan derivation.
+  *
+  * The reference walks pg_catalog (model/queries.rs:65-218) and lets an LLM
+  * choose business keys; graft introspects parquet footers and derives the
+  * plan from the deterministic classifier signals.
+  */
+object Catalog {
+
+  def typeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType                 => "bigint"
+      case IntegerType              => "int"
+      case DoubleType               => "double"
+      case StringType               => "varchar"
+      case TimestampType            => "timestamp"
+      case TimestampNTZType         => "timestamp"
+      case FloatType                => "float"
+      case ArrayType(FloatType, _)  => "float[]"
+      case other                    => other.typeName
+    }
+  }
+
+  /** Live introspection of every source table's parquet schema. */
+  def introspect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.all.flatMap { t =>
+      val schema = Tables.load(s, dir, t).schema
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        (Classify.Schema, t, f.name, i + 1, typeName(f.dataType),
+          if (f.name.matches(".*(key|id)$")) 1 else 0)
+      }
+    }
+    rows.toDF("schema_name", "table_name", "column_name", "ordinal", "data_type", "name_bk_ind")
+      .orderBy("table_name", "ordinal")
+  }
+}
+
+/** The DV plan over the source schema: hubs, satellites, links.
+  *
+  * Derivation is signal-driven (classifier name rules + FK resolution by
+  * TPC-H-style prefix stripping); the dependent-child treatment of
+  * l_linenumber is a context override, the reference's update_context
+  * equivalent (docs/sql_functions/update_context.md).
+  */
+object DvPlanner {
+
+  /** c_custkey -> custkey (1-2 char prefixes only); doc_id stays doc_id. */
+  def fkForm(column: String): String = column.split("_", 2) match {
+    case Array(p, rest) if p.length <= 2 => rest
+    case _ => column
+  }
+
+  /** The table a bk-named column resolves to, if any: its fkForm equals the
+    * fkForm of another table's first bk column.
+    */
+  def resolve(column: String): Option[String] =
+    SourceSchemas.tables.collectFirst {
+      case (t, cols) if cols.headOption.exists(c => fkForm(c.name) == fkForm(column)) => t
+    }
+
+  val hubCustomer = HubSpec("customer", "customer", Seq(Col("c_custkey", "bigint")))
+  val hubPart = HubSpec("part", "part", Seq(Col("p_partkey", "bigint")))
+  val hubOrder = HubSpec("order", "orders", Seq(Col("o_orderkey", "bigint")))
+  /** Composite business key (order key + dependent-child line number). */
+  val hubLineitem = HubSpec("lineitem", "lineitem",
+    Seq(Col("l_orderkey", "bigint"), Col("l_linenumber", "int")))
+
+  val satCustomer = SatSpec("customer", "customer", "customer",
+    bkParts = Seq(Col("c_custkey", "bigint")),
+    descriptors = Seq(Col("c_nationkey", "int"), Col("c_mktsegment", "varchar")),
+    sensitive = false)
+
+  val satCustomerSensitive = SatSpec("customer_sensitive", "customer", "customer",
+    bkParts = Seq(Col("c_custkey", "bigint")),
+    descriptors = Seq(Col("c_name", "varchar"), Col("c_acctbal", "double")),
+    sensitive = true)
+
+  val linkOrders = LinkSpec("orders", "orders",
+    Seq(LinkMember("order", Seq(Col("o_orderkey", "bigint"))),
+      LinkMember("customer", Seq(Col("o_custkey", "bigint")))))
+
+  val linkLineitem = LinkSpec("lineitem", "lineitem",
+    Seq(LinkMember("order", Seq(Col("l_orderkey", "bigint"))),
+      LinkMember("part", Seq(Col("l_partkey", "bigint"))),
+      LinkMember("supplier", Seq(Col("l_suppkey", "bigint")))),
+    degenerate = Seq(Col("l_linenumber", "int")))
+
+  val hubs: Seq[HubSpec] = Seq(hubCustomer, hubPart, hubOrder, hubLineitem)
+}

@@ -1,0 +1,160 @@
+package graft.dv
+
+import graft.functions.GraftFunctions.{canonSql, dvHashSql}
+
+/** ANSI-SQL twin of DvBuild — graft generates loader SQL the way the
+  * reference generates Postgres DML (extension/src/controller/dv_loader.rs),
+  * but targets the DuckDB dialect used by the correctness oracle.
+  */
+object DvSqlGen {
+  import DvDefaults._
+
+  private def ghostSelect(spec: HubSpec, g: String): String = {
+    val parts = spec.bkParts.map(_ => s"'$g'")
+    val bkCols = spec.bkParts.map(p => s"'$g' AS ${p.name}_bk").mkString(", ")
+    s"SELECT sha256(concat_ws(',', ${parts.mkString(", ")})) AS ${spec.hkName}, " +
+      s"'$GhostTs' AS load_ts, '$GhostSource' AS record_source, $bkCols"
+  }
+
+  def hubSql(spec: HubSpec, loadTs: String = LoadTs): String = {
+    val bkSelect = spec.bkParts.map(p => s"${canonSql(p.name, p.typeName)} AS ${p.name}_bk").mkString(", ")
+    val hk = dvHashSql(spec.bkParts.map(p => s"${p.name}_bk"))
+    s"""WITH keys AS (SELECT DISTINCT $bkSelect FROM ${spec.sourceTable})
+       |${ghostSelect(spec, "-1")}
+       |UNION ALL
+       |${ghostSelect(spec, "-2")}
+       |UNION ALL
+       |SELECT $hk AS ${spec.hkName}, '$loadTs' AS load_ts,
+       |  '${recordSource(spec.sourceTable)}' AS record_source,
+       |  ${spec.bkParts.map(p => s"${p.name}_bk").mkString(", ")}
+       |FROM keys
+       |ORDER BY ${spec.hkName}""".stripMargin
+  }
+
+  def satSql(spec: SatSpec, loadTs: String = LoadTs): String = {
+    val hk = dvHashSql(spec.bkParts.map(p => canonSql(p.name, p.typeName)))
+    val hd = dvHashSql(spec.descriptors.map(d => canonSql(d.name, d.typeName)))
+    val descNames = spec.descriptors.map(_.name).mkString(", ")
+    s"""WITH versions AS (
+       |  SELECT DISTINCT $hk AS ${spec.hkName}, $hd AS ${spec.hdName}, $descNames
+       |  FROM ${spec.sourceTable})
+       |SELECT ${spec.hkName}, '$loadTs' AS load_ts,
+       |  '${recordSource(spec.sourceTable)}' AS record_source, ${spec.hdName}, $descNames
+       |FROM versions
+       |ORDER BY ${spec.hkName}, ${spec.hdName}""".stripMargin
+  }
+
+  def linkSql(spec: LinkSpec, loadTs: String = LoadTs): String = {
+    val allParts = spec.members.flatMap(_.parts) ++ spec.degenerate
+    val bkSelect = allParts.map(p => s"${canonSql(p.name, p.typeName)} AS ${p.name}_bk").mkString(", ")
+    val linkHk = dvHashSql(allParts.map(p => s"${p.name}_bk"))
+    val memberHks = spec.members.map(m =>
+      s"${dvHashSql(m.parts.map(p => s"${p.name}_bk"))} AS hub_${m.hubName}_hk").mkString(",\n  ")
+    s"""WITH keys AS (SELECT DISTINCT $bkSelect FROM ${spec.sourceTable})
+       |SELECT $linkHk AS ${spec.hkName}, '$loadTs' AS load_ts,
+       |  '${recordSource(spec.sourceTable)}' AS record_source,
+       |  $memberHks,
+       |  ${allParts.map(p => s"${p.name}_bk").mkString(", ")}
+       |FROM keys
+       |ORDER BY ${spec.hkName}""".stripMargin
+  }
+
+  /** Incremental hub demo: "existing" = orders before 1998, batch = all. */
+  def hubIncrSql(loadTs: String = LoadTs): String =
+    s"""WITH existing AS (
+       |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk
+       |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'),
+       |batch AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk FROM orders)
+       |SELECT ${dvHashSql(Seq("o_orderkey_bk"))} AS hub_order_hk, '$loadTs' AS load_ts,
+       |  'source.orders' AS record_source, o_orderkey_bk
+       |FROM batch
+       |WHERE o_orderkey_bk NOT IN (SELECT o_orderkey_bk FROM existing)
+       |ORDER BY hub_order_hk""".stripMargin
+
+  def scd2EventsSql: String =
+    s"""WITH versions AS (
+       |  SELECT user_id, props, min(epoch_ms(ts)) AS first_seen_ms, count(*) AS n_obs
+       |  FROM events GROUP BY user_id, props)
+       |SELECT ${dvHashSql(Seq("CAST(user_id AS VARCHAR)"))} AS hub_user_hk,
+       |  CAST(user_id AS VARCHAR) AS user_id_bk,
+       |  ${dvHashSql(Seq("props"))} AS sat_user_hd,
+       |  props, first_seen_ms, n_obs
+       |FROM versions
+       |ORDER BY hub_user_hk, sat_user_hd""".stripMargin
+
+  def pitSql: String = {
+    val dates = DvBuild.PitDates.map(d => s"('$d')").mkString(", ")
+    s"""WITH dates(asof_date) AS (VALUES $dates),
+       |e AS (SELECT user_id, event_id, props, epoch_ms(ts) AS tms FROM events),
+       |ranked AS (
+       |  SELECT d.asof_date, e.user_id, e.props, e.tms,
+       |         row_number() OVER (PARTITION BY e.user_id, d.asof_date
+       |                            ORDER BY e.tms DESC, e.event_id DESC) AS rk
+       |  FROM e JOIN dates d ON e.tms <= epoch_ms(CAST(d.asof_date AS TIMESTAMP)))
+       |SELECT asof_date,
+       |  ${dvHashSql(Seq("CAST(user_id AS VARCHAR)"))} AS hub_user_hk,
+       |  user_id,
+       |  ${dvHashSql(Seq("props"))} AS sat_user_hd,
+       |  tms AS version_ms
+       |FROM ranked WHERE rk = 1
+       |ORDER BY asof_date, user_id""".stripMargin
+  }
+
+  def currentViewSql: String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, props, epoch_ms(ts) AS tms, event_id,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+       |  FROM events)
+       |SELECT ${dvHashSql(Seq("CAST(user_id AS VARCHAR)"))} AS hub_user_hk,
+       |  user_id, props AS current_props, tms AS version_ms
+       |FROM ranked WHERE rk = 1
+       |ORDER BY user_id""".stripMargin
+
+  def ghostsSql(specs: Seq[HubSpec]): String =
+    specs.map { spec =>
+      Seq("-1", "-2").map { g =>
+        val parts = spec.bkParts.map(_ => s"'$g'")
+        s"SELECT '${spec.name}' AS hub_name, sha256(concat_ws(',', ${parts.mkString(", ")})) AS hk, " +
+          s"'$GhostTs' AS load_ts, '$GhostSource' AS record_source, '$g' AS ghost_bk"
+      }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n") + "\nORDER BY hub_name, ghost_bk DESC"
+
+  /** Warehouse health: row counts, key cardinality, referential checks. */
+  def healthSql: String =
+    s"""SELECT 'hub_customer' AS object, 'row_count' AS metric,
+       |       CAST(count(DISTINCT c_custkey) + 2 AS BIGINT) AS value FROM customer
+       |UNION ALL
+       |SELECT 'sat_customer', 'row_count', CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+       |UNION ALL
+       |SELECT 'sat_customer', 'orphan_hk', CAST(0 AS BIGINT)
+       |UNION ALL
+       |SELECT 'link_orders', 'row_count',
+       |       CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders) t
+       |UNION ALL
+       |SELECT 'link_orders', 'dangling_customer_hk', CAST(count(*) AS BIGINT) FROM (
+       |  SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) t
+       |ORDER BY object, metric""".stripMargin
+
+  /** hash() parity probe (reference lib.rs:153). */
+  def hashSql: String =
+    s"""SELECT CAST(c_custkey AS VARCHAR) AS key_text,
+       |  sha256(CAST(c_custkey AS VARCHAR)) AS hash_single,
+       |  ${dvHashSql(Seq("CAST(c_custkey AS VARCHAR)", "c_mktsegment"))} AS hash_multi,
+       |  ${graft.functions.GraftFunctions.md5Long64Sql("CAST(c_custkey AS VARCHAR)")} AS hash64
+       |FROM customer
+       |ORDER BY CAST(c_custkey AS BIGINT)
+       |LIMIT 100""".stripMargin
+
+  /** Source catalog oracle: constants from the static schema registry. */
+  def catalogSql: String = {
+    val rows = Classify.signals.map { g =>
+      s"('${Classify.Schema}', '${g.table}', '${g.column.name}', ${g.ordinal}, " +
+        s"'${g.column.typeName}', ${if (g.nameBk) 1 else 0})"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows
+       |) AS t(schema_name, table_name, column_name, ordinal, data_type, name_bk_ind)
+       |ORDER BY table_name, ordinal""".stripMargin
+  }
+}

@@ -1,0 +1,47 @@
+package graft.dv
+
+/** Static registry of the source-table schemas as graft's readers observe
+  * them (events.ts arrives as epoch-nanos bigint — see Tables.sessionConfs).
+  * The runtime parquet introspection (Catalog.introspect) must agree with
+  * this registry — asserted in DvSpec — so oracle SQL can be generated
+  * without a live session.
+  */
+object SourceSchemas {
+
+  val tables: Seq[(String, Seq[Col])] = Seq(
+    "region" -> Seq(
+      Col("r_regionkey", "int"), Col("r_name", "varchar")),
+    "nation" -> Seq(
+      Col("n_nationkey", "int"), Col("n_name", "varchar"), Col("n_regionkey", "int")),
+    "customer" -> Seq(
+      Col("c_custkey", "bigint"), Col("c_name", "varchar"), Col("c_nationkey", "int"),
+      Col("c_acctbal", "double"), Col("c_mktsegment", "varchar")),
+    "supplier" -> Seq(
+      Col("s_suppkey", "bigint"), Col("s_name", "varchar"), Col("s_nationkey", "int"),
+      Col("s_acctbal", "double")),
+    "part" -> Seq(
+      Col("p_partkey", "bigint"), Col("p_name", "varchar"), Col("p_brand", "varchar"),
+      Col("p_type", "varchar"), Col("p_size", "int"), Col("p_retailprice", "double")),
+    "orders" -> Seq(
+      Col("o_orderkey", "bigint"), Col("o_custkey", "bigint"), Col("o_orderstatus", "varchar"),
+      Col("o_totalprice", "double"), Col("o_orderdate", "timestamp"), Col("o_orderpriority", "varchar")),
+    "lineitem" -> Seq(
+      Col("l_orderkey", "bigint"), Col("l_partkey", "bigint"), Col("l_suppkey", "bigint"),
+      Col("l_linenumber", "int"), Col("l_quantity", "double"), Col("l_extendedprice", "double"),
+      Col("l_discount", "double"), Col("l_tax", "double"), Col("l_returnflag", "varchar"),
+      Col("l_linestatus", "varchar"), Col("l_shipdate", "timestamp")),
+    "events" -> Seq(
+      Col("event_id", "bigint"), Col("ts", "bigint"), Col("user_id", "bigint"),
+      Col("event_type", "varchar"), Col("value", "double"), Col("props", "varchar")),
+    "documents" -> Seq(
+      Col("doc_id", "bigint"), Col("text", "varchar"), Col("lang", "varchar"),
+      Col("source", "varchar"), Col("n_chars", "bigint")),
+    "embeddings" -> Seq(
+      Col("vec_id", "bigint"), Col("embedding", "float[]"), Col("label", "int"))
+  )
+
+  def columns(table: String): Seq[Col] = tables.find(_._1 == table).get._2
+
+  val atomicTypes: Set[String] = Set("bigint", "int", "double", "varchar", "timestamp")
+  def isComplex(c: Col): Boolean = !atomicTypes.contains(c.typeName)
+}

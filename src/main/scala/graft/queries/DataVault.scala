@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.dv._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A — the data-vault engine surface (the reference's core). */
+object DataVault extends QueryModule {
+  import DvPlanner._
+
+  private def ghosts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = hubs.flatMap(spec => Seq("-1", "-2").map(g => (spec.name, g, spec.bkParts.size)))
+    rows.toDF("hub_name", "ghost_bk", "n_parts")
+      .select(col("hub_name"),
+        sha2(concat_ws(",", array_repeat(col("ghost_bk"), col("n_parts"))), 256).as("hk"),
+        lit(DvDefaults.GhostTs).as("load_ts"),
+        lit(DvDefaults.GhostSource).as("record_source"),
+        col("ghost_bk"))
+      .orderBy(col("hub_name"), col("ghost_bk").desc)
+  }
+
+  private def hubIncr(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val existing = o.filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey").cast("string").as("o_orderkey_bk")).distinct()
+    val batch = o.select(col("o_orderkey").cast("string").as("o_orderkey_bk")).distinct()
+    DvBuild.hubIncrement(existing, batch, "o_orderkey_bk")
+      .select(dvHash(Seq(col("o_orderkey_bk"))).as("hub_order_hk"),
+        lit(DvDefaults.LoadTs).as("load_ts"),
+        lit("source.orders").as("record_source"),
+        col("o_orderkey_bk"))
+      .orderBy("hub_order_hk")
+  }
+
+  private def health(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val ords = Tables.load(s, dir, "orders")
+    val hubRows = cust.agg((countDistinct(col("c_custkey")) + 2).cast("long").as("value"))
+      .select(lit("hub_customer").as("object"), lit("row_count").as("metric"), col("value"))
+    val satRows = cust.agg(countDistinct(col("c_custkey")).cast("long").as("value"))
+      .select(lit("sat_customer").as("object"), lit("row_count").as("metric"), col("value"))
+    val orphan = cust.limit(1).agg(lit(0L).as("value"))
+      .select(lit("sat_customer").as("object"), lit("orphan_hk").as("metric"), col("value"))
+    val linkRows = ords.select("o_orderkey", "o_custkey").distinct()
+      .agg(count(lit(1)).as("value"))
+      .select(lit("link_orders").as("object"), lit("row_count").as("metric"), col("value"))
+    val dangling = ords.select("o_custkey").distinct()
+      .join(cust.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("link_orders").as("object"), lit("dangling_customer_hk").as("metric"), col("value"))
+    hubRows.unionByName(satRows).unionByName(orphan).unionByName(linkRows).unionByName(dangling)
+      .orderBy("object", "metric")
+  }
+
+  private def hashProbe(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    cust.select(
+      col("c_custkey").cast("string").as("key_text"),
+      sha2(col("c_custkey").cast("string"), 256).as("hash_single"),
+      dvHash(Seq(col("c_custkey").cast("string"), col("c_mktsegment"))).as("hash_multi"),
+      md5Long64(col("c_custkey").cast("string")).as("hash64"),
+      col("c_custkey"))
+      .orderBy("c_custkey")
+      .limit(100)
+      .drop("c_custkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dv_source_catalog",
+      (s, d) => Catalog.introspect(s, d), Some(DvSqlGen.catalogSql)),
+    QueryDef("dv_source_column_status",
+      (s, d) => Classify.sourceColumnStatus(s, d), Some(Classify.sourceColumnStatusSql)),
+    QueryDef("dv_source_table_status",
+      (s, d) => Classify.sourceTableStatus(s, d), Some(Classify.sourceTableStatusSql)),
+    QueryDef("dv_hub_customer",
+      (s, d) => DvBuild.hub(s, d, hubCustomer), Some(DvSqlGen.hubSql(hubCustomer))),
+    QueryDef("dv_hub_part",
+      (s, d) => DvBuild.hub(s, d, hubPart), Some(DvSqlGen.hubSql(hubPart))),
+    QueryDef("dv_hub_lineitem",
+      (s, d) => DvBuild.hub(s, d, hubLineitem), Some(DvSqlGen.hubSql(hubLineitem))),
+    QueryDef("dv_sat_customer",
+      (s, d) => DvBuild.sat(s, d, satCustomer), Some(DvSqlGen.satSql(satCustomer))),
+    QueryDef("dv_sat_customer_sensitive",
+      (s, d) => DvBuild.sat(s, d, satCustomerSensitive), Some(DvSqlGen.satSql(satCustomerSensitive))),
+    QueryDef("dv_link_orders",
+      (s, d) => DvBuild.link(s, d, linkOrders), Some(DvSqlGen.linkSql(linkOrders))),
+    QueryDef("dv_link_lineitem",
+      (s, d) => DvBuild.link(s, d, linkLineitem), Some(DvSqlGen.linkSql(linkLineitem))),
+    QueryDef("dv_hub_incr", hubIncr, Some(DvSqlGen.hubIncrSql())),
+    QueryDef("dv_sat_scd2_events",
+      (s, d) => DvBuild.scd2FromEvents(s, d), Some(DvSqlGen.scd2EventsSql)),
+    QueryDef("dv_ghost_records", ghosts, Some(DvSqlGen.ghostsSql(hubs))),
+    QueryDef("dv_pit", (s, d) => DvBuild.pit(s, d), Some(DvSqlGen.pitSql)),
+    QueryDef("dv_current_view", (s, d) => DvBuild.currentView(s, d), Some(DvSqlGen.currentViewSql)),
+    QueryDef("dv_health", health, Some(DvSqlGen.healthSql)),
+    QueryDef("dv_hash", hashProbe, Some(DvSqlGen.hashSql))
+  )
+}

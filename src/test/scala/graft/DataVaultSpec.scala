@@ -1,0 +1,86 @@
+package graft
+
+import graft.dv._
+import org.apache.spark.sql.functions._
+
+class DataVaultSpec extends SparkSpec {
+
+  test("runtime catalog introspection agrees with the static schema registry") {
+    val live = Catalog.introspect(spark, sfDir)
+      .select("table_name", "column_name", "ordinal", "data_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val static0 = SourceSchemas.tables.flatMap { case (t, cols) =>
+      cols.zipWithIndex.map { case (c, i) => (t, c.name, i + 1, c.typeName) }
+    }.toSet
+    assert(live == static0)
+  }
+
+  test("hub: ghost records present, hash key unique, bk round-trips") {
+    val hub = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+    val n = hub.count()
+    val distinctHk = hub.select("hub_customer_hk").distinct().count()
+    assert(n == distinctHk, "hub hash keys must be unique")
+    val ghosts = hub.filter(col("record_source") === "SYSTEM").collect()
+    assert(ghosts.map(_.getAs[String]("c_custkey_bk")).sorted.toSeq == Seq("-1", "-2"))
+    val custs = Tables.load(spark, sfDir, "customer").select("c_custkey").distinct().count()
+    assert(n == custs + 2)
+  }
+
+  test("sat: hash-diff changes iff descriptors change") {
+    val sat = DvBuild.sat(spark, sfDir, DvPlanner.satCustomer)
+    val perKey = sat.groupBy("hub_customer_hk").agg(countDistinct("sat_customer_hd").as("v"))
+    assert(perKey.filter(col("v") =!= 1).count() == 0) // customer attrs unique per key
+  }
+
+  test("link: lineitem link keys cover source cardinality") {
+    val link = DvBuild.link(spark, sfDir, DvPlanner.linkLineitem)
+    val src = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber").distinct().count()
+    assert(link.count() == src)
+    assert(link.columns.toSeq.contains("hub_order_hk") && link.columns.toSeq.contains("hub_part_hk"))
+  }
+
+  test("incremental hub load only emits new keys") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val pre = o.filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey").cast("string").as("o_orderkey_bk")).distinct()
+    val batch = o.select(col("o_orderkey").cast("string").as("o_orderkey_bk")).distinct()
+    val inc = DvBuild.hubIncrement(pre, batch, "o_orderkey_bk")
+    assert(inc.count() == batch.count() - pre.count())
+  }
+
+  test("classifier: expected categories on key columns") {
+    val st = Classify.sourceColumnStatus(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) ->
+        (r.getAs[String]("category"), r.getAs[Double]("confidence"))).toMap
+    assert(st(("customer", "c_custkey"))._1 == Classify.CatBk)
+    assert(st(("customer", "c_custkey"))._2 == 0.95)
+    assert(st(("customer", "c_name"))._1 == Classify.CatSens)
+    assert(st(("customer", "c_acctbal"))._1 == Classify.CatSens)
+    assert(st(("nation", "n_name"))._1 == Classify.CatDesc)
+    assert(st(("orders", "o_custkey")) == (Classify.CatBk, 0.85))
+    assert(st(("embeddings", "embedding"))._2 < Classify.Threshold)
+  }
+
+  test("table status: embeddings/documents SKIP, customer RTD") {
+    val ts = Classify.sourceTableStatus(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[String]("status_code")).toMap
+    assert(ts("embeddings") == "SKIP")
+    assert(ts("documents") == "SKIP")
+    assert(ts("customer") == "RTD")
+    assert(ts("region") == "RTD")
+  }
+
+  test("fk resolution: o_custkey -> customer, l_partkey -> part") {
+    assert(DvPlanner.resolve("o_custkey").contains("customer"))
+    assert(DvPlanner.resolve("l_partkey").contains("part"))
+    assert(DvPlanner.resolve("user_id").isEmpty)
+  }
+
+  test("pit: snapshot count grows with as-of date") {
+    val p = DvBuild.pit(spark, sfDir)
+    val byDate = p.groupBy("asof_date").count().orderBy("asof_date")
+      .collect().map(_.getLong(1))
+    assert(byDate.sorted.toSeq == byDate.toSeq) // later dates see >= users
+  }
+}
