@@ -10,7 +10,8 @@ object SparkEntry {
   /** Operator registry (SURVEY.md §2). */
   def modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.Analytics,
-    _root_.graft.queries.DataVault
+    _root_.graft.queries.DataVault,
+    _root_.graft.queries.Text
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

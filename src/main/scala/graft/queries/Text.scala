@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** SURVEY.md §2.C (#27-31) — text analysis + exact dedup over `documents`.
+  *
+  * All token work stays inside codegen'd higher-order functions (no UDFs);
+  * the tokenizer and every formula have identical DuckDB twins. At 100 TB the
+  * per-doc ops are embarrassingly parallel scans; dedup_exact is a single
+  * hash-shuffle on the normalized-text hash.
+  */
+object Text extends QueryModule {
+
+  // Shared tokenizer: lowercase, split on non-alphanumeric, drop empties.
+  private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  private val toksDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val StopEn = Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "on")
+  private val StopFr = Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "dans")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf")
+  private val StopEs = Seq("el", "los", "las", "y", "es", "como", "para", "por", "con", "una")
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------- text_token_count
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      expr(s"cast(size($toksSpark) as bigint)").as("n_words"),
+      regexp_count(lower(col("text")), lit(BpePattern)).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql = s"""
+    SELECT doc_id,
+      CAST(len($toksDuck) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_m
+    FROM documents ORDER BY doc_id"""
+
+  // ----------------------------------------------------- text_quality
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("n_words", expr("cast(size(toks) as bigint)"))
+      .withColumn("n_stop", expr(s"cast(size(filter(toks, x -> x IN ${inList(StopEn)})) as bigint)"))
+      .withColumn("sum_len", expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) as bigint)"))
+      .withColumn("stop_ratio", expr("cast(n_stop as double) / greatest(n_words, 1)"))
+      .withColumn("mean_word_len", expr("cast(sum_len as double) / greatest(n_words, 1)"))
+      .withColumn("quality_score", expr(
+        "0.4 * stop_ratio + 0.3 * least(1.0, cast(n_words as double)/100.0) " +
+          "+ 0.3 * (1.0 - least(1.0, abs(mean_word_len - 4.7)/10.0))"))
+      .select("doc_id", "n_words", "n_stop", "stop_ratio", "mean_word_len", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql = s"""
+    WITH t AS (
+      SELECT doc_id, $toksDuck AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(len(list_filter(toks, x -> x IN ${inList(StopEn)})) AS BIGINT) AS n_stop,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+      FROM t),
+    r AS (
+      SELECT doc_id, n_words, n_stop,
+        CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stop_ratio,
+        CAST(sum_len AS DOUBLE) / greatest(n_words, 1) AS mean_word_len
+      FROM m)
+    SELECT doc_id, n_words, n_stop, stop_ratio, mean_word_len,
+      0.4 * stop_ratio + 0.3 * least(1.0, CAST(n_words AS DOUBLE)/100.0)
+        + 0.3 * (1.0 - least(1.0, abs(mean_word_len - 4.7)/10.0)) AS quality_score
+    FROM r ORDER BY doc_id"""
+
+  // ----------------------------------------------------- text_lang_id
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    def hits(set: Seq[String]) = s"cast(size(filter(toks, x -> x IN ${inList(set)})) as bigint)"
+    docs(s, dir)
+      .withColumn("toks", expr(toksSpark))
+      .withColumn("hits_en", expr(hits(StopEn)))
+      .withColumn("hits_fr", expr(hits(StopFr)))
+      .withColumn("hits_de", expr(hits(StopDe)))
+      .withColumn("hits_es", expr(hits(StopEs)))
+      .withColumn("predicted_lang", expr(
+        """CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+          |     WHEN hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+          |     WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+          |     WHEN hits_es > 0 THEN 'es'
+          |     ELSE 'unknown' END""".stripMargin))
+      .withColumn("is_match", when(col("predicted_lang") === col("lang"), 1).otherwise(0))
+      .select("doc_id", "lang", "hits_en", "hits_fr", "hits_de", "hits_es", "predicted_lang", "is_match")
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    def hits(set: Seq[String]) = s"CAST(len(list_filter(toks, x -> x IN ${inList(set)})) AS BIGINT)"
+    s"""
+    WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+        ${hits(StopEn)} AS hits_en, ${hits(StopFr)} AS hits_fr,
+        ${hits(StopDe)} AS hits_de, ${hits(StopEs)} AS hits_es
+      FROM t)
+    SELECT doc_id, lang, hits_en, hits_fr, hits_de, hits_es,
+      CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+           WHEN hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+           WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+           WHEN hits_es > 0 THEN 'es'
+           ELSE 'unknown' END AS predicted_lang,
+      CASE WHEN (CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+           WHEN hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+           WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+           WHEN hits_es > 0 THEN 'es'
+           ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS is_match
+    FROM h ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------- text_fingerprint
+  private val normSpark = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+  private val normDuck = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      expr(s"sha2($normSpark, 256)").as("norm_sha256"),
+      md5Long64(expr(normSpark)).as("fp64"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql = s"""
+    SELECT doc_id,
+      sha256($normDuck) AS norm_sha256,
+      ${md5Long64Sql(normDuck)} AS fp64
+    FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------- dedup_exact
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), expr(s"sha2($normSpark, 256)").as("norm_sha256"))
+      .groupBy("norm_sha256")
+      .agg(min("doc_id").as("survivor_doc_id"), count(lit(1)).as("n_copies"))
+      .select("survivor_doc_id", "n_copies", "norm_sha256")
+      .orderBy("survivor_doc_id")
+
+  private val dedupExactSql = s"""
+    SELECT min(doc_id) AS survivor_doc_id, count(*) AS n_copies,
+           sha256($normDuck) AS norm_sha256
+    FROM documents
+    GROUP BY norm_sha256
+    ORDER BY survivor_doc_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_quality", quality, Some(qualitySql)),
+    QueryDef("text_lang_id", langId, Some(langIdSql)),
+    QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("dedup_exact", dedupExact, Some(dedupExactSql))
+  )
+}
