@@ -11,7 +11,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.Analytics,
     _root_.graft.queries.DataVault,
-    _root_.graft.queries.Text
+    _root_.graft.queries.Text,
+    _root_.graft.queries.Dedup
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** SURVEY.md §2.C (#32-34) — near-duplicate detection over `documents`.
+  *
+  * All candidate generation is band/bucket equi-joins (minhash bands,
+  * simhash 15-bit chunks, rare-bigram inverted index) — never an O(n²)
+  * cross join — and exact verification runs only on candidate pairs.
+  * That is the 100 TB shape: shuffles are on compact keys, and the pair
+  * set stays proportional to the true duplicate count.
+  *
+  * Word 3-shingles (not unigrams) are the unit: the synthetic corpus has a
+  * ~30-word vocabulary, so token-set Jaccard saturates at 1.0; shingle sets
+  * separate the planted near-dups (j >= 0.8) from background (j < 0.3).
+  */
+object Dedup extends QueryModule {
+
+  private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+  private val toksDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Distinct (doc_id, shingle) with 3-word shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr(toksSpark))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-2), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1), element_at(toks,k+2)))"))
+        .as("shingle"))
+      .distinct()
+
+  private val shinglesDuck =
+    s"""SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(toks)-1), k -> toks[k] || ' ' || toks[k+1] || ' ' || toks[k+2])) AS shingle
+       |FROM (SELECT doc_id, $toksDuck AS toks FROM documents)
+       |WHERE len(toks) >= 3""".stripMargin
+
+  // ------------------------------------------------ dedup_minhash_lsh
+  // h32(t) = md5-long64(t) mod p32; k=16 permutations h_i = (2i+1)*h + c_i.
+  private val P32 = 4294967291L
+  private val NumPerm = 16
+  private val BandRows = 4
+  private val MinhashThreshold = 0.6
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val h = sh.select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
+    val perms = s.range(0, NumPerm).select(col("id").as("i"))
+    val mh = h.crossJoin(broadcast(perms))
+      .groupBy("doc_id", "i")
+      .agg(min(((lit(2L) * col("i") + 1L) * col("h32") + (lit(1000003L) * col("i") + 12345L)) % P32).as("minh"))
+    val bands = mh.groupBy(col("doc_id"), expr(s"i div $BandRows").as("band"))
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(i, minh))), x -> cast(x.minh as string)), ',')").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("ta"), col("ta.doc_id") === col("doc_a"))
+      .join(sh.as("tb"), col("tb.doc_id") === col("doc_b") && col("tb.shingle") === col("ta.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= MinhashThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashSql =
+    s"""WITH sh AS (
+       |$shinglesDuck
+       |), h AS (
+       |  SELECT doc_id, ${md5Long64Sql("shingle")} % $P32 AS h32 FROM sh),
+       |perms AS (SELECT unnest(generate_series(0, ${NumPerm - 1})) AS i),
+       |mh AS (
+       |  SELECT doc_id, i, min(((2*i+1)*h32 + (1000003*i+12345)) % $P32) AS minh
+       |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // $BandRows AS band,
+       |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+       |  FROM mh GROUP BY doc_id, i // $BandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh ta ON ta.doc_id = c.doc_a
+       |  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+       |       CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) AS jaccard
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) >= $MinhashThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------- dedup_simhash
+  // 60-bit simhash over shingle hashes; 15-bit chunk blocking guarantees
+  // recall for hamming <= 3 (pigeonhole over 4 chunks).
+  private val SimBits = 60
+  private val ChunkBits = 15
+  private val MaxHamming = 3
+
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val h = sh.select(col("doc_id"), md5Long64(col("shingle")).as("h60"))
+    val bits = s.range(0, SimBits).select(col("id").as("j"))
+    val contrib = h.crossJoin(broadcast(bits))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("(shiftright(h60, cast(j as int)) & 1) = 1"), 1L).otherwise(-1L)).as("sc"))
+    val sig = contrib.groupBy("doc_id")
+      .agg(sum(when(col("sc") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("sig"))
+    val chunks = s.range(0, SimBits / ChunkBits).select(col("id").as("c"))
+    val keyed = sig.crossJoin(broadcast(chunks))
+      .select(col("doc_id"), col("sig"), col("c"),
+        expr(s"shiftright(sig, cast($ChunkBits * c as int)) & ${(1 << ChunkBits) - 1}").as("ck"))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"), col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .filter(col("hamming") <= MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashSql =
+    s"""WITH sh AS (
+       |$shinglesDuck
+       |), h AS (
+       |  SELECT doc_id, ${md5Long64Sql("shingle")} AS h60 FROM sh),
+       |bits AS (SELECT unnest(generate_series(0, ${SimBits - 1})) AS j),
+       |contrib AS (
+       |  SELECT doc_id, j,
+       |         CAST(sum(CASE WHEN ((h60 >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS sc
+       |  FROM h CROSS JOIN bits GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM contrib GROUP BY doc_id),
+       |chunks AS (SELECT unnest(generate_series(0, ${SimBits / ChunkBits - 1})) AS c),
+       |keyed AS (
+       |  SELECT doc_id, sig, c, (sig >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1} AS ck
+       |  FROM sig CROSS JOIN chunks),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM keyed a JOIN keyed b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(sig_a, sig_b)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------- sim_ngram_jaccard
+  // Word-bigram Jaccard via a rare-bigram inverted index (df cap bounds
+  // candidate fan-out at scale), exact verification on full bigram sets.
+  private val DfCap = 50
+  private val JaccardThreshold = 0.5
+
+  private def bigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", expr(toksSpark))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1)))"))
+        .as("bg"))
+      .distinct()
+
+  private val bigramsDuck =
+    s"""SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(toks)), k -> toks[k] || ' ' || toks[k+1])) AS bg
+       |FROM (SELECT doc_id, $toksDuck AS toks FROM documents)
+       |WHERE len(toks) >= 2""".stripMargin
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val bgr = bigrams(s, dir).cache()
+    val df = bgr.groupBy("bg").agg(count(lit(1)).as("d"))
+    val rare = bgr.join(df.filter(col("d") <= DfCap), Seq("bg"))
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sizes = bgr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(bgr.as("ta"), col("ta.doc_id") === col("doc_a"))
+      .join(bgr.as("tb"), col("tb.doc_id") === col("doc_b") && col("tb.bg") === col("ta.bg"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ngramSql =
+    s"""WITH bgr AS (
+       |$bigramsDuck
+       |), df AS (SELECT bg, count(*) AS d FROM bgr GROUP BY bg),
+       |rare AS (SELECT bgr.doc_id, bgr.bg FROM bgr JOIN df ON bgr.bg = df.bg WHERE df.d <= $DfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.bg = b.bg AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM bgr GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN bgr ta ON ta.doc_id = c.doc_a
+       |  JOIN bgr tb ON tb.doc_id = c.doc_b AND tb.bg = ta.bg
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+       |       CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) AS jaccard
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashSql)),
+    QueryDef("dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql))
+  )
+}
