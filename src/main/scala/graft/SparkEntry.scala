@@ -12,7 +12,8 @@ object SparkEntry {
     _root_.graft.queries.Analytics,
     _root_.graft.queries.DataVault,
     _root_.graft.queries.Text,
-    _root_.graft.queries.Dedup
+    _root_.graft.queries.Dedup,
+    _root_.graft.queries.Similarity
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

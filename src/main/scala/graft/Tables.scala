@@ -24,6 +24,7 @@ object Tables {
     * convert explicitly (ts div 1e6 == DuckDB epoch_ms, exact for t>0).
     */
   val sessionConfs: Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",

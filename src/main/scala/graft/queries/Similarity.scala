@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftColumns.graftCosine
+
+/** SURVEY.md §2.C (#35-36) — similarity search over `embeddings`
+  * (Array[Float], dim 64).
+  *
+  * knn_cosine: brute-force top-k for a sampled query set — the correctness
+  * baseline. The dot/norm accumulation is index-ordered in both engines
+  * (Spark `aggregate` over sequence, DuckDB `list_sum(list_transform(...))`),
+  * so the doubles match bit-for-bit; no rounding needed.
+  *
+  * ann_cosine_lsh: random-hyperplane LSH — the scale path. Hyperplane
+  * coefficients are pseudo-random integers derived from md5 (no RNG), so
+  * the bucketing is reproducible across engines and cluster sizes. At
+  * 100 TB the bucket join shuffles on a 6-bit key instead of crossing n².
+  */
+object Similarity extends QueryModule {
+
+  private val Dim = 64
+  private val QueryMod = 10 // vec_id % 10 == 0 -> query set
+  private val TopK = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
+
+  /** Index-ordered dot product of two float[] columns as double. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(sequence(1, $Dim), cast(0 as double), (acc, i) -> acc + cast(element_at($a, i) as double) * cast(element_at($b, i) as double))"
+
+  private def dotDuck(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  // --------------------------------------------------------- knn_cosine
+  private def knn(s: SparkSession, dir: String): DataFrame = {
+    // graftCosine (native codegen expression) accumulates in index order —
+    // bit-identical to the oracle's precomputed-norm formula.
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id % $QueryMod = 0),
+       |pairs AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |         ${dotDuck("q.qe", "v.embedding")} / (sqrt(q.qn) * sqrt(v.nrm)) AS cosine
+       |  FROM vecs v JOIN queries q ON v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------- ann_cosine_lsh
+  private val Planes = 6
+  private val AnnTopK = 3
+
+  /** Deterministic hyperplane coefficient in [-1000, 1000]:
+    * md5-long64('plane_<p>_<d>') % 2001 - 1000.
+    */
+  private def coefExpr(p: String, d: String): String =
+    s"cast(conv(substring(md5(concat('plane_', cast($p as string), '_', cast($d as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
+
+  private def coefDuck(p: String, d: String): String =
+    s"CAST('0x'||substr(md5('plane_' || CAST($p AS VARCHAR) || '_' || CAST($d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
+
+  /** 6-bit LSH bucket of an embedding, as one nested index-ordered fold. */
+  private def bucketExpr(e: String): String =
+    s"""aggregate(sequence(0, ${Planes - 1}), cast(0 as bigint), (acc, p) ->
+       |  acc + IF(aggregate(sequence(1, $Dim), cast(0 as double),
+       |             (a2, d) -> a2 + cast(element_at($e, d) as double) * cast((${coefExpr("p", "d")}) as double)) > 0,
+       |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
+
+  private def bucketDuck(e: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${Planes - 1}), p ->
+       |  CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+       |              d -> CAST($e[d] AS DOUBLE) * CAST((${coefDuck("p", "d")}) AS DOUBLE))) > 0
+       |       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"),
+      expr(bucketExpr("embedding")).as("bucket"))
+    val queries = vecs.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket").as("qb"))
+    val pairs = vecs.join(queries,
+      col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnTopK)
+      .select("query_id", "rank", "neighbor_id", "bucket", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private val annSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding,
+       |         ${dotDuck("embedding", "embedding")} AS nrm,
+       |         ${bucketDuck("embedding")} AS bucket
+       |  FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb
+       |  FROM vecs WHERE vec_id % $QueryMod = 0),
+       |pairs AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id, v.bucket,
+       |         ${dotDuck("q.qe", "v.embedding")} / (sqrt(q.qn) * sqrt(v.nrm)) AS cosine
+       |  FROM vecs v JOIN queries q ON v.bucket = q.qb AND v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, bucket, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, bucket, cosine
+       |FROM ranked WHERE rank <= $AnnTopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("knn_cosine", knn, Some(knnSql)),
+    QueryDef("ann_cosine_lsh", annLsh, Some(annSql))
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("graft_cosine is registered via extensions and matches the HOF formulation") {
+    val df = Tables.load(spark, sfDir, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding"))
+    df.createOrReplaceTempView("e50")
+    val both = spark.sql(
+      """SELECT graft_cosine(a.embedding, b.embedding) AS native,
+        |  aggregate(sequence(1, 64), cast(0 as double),
+        |    (acc, i) -> acc + cast(element_at(a.embedding, i) as double) * cast(element_at(b.embedding, i) as double))
+        |  / (sqrt(aggregate(sequence(1, 64), cast(0 as double),
+        |       (acc, i) -> acc + cast(element_at(a.embedding, i) as double) * cast(element_at(a.embedding, i) as double)))
+        |   * sqrt(aggregate(sequence(1, 64), cast(0 as double),
+        |       (acc, i) -> acc + cast(element_at(b.embedding, i) as double) * cast(element_at(b.embedding, i) as double)))) AS hof
+        |FROM e50 a JOIN e50 b ON a.vec_id < b.vec_id""".stripMargin)
+    assert(both.filter(col("native") =!= col("hof")).count() == 0) // bit-identical
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val df = Tables.load(spark, sfDir, "embeddings").limit(10)
+    val res = df.select(graft.functions.GraftColumns.graftCosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    res.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("knn returns TopK neighbors per query, self excluded") {
+    val knn = Similarity.defs.find(_.name == "knn_cosine").get.run(spark, sfDir)
+    val bad = knn.filter(col("query_id") === col("neighbor_id")).count()
+    assert(bad == 0)
+    val perQuery = knn.groupBy("query_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perQuery <= 5)
+  }
+
+  test("ann candidates share the query's bucket") {
+    val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
+    assert(ann.count() > 0)
+    assert(ann.filter(col("rank") > 3).count() == 0)
+  }
+}
