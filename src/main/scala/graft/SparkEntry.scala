@@ -13,7 +13,8 @@ object SparkEntry {
     _root_.graft.queries.DataVault,
     _root_.graft.queries.Text,
     _root_.graft.queries.Dedup,
-    _root_.graft.queries.Similarity
+    _root_.graft.queries.Similarity,
+    _root_.graft.queries.Multimodal
   )
 
   private lazy val allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.GraftFunctions.dvHash
+
+/** SURVEY.md §2.D — Structured Streaming twins of the batch operators.
+  *
+  * The same transforms run on readStream sources in production; specs drive
+  * them with MemoryStream. The reference's background-worker refresh loop
+  * (extension/src/controller/bgw_*.rs) maps to exactly this: a continuous
+  * incremental load instead of a polled batch rebuild.
+  */
+object Streams {
+
+  final case class Ev(event_id: Long, tms: Long, user_id: Long, event_type: String, value: Double)
+
+  /** #38: watermarked tumbling-day aggregation (streaming twin of
+    * events_tumbling). Works on both batch and streaming DataFrames.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("tms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_micros"))
+      .select(col("w.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n_events"), col("sum_value_micros"))
+
+  final case class SessionState(start: Long, last: Long, n: Int, sessions: Int)
+  final case class SessionUpdate(user_id: Long, session_no: Int, start_ms: Long, end_ms: Long, n_events: Int)
+
+  val GapMs: Long = 30 * 60 * 1000
+
+  /** #39: stateful sessionization via mapGroupsWithState — emits the current
+    * open session per user on every trigger; a 30-minute gap rolls the
+    * session number (streaming twin of events_sessionize).
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(sorted.head.tms, sorted.head.tms, 0, 1))
+          sorted.foreach { e =>
+            st =
+              if (st.n > 0 && e.tms - st.last > GapMs)
+                SessionState(e.tms, e.tms, 1, st.sessions + 1)
+              else
+                st.copy(last = e.tms, n = st.n + 1,
+                  start = if (st.n == 0) e.tms else st.start)
+          }
+          state.update(st)
+          SessionUpdate(uid, st.sessions, st.start, st.last, st.n)
+      }
+  }
+
+  /** #40: streaming incremental hub load — every micro-batch anti-joins the
+    * hub parquet on the hash key and appends only new keys (the streaming
+    * form of DvBuild.hubIncrement; the hub parquet is hash-keyed so at scale
+    * this is a broadcast of the batch side against a bucketed table).
+    */
+  def hubLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, hubPath: String, loadTs: String): Unit = {
+    val keyed = batch.select(col(keyCol).cast("string").as("bk")).distinct()
+      .select(dvHash(Seq(col("bk"))).as("hub_hk"), lit(loadTs).as("load_ts"), col("bk"))
+    val novel =
+      try {
+        val existing = spark.read.parquet(hubPath).select("hub_hk")
+        keyed.join(existing, Seq("hub_hk"), "left_anti")
+      } catch { case _: org.apache.spark.sql.AnalysisException => keyed } // first batch: no hub yet
+    novel.write.mode("append").parquet(hubPath)
+  }
+
+  /** Wire #40 onto a streaming DataFrame via foreachBatch. */
+  def hubLoadSink(events: DataFrame, keyCol: String, hubPath: String, checkpoint: String) =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hubLoadBatch(batch.sparkSession, batch, keyCol, hubPath, s"batch_$batchId")
+      }
+}

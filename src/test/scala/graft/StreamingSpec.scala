@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  private def day(d: Int, h: Int = 0, m: Int = 0): Long =
+    1704067200000L + d * 86400000L + h * 3600000L + m * 60000L // 2024-01-01 + d days
+
+  test("stream tumbling agg matches batch on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, day(0, 1), 1, "click", 1.5), Ev(2, day(0, 2), 1, "click", 2.0),
+      Ev(3, day(0, 3), 2, "view", 0.25), Ev(4, day(1, 1), 1, "click", 1.0))
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling_out")
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    val batch = Streams.tumblingCounts(rows.toDF())
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.map(_.head.toString).contains("2024-01-01"))
+  }
+
+  test("stateful sessionization rolls sessions on 30-min gaps across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("update").start()
+    mem.addData(Ev(1, day(0, 1, 0), 7, "click", 1.0), Ev(2, day(0, 1, 10), 7, "click", 1.0))
+    q.processAllAvailable()
+    val s1 = spark.table("sess_out").as[SessionUpdate].collect().last
+    assert(s1.session_no == 1 && s1.n_events == 2)
+    mem.addData(Ev(3, day(0, 3, 0), 7, "click", 1.0)) // > 30 min later
+    q.processAllAvailable()
+    val s2 = spark.table("sess_out").as[SessionUpdate].collect().last
+    q.stop()
+    assert(s2.session_no == 2 && s2.n_events == 1)
+  }
+
+  test("streaming hub load appends only novel keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_hub").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.hubLoadSink(mem.toDF(), "user_id", s"$dir/hub", s"$dir/ckpt").start()
+    mem.addData(Ev(1, day(0), 1, "a", 0), Ev(2, day(0), 2, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, day(0), 2, "a", 0), Ev(4, day(0), 3, "a", 0)) // user 2 repeats
+    q.processAllAvailable()
+    q.stop()
+    val hub = spark.read.parquet(s"$dir/hub")
+    assert(hub.count() == 3)
+    assert(hub.select("hub_hk").distinct().count() == 3)
+  }
+}
