@@ -60,7 +60,14 @@ object Classify {
   // ------------------------------------------------------------------
   // Spark side: one profiling agg per table, stacked to long form.
   // ------------------------------------------------------------------
-  private def statsDf(s: SparkSession, dir: String): DataFrame = {
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def statsDf(s: SparkSession, dir: String): DataFrame =
+    statsCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      statsDfUncached(s, dir).cache())
+
+  private def statsDfUncached(s: SparkSession, dir: String): DataFrame = {
     val perTable = SourceSchemas.tables.map { case (t, cols) =>
       val src = Tables.load(s, dir, t)
       val atomic = cols.filterNot(SourceSchemas.isComplex)

@@ -48,12 +48,17 @@ object Dedup extends QueryModule {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     val h = sh.select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
-    val perms = s.range(0, NumPerm).select(col("id").as("i"))
-    val mh = h.crossJoin(broadcast(perms))
-      .groupBy("doc_id", "i")
-      .agg(min(((lit(2L) * col("i") + 1L) * col("h32") + (lit(1000003L) * col("i") + 12345L)) % P32).as("minh"))
-    val bands = mh.groupBy(col("doc_id"), expr(s"i div $BandRows").as("band"))
-      .agg(expr("array_join(transform(sort_array(collect_list(struct(i, minh))), x -> cast(x.minh as string)), ',')").as("sig"))
+    // One shuffle with map-side partial mins (16 agg columns) instead of a
+    // 16x permutation explode — same minima, 100TB-friendly.
+    val minCols = (0 until NumPerm).map(i =>
+      min(((lit(2L * i + 1)) * col("h32") + lit(1000003L * i + 12345L)) % P32).as(s"m_$i"))
+    val mins = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandSigs = (0 until NumPerm / BandRows).map { b =>
+      val cs = (0 until BandRows).map(r => s"cast(m_${b * BandRows + r} as string)").mkString(", ")
+      s"$b, concat_ws(',', $cs)"
+    }.mkString(", ")
+    val bands = mins.select(col("doc_id"),
+      expr(s"stack(${NumPerm / BandRows}, $bandSigs)").as(Seq("band", "sig")))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -112,12 +117,14 @@ object Dedup extends QueryModule {
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val h = sh.select(col("doc_id"), md5Long64(col("shingle")).as("h60"))
-    val bits = s.range(0, SimBits).select(col("id").as("j"))
-    val contrib = h.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("(shiftright(h60, cast(j as int)) & 1) = 1"), 1L).otherwise(-1L)).as("sc"))
-    val sig = contrib.groupBy("doc_id")
-      .agg(sum(when(col("sc") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("sig"))
+    // One shuffle with 60 codegen'd partial sums instead of a 60x bit explode.
+    val sumCols = (0 until SimBits).map(j =>
+      sum(when(expr(s"(shiftright(h60, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"s_$j"))
+    val sums = h.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val sigExpr = (0 until SimBits)
+      .map(j => s"(case when s_$j > 0 then cast(${1L << j} as bigint) else cast(0 as bigint) end)")
+      .mkString(" + ")
+    val sig = sums.select(col("doc_id"), expr(sigExpr).as("sig"))
     val chunks = s.range(0, SimBits / ChunkBits).select(col("id").as("c"))
     val keyed = sig.crossJoin(broadcast(chunks))
       .select(col("doc_id"), col("sig"), col("c"),

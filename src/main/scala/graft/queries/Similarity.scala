@@ -72,21 +72,33 @@ object Similarity extends QueryModule {
   private val Planes = 6
   private val AnnTopK = 3
 
-  /** Deterministic hyperplane coefficient in [-1000, 1000]:
-    * md5-long64('plane_<p>_<d>') % 2001 - 1000.
-    */
-  private def coefExpr(p: String, d: String): String =
-    s"cast(conv(substring(md5(concat('plane_', cast($p as string), '_', cast($d as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
-
   private def coefDuck(p: String, d: String): String =
     s"CAST('0x'||substr(md5('plane_' || CAST($p AS VARCHAR) || '_' || CAST($d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
 
-  /** 6-bit LSH bucket of an embedding, as one nested index-ordered fold. */
-  private def bucketExpr(e: String): String =
-    s"""aggregate(sequence(0, ${Planes - 1}), cast(0 as bigint), (acc, p) ->
-       |  acc + IF(aggregate(sequence(1, $Dim), cast(0 as double),
-       |             (a2, d) -> a2 + cast(element_at($e, d) as double) * cast((${coefExpr("p", "d")}) as double)) > 0,
-       |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
+  /** Deterministic hyperplane coefficient in [-1000, 1000]:
+    * md5-long64('plane_<p>_<d>') % 2001 - 1000, precomputed driver-side
+    * (same md5 arithmetic as the SQL twin, so values are identical) and
+    * baked into the plan as literals — no per-row md5 at scan time.
+    */
+  private def coefScala(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${p}_$d".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
+  }
+
+  /** 6-bit LSH bucket: per-plane index-ordered dot against literal
+    * coefficient arrays, summed into a bit bucket. All built-in exprs.
+    */
+  private def bucketExpr(e: String): String = {
+    val planeDots = (0 until Planes).map { p =>
+      val arr = (1 to Dim).map(d => s"cast(${coefScala(p, d)} as double)").mkString(", ")
+      s"""aggregate(sequence(1, $Dim), cast(0 as double),
+         |  (a2, d) -> a2 + cast(element_at($e, d) as double) * element_at(array($arr), d))""".stripMargin
+    }
+    planeDots.zipWithIndex.map { case (dot, p) =>
+      s"(case when ($dot) > 0 then cast(${1L << p} as bigint) else cast(0 as bigint) end)"
+    }.mkString(" + ")
+  }
 
   private def bucketDuck(e: String): String =
     s"""CAST(list_sum(list_transform(generate_series(0, ${Planes - 1}), p ->
@@ -96,7 +108,7 @@ object Similarity extends QueryModule {
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val vecs = emb(s, dir).select(col("vec_id"), col("embedding"),
-      expr(bucketExpr("embedding")).as("bucket"))
+      expr(bucketExpr("embedding")).as("bucket")).cache()
     val queries = vecs.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket").as("qb"))
     val pairs = vecs.join(queries,
