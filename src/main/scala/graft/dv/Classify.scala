@@ -57,6 +57,19 @@ object Classify {
   val CatDesc = "Descriptor"
   val CatSens = "Descriptor - Sensitive"
 
+  /** update_context equivalent (reference docs/sql_functions/update_context.md):
+    * user-supplied context that overrides the automated classification of a
+    * column. The demo overrides resolve the two auto-SKIPped tables the way
+    * the reference's Act-2 walkthrough does.
+    */
+  type Overrides = Map[(String, String), (String, Double, String)]
+
+  val demoContext: Overrides = Map(
+    ("documents", "text") ->
+      ((CatDesc, 0.90, "User context: free-text payload, not an identifier.")),
+    ("embeddings", "embedding") ->
+      ((CatDesc, 0.90, "User context: embedding payload for similarity search.")))
+
   // ------------------------------------------------------------------
   // Spark side: one profiling agg per table, stacked to long form.
   // ------------------------------------------------------------------
@@ -87,12 +100,16 @@ object Classify {
     perTable.reduce(_ unionByName _)
   }
 
-  private def signalsDf(s: SparkSession): DataFrame = {
+  private def signalsDf(s: SparkSession, overrides: Overrides): DataFrame = {
     import s.implicits._
-    signals.map(g => (g.table, g.column.name, g.ordinal, g.column.typeName,
-      g.nameBk, g.nameSens, g.nameLabel, g.complexT, g.uniqOkType))
-      .toDF("table_name", "column_name", "ordinal", "data_type",
-        "name_bk", "name_sens", "name_label", "complex_t", "uniq_ok_type")
+    signals.map { g =>
+      val ov = overrides.get((g.table, g.column.name))
+      (g.table, g.column.name, g.ordinal, g.column.typeName,
+        g.nameBk, g.nameSens, g.nameLabel, g.complexT, g.uniqOkType,
+        ov.map(_._1), ov.map(_._2), ov.map(_._3))
+    }.toDF("table_name", "column_name", "ordinal", "data_type",
+      "name_bk", "name_sens", "name_label", "complex_t", "uniq_ok_type",
+      "ov_category", "ov_confidence", "ov_reason")
   }
 
   /** Category/confidence/reason expressions over the joined stats+signals. */
@@ -121,9 +138,9 @@ object Classify {
         .when(col("complex_t"), ReasonComplex)
         .when(col("uniq_ok_type") && uniq >= 0.95, ReasonUniqNoName)
         .otherwise(ReasonPlain)
-    df.withColumn("category", category)
-      .withColumn("confidence", confidence)
-      .withColumn("reason", reason)
+    df.withColumn("category", coalesce(col("ov_category"), category))
+      .withColumn("confidence", coalesce(col("ov_confidence"), confidence))
+      .withColumn("reason", coalesce(col("ov_reason"), reason))
   }
 
   /** Reference status logic (model/queries.rs:483-497), verbatim semantics. */
@@ -155,8 +172,9 @@ object Classify {
   }
 
   /** source_column() — per-column classification + deploy status. */
-  def sourceColumnStatus(s: SparkSession, dir: String): DataFrame = {
-    val df = withStatus(classified(statsDf(s, dir).join(signalsDf(s), Seq("table_name", "column_name"))))
+  def sourceColumnStatus(s: SparkSession, dir: String, overrides: Overrides = Map.empty): DataFrame = {
+    val df = withStatus(classified(statsDf(s, dir)
+      .join(signalsDf(s, overrides), Seq("table_name", "column_name"))))
     df.select(
       lit(Schema).as("schema_name"), col("table_name"), col("column_name"), col("ordinal"),
       col("category"), col("confidence"), col("status"), responseCol.as("status_response"))
@@ -164,8 +182,9 @@ object Classify {
   }
 
   /** source_table() — table rollup (RTD / SKIP, reference lib.rs:82 + docs). */
-  def sourceTableStatus(s: SparkSession, dir: String): DataFrame = {
-    val cols = withStatus(classified(statsDf(s, dir).join(signalsDf(s), Seq("table_name", "column_name"))))
+  def sourceTableStatus(s: SparkSession, dir: String, overrides: Overrides = Map.empty): DataFrame = {
+    val cols = withStatus(classified(statsDf(s, dir)
+      .join(signalsDf(s, overrides), Seq("table_name", "column_name"))))
     cols.groupBy("table_name")
       .agg(count(lit(1)).as("n_columns"),
         sum(when(col("category") === CatBk, 1).otherwise(0)).as("n_bk_parts"),
@@ -188,16 +207,22 @@ object Classify {
   // ------------------------------------------------------------------
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private def statsSql: String =
+  private def statsSql(overrides: Overrides): String =
     signals.map { g =>
       val (nd, nn) =
         if (g.complexT) ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
         else (s"count(DISTINCT ${g.column.name})", s"count(${g.column.name})")
+      val ov = overrides.get((g.table, g.column.name))
+      val (ovC, ovF, ovR) = ov match {
+        case Some((c, f, r)) => (sqlLit(c), s"CAST($f AS DOUBLE)", sqlLit(r))
+        case None => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS VARCHAR)")
+      }
       s"""SELECT ${sqlLit(g.table)} AS table_name, ${sqlLit(g.column.name)} AS column_name,
          |  ${g.ordinal} AS ordinal, ${sqlLit(g.column.typeName)} AS data_type,
          |  ${if (g.nameBk) 1 else 0} AS name_bk, ${if (g.nameSens) 1 else 0} AS name_sens,
          |  ${if (g.nameLabel) 1 else 0} AS name_label, ${if (g.complexT) 1 else 0} AS complex_t,
          |  ${if (g.uniqOkType) 1 else 0} AS uniq_ok_type,
+         |  $ovC AS ov_category, $ovF AS ov_confidence, $ovR AS ov_reason,
          |  $nd AS n_distinct, $nn AS n_nonnull, count(*) AS n_rows
          |FROM ${g.table}""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -205,25 +230,28 @@ object Classify {
   private def classifiedSql: String = {
     val uniq = "CAST(n_distinct AS DOUBLE)/n_rows"
     s"""SELECT *,
+       |  COALESCE(ov_category,
        |  CASE WHEN name_bk=1 THEN ${sqlLit(CatBk)}
        |       WHEN name_sens=1 THEN ${sqlLit(CatSens)}
        |       WHEN name_label=1 THEN ${sqlLit(CatDesc)}
        |       WHEN complex_t=1 THEN ${sqlLit(CatDesc)}
        |       WHEN uniq_ok_type=1 AND $uniq >= 0.95 THEN ${sqlLit(CatBk)}
-       |       ELSE ${sqlLit(CatDesc)} END AS category,
+       |       ELSE ${sqlLit(CatDesc)} END) AS category,
+       |  COALESCE(ov_confidence,
        |  CASE WHEN name_bk=1 THEN (CASE WHEN $uniq >= 0.999 THEN CAST(0.95 AS DOUBLE) ELSE CAST(0.85 AS DOUBLE) END)
        |       WHEN name_sens=1 THEN CAST(0.90 AS DOUBLE)
        |       WHEN name_label=1 THEN CAST(0.90 AS DOUBLE)
        |       WHEN complex_t=1 THEN CAST(0.55 AS DOUBLE)
        |       WHEN uniq_ok_type=1 AND $uniq >= 0.95 THEN CAST(0.75 AS DOUBLE)
-       |       ELSE CAST(0.90 AS DOUBLE) END AS confidence,
+       |       ELSE CAST(0.90 AS DOUBLE) END) AS confidence,
+       |  COALESCE(ov_reason,
        |  CASE WHEN name_bk=1 AND $uniq >= 0.999 THEN ${sqlLit(ReasonBkUnique)}
        |       WHEN name_bk=1 THEN ${sqlLit(ReasonBkRepeat)}
        |       WHEN name_sens=1 THEN ${sqlLit(ReasonSensitive)}
        |       WHEN name_label=1 THEN ${sqlLit(ReasonLabel)}
        |       WHEN complex_t=1 THEN ${sqlLit(ReasonComplex)}
        |       WHEN uniq_ok_type=1 AND $uniq >= 0.95 THEN ${sqlLit(ReasonUniqNoName)}
-       |       ELSE ${sqlLit(ReasonPlain)} END AS reason
+       |       ELSE ${sqlLit(ReasonPlain)} END) AS reason
        |FROM stats""".stripMargin
   }
 
@@ -245,9 +273,11 @@ object Classify {
        |  WHEN category <> '$CatBk' AND confidence >= $Threshold AND bk_hold = 1 THEN 'Ready to Deploy - Awaiting Business Key (BK)'
        |  ELSE 'Requires Attention' END""".stripMargin
 
-  def sourceColumnStatusSql: String =
+  def sourceColumnStatusSql: String = sourceColumnStatusSql(Map.empty)
+
+  def sourceColumnStatusSql(overrides: Overrides): String =
     s"""WITH stats AS (
-       |$statsSql
+       |${statsSql(overrides)}
        |), classified AS (
        |$classifiedSql
        |), with_status AS (
@@ -263,9 +293,11 @@ object Classify {
        |FROM with_status
        |ORDER BY table_name, ordinal""".stripMargin
 
-  def sourceTableStatusSql: String =
+  def sourceTableStatusSql: String = sourceTableStatusSql(Map.empty)
+
+  def sourceTableStatusSql(overrides: Overrides): String =
     s"""WITH stats AS (
-       |$statsSql
+       |${statsSql(overrides)}
        |), classified AS (
        |$classifiedSql
        |), rollup_t AS (

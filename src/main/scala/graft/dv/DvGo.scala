@@ -1,0 +1,86 @@
+package graft.dv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's `go()` — one-click data-warehouse build (lib.rs:16-37):
+  * take every RTD source object, build the DV tables, register the schema
+  * in a repo, load the data. Here: materialize every hub/sat/link to
+  * parquet under `outDir`, write the plan as dv_schema.json (the dv_repo
+  * analogue, model/dv_schema.rs), and return a build summary.
+  *
+  * At warehouse scale the writers bucket by hash key (`bucketBy` on _hk)
+  * so downstream incremental loads anti-join shuffle-free on the big side.
+  */
+object DvGo {
+  import DvPlanner._
+
+  final case class BuildResult(buildId: String, outDir: String, objects: Seq[(String, Long)])
+
+  def go(s: SparkSession, dir: String, outDir: String, loadTs: String = DvDefaults.LoadTs): BuildResult = {
+    val buildId = java.util.UUID.nameUUIDFromBytes(s"graft:$dir".getBytes).toString
+    val builds: Seq[(String, DataFrame)] =
+      hubs.map(h => s"hub_${h.name}" -> DvBuild.hub(s, dir, h, loadTs)) ++ Seq(
+        "sat_customer" -> DvBuild.sat(s, dir, satCustomer, loadTs),
+        "sat_customer_sensitive" -> DvBuild.sat(s, dir, satCustomerSensitive, loadTs),
+        "link_orders" -> DvBuild.link(s, dir, linkOrders, loadTs),
+        "link_lineitem" -> DvBuild.link(s, dir, linkLineitem, loadTs))
+    val counts = builds.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      name -> s.read.parquet(s"$outDir/$name").count()
+    }
+    val schemaJson = planJson(buildId)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
+    BuildResult(buildId, outDir, counts)
+  }
+
+  /** dv_repo JSON: the serialized plan (hand-rolled; no JSON lib on the CP). */
+  def planJson(buildId: String): String = {
+    def q(x: String) = "\"" + x + "\""
+    def colJ(c: Col) = s"""{"name": ${q(c.name)}, "type": ${q(c.typeName)}}"""
+    val hubsJ = hubs.map(h =>
+      s"""{"name": ${q(h.name)}, "source": ${q(h.sourceTable)}, "bk_parts": [${h.bkParts.map(colJ).mkString(", ")}]}""")
+    val satsJ = Seq(satCustomer, satCustomerSensitive).map(t =>
+      s"""{"name": ${q(t.name)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
+    val linksJ = Seq(linkOrders, linkLineitem).map(l =>
+      s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${l.members.map(m => q(m.hubName)).mkString(", ")}]}""")
+    s"""{
+       |  "build_id": ${q(buildId)},
+       |  "dw_schema": "graft_dv",
+       |  "hubs": [${hubsJ.mkString(",\n    ")}],
+       |  "satellites": [${satsJ.mkString(",\n    ")}],
+       |  "links": [${linksJ.mkString(",\n    ")}]
+       |}""".stripMargin
+  }
+
+  /** Query-shaped wrapper: runs the full build into a temp dir and returns
+    * the (object, row_count) summary — the driver-checkable face of go().
+    */
+  def goSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_go_${math.abs(dir.hashCode)}"
+    val res = go(s, dir, out)
+    res.objects.toDF("object", "row_count").orderBy("object")
+  }
+
+  /** Oracle twin of goSummary: row counts straight from source cardinality. */
+  def goSummarySql: String = {
+    def hubCount(h: HubSpec) = {
+      val parts = h.bkParts.map(_.name).mkString(", ")
+      s"SELECT 'hub_${h.name}' AS object, CAST(count(*) + 2 AS BIGINT) AS row_count FROM (SELECT DISTINCT $parts FROM ${h.sourceTable}) t"
+    }
+    def satCount(t: SatSpec) = {
+      val cols = (t.bkParts ++ t.descriptors).map(_.name).mkString(", ")
+      s"SELECT 'sat_${t.name}', CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cols FROM ${t.sourceTable}) t"
+    }
+    def linkCount(l: LinkSpec) = {
+      val cols = (l.members.flatMap(_.parts) ++ l.degenerate).map(_.name).mkString(", ")
+      s"SELECT 'link_${l.name}', CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cols FROM ${l.sourceTable}) t"
+    }
+    (hubs.map(hubCount) ++ Seq(satCount(satCustomer), satCount(satCustomerSensitive),
+      linkCount(linkOrders), linkCount(linkLineitem))).mkString("\nUNION ALL\n") +
+      "\nORDER BY object"
+  }
+}

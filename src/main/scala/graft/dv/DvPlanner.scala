@@ -27,6 +27,41 @@ object Catalog {
     }
   }
 
+  /** source_include / source_exclude (reference lib.rs:39-79): regex
+    * include/exclude patterns over the catalog. Pattern matching runs
+    * driver-side on metadata (as the reference's catalog SQL does), with
+    * Java regex semantics on both the live and static paths.
+    */
+  def select(s: SparkSession, dir: String,
+             tableInclude: String, columnInclude: String,
+             tableExclude: String, columnExclude: String): DataFrame = {
+    import s.implicits._
+    val rows = selectStatic(tableInclude, columnInclude, tableExclude, columnExclude)
+    // Validate the static registry against live footers, then emit.
+    val live = introspect(s, dir)
+    rows.toDF("schema_name", "table_name", "column_name", "ordinal", "data_type", "name_bk_ind")
+      .join(live.select("table_name", "column_name"), Seq("table_name", "column_name"), "left_semi")
+      .orderBy("table_name", "ordinal")
+  }
+
+  def selectStatic(tableInclude: String, columnInclude: String,
+                   tableExclude: String, columnExclude: String): Seq[(String, String, String, Int, String, Int)] =
+    Classify.signals
+      .filter(g => g.table.matches(tableInclude) && g.column.name.matches(columnInclude))
+      .filterNot(g => g.table.matches(tableExclude) && g.column.name.matches(columnExclude))
+      .map(g => (Classify.Schema, g.table, g.column.name, g.ordinal, g.column.typeName,
+        if (g.nameBk) 1 else 0))
+
+  def selectSql(tableInclude: String, columnInclude: String,
+                tableExclude: String, columnExclude: String): String = {
+    val rows = selectStatic(tableInclude, columnInclude, tableExclude, columnExclude)
+      .map { case (sc, t, c, o, dt, bk) => s"('$sc', '$t', '$c', $o, '$dt', $bk)" }
+    s"""SELECT * FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) AS t(schema_name, table_name, column_name, ordinal, data_type, name_bk_ind)
+       |ORDER BY table_name, ordinal""".stripMargin
+  }
+
   /** Live introspection of every source table's parquet schema. */
   def introspect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

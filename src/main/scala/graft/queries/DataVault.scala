@@ -96,6 +96,21 @@ object DataVault extends QueryModule {
     QueryDef("dv_pit", (s, d) => DvBuild.pit(s, d), Some(DvSqlGen.pitSql)),
     QueryDef("dv_current_view", (s, d) => DvBuild.currentView(s, d), Some(DvSqlGen.currentViewSql)),
     QueryDef("dv_health", health, Some(DvSqlGen.healthSql)),
-    QueryDef("dv_hash", hashProbe, Some(DvSqlGen.hashSql))
+    QueryDef("dv_hash", hashProbe, Some(DvSqlGen.hashSql)),
+    // source_include/source_exclude: keep the transactional trio, drop
+    // account-balance columns from the catalog.
+    QueryDef("dv_source_select",
+      (s, d) => Catalog.select(s, d, "^(customer|orders|lineitem)$", ".*", ".*", ".*acctbal$"),
+      Some(Catalog.selectSql("^(customer|orders|lineitem)$", ".*", ".*", ".*acctbal$"))),
+    // update_context: user context resolves the two auto-SKIPped tables.
+    QueryDef("dv_context_column_status",
+      (s, d) => Classify.sourceColumnStatus(s, d, Classify.demoContext),
+      Some(Classify.sourceColumnStatusSql(Classify.demoContext))),
+    QueryDef("dv_context_table_status",
+      (s, d) => Classify.sourceTableStatus(s, d, Classify.demoContext),
+      Some(Classify.sourceTableStatusSql(Classify.demoContext))),
+    // go(): the one-click build — materializes the full vault, returns the
+    // build summary the driver can check against source cardinalities.
+    QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql))
   )
 }
