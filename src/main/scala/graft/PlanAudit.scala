@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the headline queries so the
+  * pushdown/broadcast/codegen claims in SURVEY.md §6 stay audited.
+  * Run: sbt "runMain graft.PlanAudit [queryName ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = Tables.applyConfs(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val wanted = if (args.nonEmpty) args.toSet
+      else Set("q5_local_supplier", "q1_pricing_summary", "dv_hub_customer", "knn_cosine", "dedup_minhash_lsh")
+    SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
+      println(s"\n========== ${d.name} ==========")
+      println(d.run(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

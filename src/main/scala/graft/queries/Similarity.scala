@@ -143,8 +143,33 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= $AnnTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------ dedup_embed_cosine
+  // Embedding-cosine near-duplicate pairs. Correctness baseline is the
+  // all-pairs form (n small here); the scale path reuses the LSH buckets
+  // (candidates = same-bucket pairs) — same verification threshold.
+  private val NearDupCosine = 0.4
+
+  private def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+    vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graftCosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embedDedupSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+       |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |WHERE ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= $NearDupCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("knn_cosine", knn, Some(knnSql)),
-    QueryDef("ann_cosine_lsh", annLsh, Some(annSql))
+    QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
+    QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql))
   )
 }
