@@ -26,7 +26,14 @@ object Classify {
   final case class Signal(
       table: String, column: Col, ordinal: Int,
       nameBk: Boolean, nameSens: Boolean, nameLabel: Boolean,
-      complexT: Boolean, uniqOkType: Boolean)
+      complexT: Boolean, uniqOkType: Boolean) {
+    /** The rules consult the uniqueness ratio only for key-named columns and
+      * for unnamed uniq-BK candidates that no earlier rule captures — exact
+      * distinct counting is skipped everywhere else (it's the expensive part
+      * of the profiling pass at scale).
+      */
+    def needsUniq: Boolean = nameBk || (uniqOkType && !nameSens && !nameLabel && !complexT)
+  }
 
   /** Static name signals for every source column (shared by the Spark path
     * and the SQL generator, so both sides bake in identical flags).
@@ -81,12 +88,18 @@ object Classify {
       statsDfUncached(s, dir).cache())
 
   private def statsDfUncached(s: SparkSession, dir: String): DataFrame = {
+    val sigByTable = signals.groupBy(_.table)
     val perTable = SourceSchemas.tables.map { case (t, cols) =>
       val src = Tables.load(s, dir, t)
+      val sigs = sigByTable(t)
       val atomic = cols.filterNot(SourceSchemas.isComplex)
-      val aggs = atomic.flatMap(c =>
-        Seq(countDistinct(col(c.name)).as(s"nd_${c.name}"), count(col(c.name)).as(s"nn_${c.name}"))) :+
-        count(lit(1)).as("n_rows")
+      def needsUniq(c: Col) = sigs.find(_.column.name == c.name).exists(_.needsUniq)
+      val aggs = atomic.flatMap { c =>
+        val nd =
+          if (needsUniq(c)) countDistinct(col(c.name)).as(s"nd_${c.name}")
+          else lit(0L).as(s"nd_${c.name}")
+        Seq(nd, count(col(c.name)).as(s"nn_${c.name}"))
+      } :+ count(lit(1)).as("n_rows")
       val one = src.agg(aggs.head, aggs.tail: _*)
       val stackExpr = s"stack(${atomic.size}, " +
         atomic.map(c => s"'${c.name}', nd_${c.name}, nn_${c.name}").mkString(", ") +
@@ -211,6 +224,7 @@ object Classify {
     signals.map { g =>
       val (nd, nn) =
         if (g.complexT) ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
+        else if (!g.needsUniq) ("CAST(0 AS BIGINT)", s"count(${g.column.name})")
         else (s"count(DISTINCT ${g.column.name})", s"count(${g.column.name})")
       val ov = overrides.get((g.table, g.column.name))
       val (ovC, ovF, ovR) = ov match {

@@ -1,0 +1,47 @@
+package graft.dv
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale load-path utilities (SURVEY.md §6).
+  *
+  * At 100 TB the hub/sat/link tables are far too large to re-shuffle on
+  * every incremental load. The two levers:
+  *
+  *  1. **Bucketed layout**: persist DV objects bucketed (and sorted) by
+  *     their hash key. An incremental anti-join against a bucketed table
+  *     needs no exchange on the stored side — only the (small) batch side
+  *     shuffles into the same bucketing.
+  *  2. **Salting**: skewed group-by keys (one user producing 1% of all
+  *     events) pre-aggregate under a deterministic salt, then merge —
+  *     bounding any single reducer's input.
+  */
+object Scale {
+
+  /** Persist a DV object bucketed+sorted by its hash key. */
+  def writeBucketed(df: DataFrame, table: String, hkCol: String, buckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, hkCol)
+      .sortBy(hkCol)
+      .saveAsTable(table)
+
+  /** Incremental load against a bucketed hub: only new hash keys remain.
+    * With `table` bucketed on `hkCol`, the physical plan has no Exchange on
+    * the stored side (verified in ScaleSpec).
+    */
+  def incrementAgainstBucketed(s: SparkSession, batch: DataFrame, table: String, hkCol: String): DataFrame =
+    batch.join(s.table(table).select(hkCol), Seq(hkCol), "left_anti")
+
+  /** Two-phase salted aggregation: count/sum per key with bounded reducer
+    * fan-in. The salt derives from a hash of the value column, so results
+    * are deterministic and identical to the unsalted aggregation.
+    */
+  def saltedSum(df: DataFrame, key: Column, value: Column, saltBuckets: Int = 32): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("_salt", pmod(xxhash64(col("v")), lit(saltBuckets)))
+      .groupBy("k", "_salt")
+      .agg(count(lit(1)).as("_c"), sum("v").as("_s"))
+      .groupBy("k")
+      .agg(sum("_c").as("n"), sum("_s").as("sum_v"))
+}

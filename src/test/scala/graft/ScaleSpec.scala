@@ -1,0 +1,32 @@
+package graft
+
+import graft.dv.{DvBuild, DvPlanner, Scale}
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed hub: incremental anti-join has no Exchange on the stored side") {
+    val hub = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+    Scale.writeBucketed(hub, "hub_customer_bucketed", "hub_customer_hk", buckets = 8)
+    val batch = Tables.load(spark, sfDir, "customer")
+      .select(sha2(col("c_custkey").cast("string"), 256).as("hub_customer_hk"))
+    val inc = Scale.incrementAgainstBucketed(spark, batch, "hub_customer_bucketed", "hub_customer_hk")
+    val physical = inc.queryExecution.executedPlan.toString
+    // the bucketed (right/stored) side must be scan->join with no shuffle:
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).size
+    assert(exchanges <= 1, s"expected at most the batch-side exchange, got:\n$physical")
+    assert(inc.count() == 0) // same keys -> nothing new
+  }
+
+  test("saltedSum equals the direct aggregation") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), floor(col("value") * 1000000).cast("long").as("micros"))
+    val direct = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("micros").as("sum_v"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val salted = Scale.saltedSum(ev, col("user_id"), col("micros"))
+      .withColumnRenamed("k", "user_id")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(salted == direct)
+  }
+}

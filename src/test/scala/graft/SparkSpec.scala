@@ -19,7 +19,8 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("graft_wh").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
