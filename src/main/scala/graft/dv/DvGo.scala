@@ -60,7 +60,7 @@ object DvGo {
     */
   def goSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_go_${math.abs(dir.hashCode)}"
+    val out = java.nio.file.Files.createTempDirectory("graft_go_").toString
     val res = go(s, dir, out)
     res.objects.toDF("object", "row_count").orderBy("object")
   }

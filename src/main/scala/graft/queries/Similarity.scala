@@ -167,9 +167,77 @@ object Similarity extends QueryModule {
        |WHERE ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= $NearDupCosine
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // -------------------------------------------------- ann_cosine_ivf
+  // IVF (inverted-file) ANN: K deterministic coarse centroids (the K
+  // lowest vec_ids), every vector assigned to its best cell, queries probe
+  // the nprobe best cells. At scale the assignment is one broadcast pass
+  // and search touches nprobe/K of the data.
+  private val IvfK = 16
+  private val NProbe = 2
+  private val IvfTopK = 3
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = vecs.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    // cell assignment: best centroid per vector
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = vecs.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        graftCosine(col("embedding"), col("ce")).as("ccos"))
+      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .cache()
+    // queries probe their NProbe closest cells
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cent_id"))
+    val probes = vecs.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qe"), col("cent_id"),
+        graftCosine(col("qe"), col("ce")).as("qcos"))
+      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= IvfTopK)
+      .select("query_id", "rank", "neighbor_id", "cell", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private val annIvfSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM vecs WHERE vec_id < $IvfK),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT v.vec_id, v.embedding, v.nrm, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dotDuck("v.embedding", "c.ce")} / (sqrt(v.nrm) * sqrt(c.cn)) DESC, c.cent_id) AS rk
+       |    FROM vecs v CROSS JOIN cents c) t WHERE rk = 1),
+       |probes AS (
+       |  SELECT query_id, qe, qn, cell FROM (
+       |    SELECT v.vec_id AS query_id, v.embedding AS qe, v.nrm AS qn, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dotDuck("v.embedding", "c.ce")} / (sqrt(v.nrm) * sqrt(c.cn)) DESC, c.cent_id) AS rk
+       |    FROM vecs v CROSS JOIN cents c WHERE v.vec_id % $QueryMod = 0) t WHERE rk <= $NProbe),
+       |ranked AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+       |         ${dotDuck("p.qe", "a.embedding")} / (sqrt(p.qn) * sqrt(a.nrm)) AS cosine,
+       |         row_number() OVER (PARTITION BY p.query_id
+       |           ORDER BY ${dotDuck("p.qe", "a.embedding")} / (sqrt(p.qn) * sqrt(a.nrm)) DESC, a.vec_id) AS rank
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, rank, neighbor_id, cell, cosine
+       |FROM ranked WHERE rank <= $IvfTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("knn_cosine", knn, Some(knnSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
+    QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql))
   )
 }
