@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** SparkSessionExtensions hook: registers graft's native expressions so SQL
   * users get them too (`SELECT graft_cosine(a, b)`). Activated via
@@ -14,6 +16,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectOptimizerRule(CosineSelfFold)
+  }
+}
+
+/** Optimizer rule: cosine of a deterministic expression with itself is 1.0
+  * by algebraic identity — fold it away before execution (the runtime loop
+  * would return 1.0 only up to floating-point rounding; the identity is the
+  * semantically intended value). Demonstrates the injectOptimizerRule
+  * extension point alongside the function registration.
+  */
+case class CosineSelfFold(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case CosineSimilarity(l, r) if l.deterministic && l.semanticEquals(r) =>
+      Literal(1.0)
   }
 }
 

@@ -21,11 +21,11 @@ class SimilaritySpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0) // bit-identical
   }
 
-  test("cosine of a vector with itself is 1.0") {
+  test("cosine of a vector with itself folds to exactly 1.0 via the optimizer rule") {
     val df = Tables.load(spark, sfDir, "embeddings").limit(10)
-    val res = df.select(graft.functions.GraftColumns.graftCosine(col("embedding"), col("embedding")).as("c"))
-      .collect().map(_.getDouble(0))
-    res.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    val q = df.select(graft.functions.GraftColumns.graftCosine(col("embedding"), col("embedding")).as("c"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("1.0"))
+    q.collect().map(_.getDouble(0)).foreach(c => assert(c == 1.0))
   }
 
   test("knn returns TopK neighbors per query, self excluded") {
