@@ -276,8 +276,54 @@ object Analytics extends QueryModule {
     WHERE rk = 1
     ORDER BY event_id"""
 
+  // ------------------------------------------------- q4 (EXISTS semi-join)
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1996-07-01").cast("date"))
+    val l = li(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey").distinct()
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  // ------------------------------- q13 (outer join + count distribution)
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql = """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
+    QueryDef("q4_order_priority", q4, Some(q4Sql)),
+    QueryDef("q13_cust_distribution", q13, Some(q13Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
     QueryDef("q5_local_supplier", q5, Some(q5Sql)),
     QueryDef("win_top_customers", winTop, Some(winTopSql)),
