@@ -37,9 +37,6 @@ object DvBuild {
           spec.bkParts.map(p => col("ghost").as(s"${p.name}_bk"))): _*)
   }
 
-  private def select2(first: Column, second: Column, rest: Seq[Column], df: DataFrame): DataFrame =
-    df.select((first +: second +: rest): _*)
-
   /** Hub load: distinct canonical business keys, hash key, ghosts. */
   def hub(s: SparkSession, dir: String, spec: HubSpec, loadTs: String = LoadTs): DataFrame = {
     val src = Tables.load(s, dir, spec.sourceTable)
@@ -89,6 +86,14 @@ object DvBuild {
     */
   def hubIncrement(existing: DataFrame, batch: DataFrame, hkName: String): DataFrame =
     batch.join(existing.select(hkName), Seq(hkName), "left_anti")
+
+  /** Incremental satellite load: only (hash key, hash-diff) pairs absent
+    * from the existing satellite insert — the reference's sat anti-join on
+    * (hk, hd) (dv_loader.rs:339-346). Same co-partitioned-shuffle shape as
+    * hubIncrement.
+    */
+  def satIncrement(existing: DataFrame, batch: DataFrame, hkName: String, hdName: String): DataFrame =
+    batch.join(existing.select(hkName, hdName), Seq(hkName, hdName), "left_anti")
 
   /** SCD2 satellite from an event feed: one row per distinct (key, hash-diff)
     * with first-seen time and observation count.

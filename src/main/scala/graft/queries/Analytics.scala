@@ -320,8 +320,31 @@ object Analytics extends QueryModule {
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC"""
 
+  // -------------------------------------------- stats_percentiles
+  // Exact interpolated percentiles: Spark percentile() and DuckDB
+  // quantile_cont() interpolate identically (verified bit-equal).
+  private def percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val percentilesSql = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
+    QueryDef("stats_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q4_order_priority", q4, Some(q4Sql)),
     QueryDef("q13_cust_distribution", q13, Some(q13Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),

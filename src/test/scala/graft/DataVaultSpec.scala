@@ -77,6 +77,19 @@ class DataVaultSpec extends SparkSpec {
     assert(DvPlanner.resolve("user_id").isEmpty)
   }
 
+  test("sat incremental load: unchanged attributes produce zero inserts, changed produce one") {
+    import org.apache.spark.sql.functions._
+    val sat = dv.DvBuild.sat(spark, sfDir, DvPlanner.satCustomer)
+    val again = dv.DvBuild.satIncrement(sat, sat, "hub_customer_hk", "sat_customer_hd")
+    assert(again.count() == 0)
+    val mutated = sat.withColumn("sat_customer_hd",
+      when(col("c_mktsegment") === "BUILDING", sha2(concat(col("sat_customer_hd"), lit("x")), 256))
+        .otherwise(col("sat_customer_hd")))
+    val changed = dv.DvBuild.satIncrement(sat, mutated, "hub_customer_hk", "sat_customer_hd")
+    val expected = sat.filter(col("c_mktsegment") === "BUILDING").count()
+    assert(changed.count() == expected)
+  }
+
   test("pit: snapshot count grows with as-of date") {
     val p = DvBuild.pit(spark, sfDir)
     val byDate = p.groupBy("asof_date").count().orderBy("asof_date")
