@@ -17,9 +17,11 @@ final case class SatSpec(
     hubName: String,
     bkParts: Seq[Col],
     descriptors: Seq[Col],
-    sensitive: Boolean) {
+    sensitive: Boolean,
+    hkColumn: Option[String] = None) {
   def hdName: String = s"sat_${name}_hd"
-  def hkName: String = s"hub_${hubName}_hk"
+  /** Satellites normally orbit a hub; link satellites override the key col. */
+  def hkName: String = hkColumn.getOrElse(s"hub_${hubName}_hk")
 }
 
 /** A link member: the hub it points at plus the source columns forming

@@ -127,5 +127,13 @@ object DvPlanner {
       LinkMember("supplier", Seq(Col("l_suppkey", "bigint")))),
     degenerate = Seq(Col("l_linenumber", "int")))
 
+  /** Link satellite: order attributes orbit the order-customer link. */
+  val satLinkOrders = SatSpec("orders_link", "orders", "orders",
+    bkParts = Seq(Col("o_orderkey", "bigint"), Col("o_custkey", "bigint")),
+    descriptors = Seq(Col("o_orderstatus", "varchar"), Col("o_orderpriority", "varchar"),
+      Col("o_totalprice", "double")),
+    sensitive = false,
+    hkColumn = Some("link_orders_hk"))
+
   val hubs: Seq[HubSpec] = Seq(hubCustomer, hubPart, hubOrder, hubLineitem)
 }

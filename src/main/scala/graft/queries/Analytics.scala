@@ -248,6 +248,29 @@ object Analytics extends QueryModule {
     GROUP BY day, event_type
     ORDER BY day, event_type"""
 
+  // --------------------------------------------- events_hopping
+  /** Hopping-window aggregation (size 1 day, slide 12 h): each event lands
+    * in exactly two windows — materialized as a 2-row explode, the batch
+    * twin of window(ts, '1 day', '12 hours').
+    */
+  private def hopping(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir)
+      .withColumn("i", explode(array(lit(0L), lit(1L))))
+      .withColumn("wstart_ms", (expr("tms div 43200000") - col("i")) * 43200000L)
+      .groupBy("wstart_ms", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000).cast("long")).as("sum_value_micros"))
+      .orderBy("wstart_ms", "event_type")
+  }
+
+  private val hoppingSql = """
+    SELECT ((epoch_ms(ts) // 43200000) - i.i) * 43200000 AS wstart_ms, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+    FROM events CROSS JOIN (VALUES (0), (1)) AS i(i)
+    GROUP BY wstart_ms, event_type
+    ORDER BY wstart_ms, event_type"""
+
   // --------------------------------------------------- asof_join
   /** For each event, the customer's most recent order at-or-before the event
     * time (an as-of join, composed as join + windowed dedup; at cluster scale
@@ -354,6 +377,7 @@ object Analytics extends QueryModule {
     QueryDef("agg_rollup", rollupQ, Some(rollupSql)),
     QueryDef("events_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("events_tumbling", tumbling, Some(tumblingSql)),
+    QueryDef("events_hopping", hopping, Some(hoppingSql)),
     QueryDef("asof_join", asof, Some(asofSql))
   )
 }

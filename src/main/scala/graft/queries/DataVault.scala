@@ -55,6 +55,32 @@ object DataVault extends QueryModule {
       .orderBy("object", "metric")
   }
 
+  /** Business-vault bridge: derived per-customer measures keyed by hub hash
+    * (the "downstream business models" the reference's vision points at).
+    */
+  private def bridgeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))).cast("double").as("total_revenue"),
+        min(to_date(col("o_orderdate")).cast("string")).as("first_order"),
+        max(to_date(col("o_orderdate")).cast("string")).as("last_order"))
+      .select(dvHash(Seq(col("o_custkey").cast("string"))).as("hub_customer_hk"),
+        col("o_custkey").cast("string").as("c_custkey_bk"),
+        col("n_orders"), col("total_revenue"), col("first_order"), col("last_order"))
+      .orderBy("hub_customer_hk")
+  }
+
+  private val bridgeRevenueSql =
+    s"""SELECT ${dvHashSql(Seq("CAST(o_custkey AS VARCHAR)"))} AS hub_customer_hk,
+       |  CAST(o_custkey AS VARCHAR) AS c_custkey_bk,
+       |  count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+       |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_order,
+       |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order
+       |FROM orders GROUP BY o_custkey
+       |ORDER BY hub_customer_hk""".stripMargin
+
   private def hashProbe(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     cust.select(
@@ -109,6 +135,9 @@ object DataVault extends QueryModule {
     QueryDef("dv_context_table_status",
       (s, d) => Classify.sourceTableStatus(s, d, Classify.demoContext),
       Some(Classify.sourceTableStatusSql(Classify.demoContext))),
+    QueryDef("dv_sat_link_orders",
+      (s, d) => DvBuild.sat(s, d, satLinkOrders), Some(DvSqlGen.satSql(satLinkOrders))),
+    QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql))

@@ -140,6 +140,26 @@ object Text extends QueryModule {
       ${md5Long64Sql(normDuck)} AS fp64
     FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------- text_winnow
+  /** Winnow-lite sketch: per doc, the minimum token hash in each of 8
+    * residue buckets — a compact locality-sensitive fingerprint (long form).
+    */
+  private def winnow(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+      .distinct()
+      .select(col("doc_id"), md5Long64(col("tok")).as("th"))
+      .groupBy(col("doc_id"), (col("th") % 8).as("bucket"))
+      .agg(min("th").as("min_hash"), count(lit(1)).as("n_toks"))
+      .orderBy("doc_id", "bucket")
+
+  private val winnowSql = s"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest($toksDuck) AS tok FROM documents),
+    h AS (SELECT doc_id, ${md5Long64Sql("tok")} AS th FROM toks)
+    SELECT doc_id, th % 8 AS bucket, min(th) AS min_hash, count(*) AS n_toks
+    FROM h GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket"""
+
   // ---------------------------------------------------- dedup_exact
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -161,6 +181,7 @@ object Text extends QueryModule {
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_lang_id", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("text_winnow", winnow, Some(winnowSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql))
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.dv.DvPlanner
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests for the deterministic primitives the oracle parity
+  * depends on: the engine-side expressions must agree with their
+  * driver-side (plain-JVM) definitions on arbitrary inputs.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def md5Long64Jvm(x: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def sha256Jvm(x: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("md5Long64 expression equals the JVM-side derivation on arbitrary tokens") {
+    import spark.implicits._
+    val samples = Gen.listOfN(200, token).sample.get.distinct
+    val fromSpark = samples.toDF("t")
+      .select(col("t"), GraftFunctions.md5Long64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach(t => assert(fromSpark(t) == md5Long64Jvm(t), s"mismatch for '$t'"))
+  }
+
+  test("dvHash equals sha256 of comma-joined parts, with null -> empty") {
+    import spark.implicits._
+    val gen = Gen.listOfN(100, Gen.zip(token, Gen.option(token)))
+    val samples = gen.sample.get
+    val fromSpark = samples.toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.dvHash(Seq(col("a"), col("b"))).as("h"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))) -> r.getString(2)).toMap
+    samples.foreach { case (a, b) =>
+      assert(fromSpark((a, b)) == sha256Jvm(s"$a,${b.getOrElse("")}"))
+    }
+  }
+
+  test("fkForm strips only short prefixes") {
+    val pairs = Gen.listOfN(500, Gen.zip(token, token)).sample.get
+    pairs.foreach { case (p, rest) =>
+      val name = s"${p}_$rest"
+      val expected = if (p.length <= 2) rest else name
+      assert(DvPlanner.fkForm(name) == expected, name)
+    }
+  }
+
+  test("canon renders money doubles exactly like a scale-2 BigDecimal") {
+    import spark.implicits._
+    val cents = Gen.chooseNum(-10000000L, 10000000L)
+    val samples = Gen.listOfN(200, cents).sample.get.distinct
+    val doubles = samples.map(c => c / 100.0)
+    val rendered = doubles.toDF("d")
+      .select(col("d"), GraftFunctions.canon(col("d"), "double").as("s"))
+      .collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    samples.foreach { c =>
+      val d = c / 100.0
+      val expected = new java.math.BigDecimal(c).movePointLeft(2).setScale(2).toPlainString
+      assert(rendered(d) == expected, s"cents=$c")
+    }
+  }
+}
