@@ -26,10 +26,17 @@ object DvGo {
         "sat_customer_sensitive" -> DvBuild.sat(s, dir, satCustomerSensitive, loadTs),
         "link_orders" -> DvBuild.link(s, dir, linkOrders, loadTs),
         "link_lineitem" -> DvBuild.link(s, dir, linkLineitem, loadTs))
-    val counts = builds.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      name -> s.read.parquet(s"$outDir/$name").count()
-    }
+    // The eight objects are independent — submit their jobs concurrently
+    // (Spark's scheduler interleaves them; order of the summary is preserved).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(Future.sequence(builds.map { case (name, df) =>
+      Future {
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        name -> s.read.parquet(s"$outDir/$name").count()
+      }
+    }), Duration.Inf)
     val schemaJson = planJson(buildId)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
