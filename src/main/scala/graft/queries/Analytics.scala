@@ -248,6 +248,79 @@ object Analytics extends QueryModule {
     GROUP BY day, event_type
     ORDER BY day, event_type"""
 
+  // --------------------------------------------------- agg_cube
+  private def cubeQ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+  }
+
+  private val cubeSql = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority"""
+
+  // ------------------------------------------------ q18_large_orders
+  // HAVING on an aggregate (big-quantity orders), then rejoin detail.
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val big = l.groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 200)
+    val o = Tables.load(s, dir, "orders")
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).cast("string").as("orderdate"),
+        col("qty_dec").cast("double").as("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q18Sql = """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 200)
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           CAST(qty_dec AS DOUBLE) AS total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    ORDER BY o_orderkey"""
+
+  // -------------------------------------------- q17_below_avg_parts
+  // Correlated-scalar-subquery pattern: lineitems under 50% of their
+  // part's average quantity (decorrelated as an aggregate join).
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    l.join(avgQ, l("l_partkey") === avgQ("p_key"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_small_items"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("small_revenue"))
+      .orderBy("l_partkey")
+  }
+
+  private val q17Sql = """
+    WITH avg_q AS (
+      SELECT l_partkey AS p_key,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, count(*) AS n_small_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem JOIN avg_q ON l_partkey = p_key
+    WHERE l_quantity < avg_qty * 0.5
+    GROUP BY l_partkey
+    ORDER BY l_partkey"""
+
   // --------------------------------------------- events_hopping
   /** Hopping-window aggregation (size 1 day, slide 12 h): each event lands
     * in exactly two windows — materialized as a 2-row explode, the batch
@@ -375,6 +448,9 @@ object Analytics extends QueryModule {
     QueryDef("win_top_customers", winTop, Some(winTopSql)),
     QueryDef("win_running_revenue", winRun, Some(winRunSql)),
     QueryDef("agg_rollup", rollupQ, Some(rollupSql)),
+    QueryDef("agg_cube", cubeQ, Some(cubeSql)),
+    QueryDef("q18_large_orders", q18, Some(q18Sql)),
+    QueryDef("q17_below_avg_parts", q17, Some(q17Sql)),
     QueryDef("events_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("events_hopping", hopping, Some(hoppingSql)),

@@ -74,6 +74,24 @@ object Streams {
     novel.write.mode("append").parquet(hubPath)
   }
 
+  /** #41: watermarked stream-stream join — purchases enriched with the
+    * same user's most recent prior signup-side event within 1 hour. Both
+    * sides carry watermarks so state is bounded; the time-range predicate
+    * makes the join eligible for streaming execution.
+    */
+  def purchaseEnrich(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withColumn("p_ts", timestamp_millis(col("tms")))
+      .withWatermark("p_ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("p_ts"))
+    val sg = signups.withColumn("s_ts", timestamp_millis(col("tms")))
+      .withWatermark("s_ts", "1 hour")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("s_ts"))
+    p.join(sg,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Wire #40 onto a streaming DataFrame via foreachBatch. */
   def hubLoadSink(events: DataFrame, keyCol: String, hubPath: String, checkpoint: String) =
     events.writeStream

@@ -48,6 +48,24 @@ class StreamingSpec extends SparkSpec {
     assert(s2.session_no == 2 && s2.n_events == 1)
   }
 
+  test("stream-stream join enriches purchases with in-window signups only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = Streams.purchaseEnrich(purchases.toDF(), signups.toDF())
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    signups.addData(Ev(100, day(0, 1, 0), 5, "signup", 0))    // in window
+    signups.addData(Ev(101, day(0, 10, 0), 6, "signup", 0))   // wrong time for user 6 purchase
+    purchases.addData(Ev(200, day(0, 1, 30), 5, "purchase", 9.99))
+    purchases.addData(Ev(201, day(0, 1, 30), 6, "purchase", 5.00))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("purchase_id")).toSet == Set(200L))
+    assert(rows.head.getAs[Long]("signup_id") == 100L)
+  }
+
   test("streaming hub load appends only novel keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
