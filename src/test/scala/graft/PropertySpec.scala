@@ -24,9 +24,15 @@ class PropertySpec extends SparkSpec {
 
   private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
 
+  /** sample() is Option-typed and can transiently fail under suchThat
+    * filters — retry so the specs never flake on generator luck.
+    */
+  private def sampleOf[A](g: Gen[A]): A =
+    Iterator.continually(g.sample).flatten.next()
+
   test("md5Long64 expression equals the JVM-side derivation on arbitrary tokens") {
     import spark.implicits._
-    val samples = Gen.listOfN(200, token).sample.get.distinct
+    val samples = sampleOf(Gen.listOfN(200, token)).distinct
     val fromSpark = samples.toDF("t")
       .select(col("t"), GraftFunctions.md5Long64(col("t")).as("h"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -35,8 +41,7 @@ class PropertySpec extends SparkSpec {
 
   test("dvHash equals sha256 of comma-joined parts, with null -> empty") {
     import spark.implicits._
-    val gen = Gen.listOfN(100, Gen.zip(token, Gen.option(token)))
-    val samples = gen.sample.get
+    val samples = sampleOf(Gen.listOfN(100, Gen.zip(token, Gen.option(token))))
     val fromSpark = samples.toDF("a", "b")
       .select(col("a"), col("b"),
         GraftFunctions.dvHash(Seq(col("a"), col("b"))).as("h"))
@@ -47,7 +52,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("fkForm strips only short prefixes") {
-    val pairs = Gen.listOfN(500, Gen.zip(token, token)).sample.get
+    val pairs = sampleOf(Gen.listOfN(500, Gen.zip(token, token)))
     pairs.foreach { case (p, rest) =>
       val name = s"${p}_$rest"
       val expected = if (p.length <= 2) rest else name
@@ -58,7 +63,7 @@ class PropertySpec extends SparkSpec {
   test("canon renders money doubles exactly like a scale-2 BigDecimal") {
     import spark.implicits._
     val cents = Gen.chooseNum(-10000000L, 10000000L)
-    val samples = Gen.listOfN(200, cents).sample.get.distinct
+    val samples = sampleOf(Gen.listOfN(200, cents)).distinct
     val doubles = samples.map(c => c / 100.0)
     val rendered = doubles.toDF("d")
       .select(col("d"), GraftFunctions.canon(col("d"), "double").as("s"))
