@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_min"),
+      new ExpressionInfo(classOf[RollingHashMin].getName, "graft_rolling_min"),
+      (children: Seq[Expression]) => RollingHashMin(children.head)))
     ext.injectOptimizerRule(CosineSelfFold)
   }
 }
@@ -39,4 +43,8 @@ object GraftColumns {
     */
   def graftCosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+
+  /** Rabin-Karp rolling min-hash fingerprint (native expression). */
+  def graftRollingMin(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_rolling_min", c)
 }

@@ -160,6 +160,35 @@ object Text extends QueryModule {
     FROM h GROUP BY doc_id, bucket
     ORDER BY doc_id, bucket"""
 
+  // ------------------------------------------------ text_rolling_fp
+  /** Rabin-Karp rolling min-hash fingerprint via the native
+    * graft_rolling_min expression (O(n) per doc inside codegen); the
+    * oracle recomputes each window as a direct weighted sum — identical
+    * exact integer arithmetic.
+    */
+  private def rollingFp(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) >= graft.functions.RollingHashMin.W)
+      .select(col("doc_id"),
+        (length(col("text")) - (graft.functions.RollingHashMin.W - 1)).cast("long").as("n_windows"),
+        graft.functions.GraftColumns.graftRollingMin(col("text")).as("min_rh"))
+      .orderBy("doc_id")
+
+  private val rollingFpSql = {
+    import graft.functions.RollingHashMin.{M, W, weights}
+    val terms = weights.zipWithIndex
+      .map { case (w, j) => s"CAST(ord(substr(text, i+$j, 1)) AS BIGINT) * ${w}" }
+      .mkString(" + ")
+    s"""
+    SELECT doc_id,
+      CAST(length(text) - ${W - 1} AS BIGINT) AS n_windows,
+      list_min(list_transform(generate_series(1, length(text) - ${W - 1}),
+        i -> ($terms) % $M)) AS min_rh
+    FROM documents
+    WHERE length(text) >= $W
+    ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------- dedup_exact
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -182,6 +211,7 @@ object Text extends QueryModule {
     QueryDef("text_lang_id", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_winnow", winnow, Some(winnowSql)),
+    QueryDef("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql))
   )
 }

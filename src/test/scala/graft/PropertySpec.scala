@@ -60,6 +60,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rolling min-hash: codegen path equals a plain-JVM direct windowed sum") {
+    import spark.implicits._
+    import graft.functions.RollingHashMin.{B, M, W}
+    def direct(s: String): Option[Long] =
+      if (s.length < W) None
+      else Some((0 to s.length - W).map { i =>
+        s.substring(i, i + W).foldLeft(0L)((h, c) => (h * B + c) % M)
+      }.min)
+    val strGen = Gen.listOfN(40, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+    val samples = (sampleOf(Gen.listOfN(100, strGen)) ++ Seq("", "short", "exactly16chars!!")).distinct
+    val rows = samples.toDF("text")
+      .select(col("text"), graft.functions.GraftColumns.graftRollingMin(col("text")).as("rh"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    samples.foreach(t => assert(rows(t) == direct(t), s"'$t'"))
+  }
+
   test("canon renders money doubles exactly like a scale-2 BigDecimal") {
     import spark.implicits._
     val cents = Gen.chooseNum(-10000000L, 10000000L)
