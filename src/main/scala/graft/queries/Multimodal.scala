@@ -43,6 +43,76 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // frame-sample: every FrameStep bytes take a FrameLen-byte frame —
+  // the shape of video frame sampling, streamed partition-wise through
+  // the stub decoder. Frames are identified by a 64-bit hash.
+  final case class Frame(doc_id: Long, frame_no: Int, offset: Int, frame_hash: Long)
+
+  val FrameStep = 64
+  val FrameLen = 32
+
+  private def md5Long64Jvm(x: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def sampleFrames(b: DocBlob): Iterator[Frame] = {
+    val payload = new String(b.payload, "UTF-8")
+    Iterator.from(0).map(_ * FrameStep)
+      .takeWhile(_ + FrameLen <= payload.length)
+      .map(off => Frame(b.doc_id, off / FrameStep, off,
+        md5Long64Jvm(payload.substring(off, off + FrameLen))))
+  }
+
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocBlob]
+      .mapPartitions(_.flatMap(sampleFrames))
+      .toDF()
+      .orderBy("doc_id", "frame_no")
+  }
+
+  private val frameSampleSql = s"""
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_no, CAST(i * $FrameStep AS INT) AS "offset",
+             substr(text, i * $FrameStep + 1, $FrameLen) AS frame
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i) g
+      WHERE i * $FrameStep + $FrameLen <= length(text))
+    SELECT doc_id, frame_no, "offset",
+           CAST('0x'||substr(md5(frame),1,15) AS BIGINT) AS frame_hash
+    FROM frames
+    ORDER BY doc_id, frame_no"""
+
+  // ---------------------------------------------------------------
+  // feature-extract: cheap per-payload features (the stub stand-in for a
+  // real embedding/feature model); resize: pure metadata transform.
+  def resizeStub(m: BlobMeta, maxW: Int, maxH: Int): BlobMeta = {
+    val scale = math.min(1.0, math.min(
+      maxW.toDouble / math.max(m.width, 1), maxH.toDouble / math.max(m.height, 1)))
+    m.copy(width = (m.width * scale).toInt, height = (m.height * scale).toInt,
+      format = s"${m.format}_resized")
+  }
+
+  private def features(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))).cast("long").as("n_spaces"),
+      (length(col("text")) - length(regexp_replace(col("text"), lit("[aeiou]"), lit("")))).cast("long").as("n_vowels"),
+      (length(col("text")) - length(regexp_replace(col("text"), lit("[0-9]"), lit("")))).cast("long").as("n_digits"))
+      .orderBy("doc_id")
+
+  private val featuresSql = """
+    SELECT doc_id,
+      CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces,
+      CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+    FROM documents ORDER BY doc_id"""
+
   private val metaExtractSql = """
     SELECT doc_id,
       CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -53,6 +123,8 @@ object Multimodal extends QueryModule {
     FROM documents ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("mm_meta_extract", metaExtract, Some(metaExtractSql))
+    QueryDef("mm_meta_extract", metaExtract, Some(metaExtractSql)),
+    QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("mm_features", features, Some(featuresSql))
   )
 }

@@ -24,6 +24,18 @@ class TextSpec extends SparkSpec {
     assert(df.count() == Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("multimodal: resize stub preserves aspect, frame sampling covers payload") {
+    import graft.queries.Multimodal._
+    val m = BlobMeta(1, 1000, "41424344", 600, 400, "stub")
+    val r = resizeStub(m, 300, 300)
+    assert(r.width == 300 && r.height == 200 && r.format == "stub_resized")
+    val small = resizeStub(BlobMeta(2, 10, "41", 100, 50, "stub"), 300, 300)
+    assert(small.width == 100 && small.height == 50) // never upscales
+    val frames = sampleFrames(DocBlob(7, ("x" * 200).getBytes("UTF-8"))).toSeq
+    assert(frames.map(_.offset) == Seq(0, 64, 128))
+    assert(frames.map(_.frame_no) == Seq(0, 1, 2))
+  }
+
   test("dedup_exact: survivors <= docs, copies sum to docs") {
     val df = run("dedup_exact")
     val docs = Tables.load(spark, sfDir, "documents").count()
