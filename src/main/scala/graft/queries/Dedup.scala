@@ -22,8 +22,17 @@ object Dedup extends QueryModule {
   private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
   private val toksDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** Distinct (doc_id, shingle) with 3-word shingles. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Distinct (doc_id, shingle) with 3-word shingles — memoized per
+    * (session, sf-dir) since three dedup operators share it.
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      shinglesUncached(s, dir).cache())
+
+  private def shinglesUncached(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .withColumn("toks", expr(toksSpark))
       .filter(size(col("toks")) >= 3)
@@ -46,7 +55,7 @@ object Dedup extends QueryModule {
   private val MinhashThreshold = 0.6
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir)
     val h = sh.select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
     // One shuffle with map-side partial mins (16 agg columns) instead of a
     // 16x permutation explode — same minima, 100TB-friendly.

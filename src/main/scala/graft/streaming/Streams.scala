@@ -92,6 +92,35 @@ object Streams {
         col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** #42: streaming satellite load — per micro-batch, anti-join the sat
+    * parquet on (hash key, hash-diff) and append only changed attribute
+    * versions (the streaming form of DvBuild.satIncrement).
+    */
+  def satLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, descCols: Seq[String],
+                   satPath: String, loadTs: String): Unit = {
+    val keyed = batch
+      .select((col(keyCol).cast("string").as("bk") +: descCols.map(col)): _*)
+      .distinct()
+      .select((dvHash(Seq(col("bk"))).as("hub_hk") +:
+        dvHash(descCols.map(c => col(c).cast("string"))).as("sat_hd") +:
+        lit(loadTs).as("load_ts") +: col("bk") +: descCols.map(col)): _*)
+    val novel =
+      try {
+        val existing = spark.read.parquet(satPath).select("hub_hk", "sat_hd")
+        keyed.join(existing, Seq("hub_hk", "sat_hd"), "left_anti")
+      } catch { case _: org.apache.spark.sql.AnalysisException => keyed }
+    novel.write.mode("append").parquet(satPath)
+  }
+
+  def satLoadSink(events: DataFrame, keyCol: String, descCols: Seq[String],
+                  satPath: String, checkpoint: String) =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        satLoadBatch(batch.sparkSession, batch, keyCol, descCols, satPath, s"batch_$batchId")
+      }
+
   /** Wire #40 onto a streaming DataFrame via foreachBatch. */
   def hubLoadSink(events: DataFrame, keyCol: String, hubPath: String, checkpoint: String) =
     events.writeStream

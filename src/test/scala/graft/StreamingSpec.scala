@@ -48,6 +48,22 @@ class StreamingSpec extends SparkSpec {
     assert(s2.session_no == 2 && s2.n_events == 1)
   }
 
+  test("streaming sat load appends only changed attribute versions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sat").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.satLoadSink(mem.toDF(), "user_id", Seq("event_type"), s"$dir/sat", s"$dir/ckpt").start()
+    mem.addData(Ev(1, day(0), 1, "a", 0), Ev(2, day(0), 1, "a", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, day(0), 1, "a", 0)) // same user, same attrs -> no insert
+    mem.addData(Ev(4, day(0), 1, "b", 0)) // changed attribute -> one new version
+    q.processAllAvailable()
+    q.stop()
+    val sat = spark.read.parquet(s"$dir/sat")
+    assert(sat.count() == 2) // two (hk, hd) versions despite four events
+  }
+
   test("stream-stream join enriches purchases with in-window signups only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
