@@ -40,6 +40,7 @@ object DvGo {
     val schemaJson = planJson(buildId)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.sql"), DvSqlGen.allDdl)
     BuildResult(buildId, outDir, counts)
   }
 

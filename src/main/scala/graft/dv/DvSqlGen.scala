@@ -146,6 +146,60 @@ object DvSqlGen {
        |ORDER BY CAST(c_custkey AS BIGINT)
        |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DDL generation — the reference's build_sql_from_business_key
+  // (controller/dv_builder.rs:378-448) emits CREATE TABLE statements for
+  // hubs and satellites; graft mirrors the column layout in ANSI DDL.
+  private def sqlType(t: String): String = t match {
+    case "bigint"    => "BIGINT"
+    case "int"       => "INTEGER"
+    case "double"    => "DOUBLE"
+    case "varchar"   => "VARCHAR"
+    case "timestamp" => "TIMESTAMP"
+    case other       => other.toUpperCase
+  }
+
+  def hubDdl(spec: HubSpec): String = {
+    val bks = spec.bkParts.map(p => s"  ${p.name}_bk VARCHAR").mkString(",\n")
+    s"""CREATE TABLE hub_${spec.name} (
+       |  ${spec.hkName} VARCHAR NOT NULL,
+       |  load_ts TIMESTAMP NOT NULL,
+       |  record_source VARCHAR NOT NULL,
+       |$bks
+       |);""".stripMargin
+  }
+
+  def satDdl(spec: SatSpec): String = {
+    val descs = spec.descriptors.map(d => s"  ${d.name} ${sqlType(d.typeName)}").mkString(",\n")
+    s"""CREATE TABLE sat_${spec.name} (
+       |  ${spec.hkName} VARCHAR NOT NULL,
+       |  load_ts TIMESTAMP NOT NULL,
+       |  record_source VARCHAR NOT NULL,
+       |  ${spec.hdName} VARCHAR NOT NULL,
+       |$descs
+       |);""".stripMargin
+  }
+
+  def linkDdl(spec: LinkSpec): String = {
+    val members = spec.members.map(m => s"  hub_${m.hubName}_hk VARCHAR NOT NULL").mkString(",\n")
+    val parts = (spec.members.flatMap(_.parts) ++ spec.degenerate)
+      .map(p => s"  ${p.name}_bk VARCHAR").mkString(",\n")
+    s"""CREATE TABLE link_${spec.name} (
+       |  ${spec.hkName} VARCHAR NOT NULL,
+       |  load_ts TIMESTAMP NOT NULL,
+       |  record_source VARCHAR NOT NULL,
+       |$members,
+       |$parts
+       |);""".stripMargin
+  }
+
+  /** All DDL for the standard plan — written by DvGo alongside the data. */
+  def allDdl: String =
+    (DvPlanner.hubs.map(hubDdl) ++
+      Seq(satDdl(DvPlanner.satCustomer), satDdl(DvPlanner.satCustomerSensitive),
+        satDdl(DvPlanner.satLinkOrders),
+        linkDdl(DvPlanner.linkOrders), linkDdl(DvPlanner.linkLineitem))).mkString("\n\n")
+
   /** Source catalog oracle: constants from the static schema registry. */
   def catalogSql: String = {
     val rows = Classify.signals.map { g =>

@@ -33,5 +33,8 @@ class GoSpec extends SparkSpec {
     assert(sat.columns.contains("c_name")) // sensitive split carries PII cols
     val schemaJson = Files.readString(Paths.get(s"$out/dv_schema.json"))
     assert(schemaJson.contains("\"build_id\"") && schemaJson.contains("hub"))
+    val ddl = Files.readString(Paths.get(s"$out/dv_schema.sql"))
+    assert(ddl.contains("CREATE TABLE hub_customer") && ddl.contains("CREATE TABLE sat_customer_sensitive")
+      && ddl.contains("CREATE TABLE link_lineitem"))
   }
 }
