@@ -344,6 +344,29 @@ object Analytics extends QueryModule {
     GROUP BY wstart_ms, event_type
     ORDER BY wstart_ms, event_type"""
 
+  // ----------------------------------------------- events_json_agg
+  /** JSON payload processing: extract props.k, aggregate per event_type x
+    * k-decile (the semi-structured-column workload).
+    */
+  private def jsonAgg(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n_events"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type", "k_mod")
+  }
+
+  private val jsonAggSql = """
+    WITH e AS (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, k % 10 AS k_mod,
+           count(*) AS n_events, min(k) AS min_k, max(k) AS max_k
+    FROM e WHERE k IS NOT NULL
+    GROUP BY event_type, k_mod
+    ORDER BY event_type, k_mod"""
+
   // --------------------------------------------------- asof_join
   /** For each event, the customer's most recent order at-or-before the event
     * time (an as-of join, composed as join + windowed dedup; at cluster scale
@@ -454,6 +477,7 @@ object Analytics extends QueryModule {
     QueryDef("events_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("events_hopping", hopping, Some(hoppingSql)),
+    QueryDef("events_json_agg", jsonAgg, Some(jsonAggSql)),
     QueryDef("asof_join", asof, Some(asofSql))
   )
 }
