@@ -36,6 +36,21 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery <= 5)
   }
 
+  test("dedup_embed_cosine banded plan reproduces the exact all-pairs result (recall 1.0)") {
+    val banded = Similarity.defs.find(_.name == "dedup_embed_cosine").get.run(spark, sfDir)
+    val exact = Similarity.embedDedupAllPairs(spark, sfDir)
+    assert(exact.count() > 0)
+    assert(banded.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(banded).count() == 0)
+  }
+
+  test("dedup_embed_cosine executes a bucket equi-join, not a cartesian product") {
+    val plan = Similarity.defs.find(_.name == "dedup_embed_cosine").get
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ann candidates share the query's bucket") {
     val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
     assert(ann.count() > 0)
