@@ -10,9 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JIT/codegen and the FS cache before timing.
+    // Warm up before timing: run every query once at the smallest SF so
+    // Janino-generated classes (whole-stage codegen caches on source text,
+    // which is identical across SF dirs) and the parquet reader paths are
+    // hot. The timed loop below then measures engine throughput at the
+    // bench SF, not first-use compilation latency.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

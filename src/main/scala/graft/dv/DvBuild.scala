@@ -1,7 +1,6 @@
 package graft.dv
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
@@ -112,7 +111,11 @@ object DvBuild {
 
   /** Point-in-time table: for each as-of date, the latest satellite version
     * per hub key (reference leaves PIT to "future refreshes"; standard DV
-    * practice). Dates broadcast; latest version via windowed dedup.
+    * practice). Dates broadcast; the latest version per (user, date) comes
+    * from a max(struct(tms, event_id, props)) aggregation — partial-agg
+    * (map-side combine) halves the shuffle vs a row_number window and
+    * needs no per-partition sort. event_id is unique per user, so the
+    * struct ordering never reaches the props field — deterministic.
     */
   val PitDates: Seq[String] = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
 
@@ -122,28 +125,28 @@ object DvBuild {
       .select(col("user_id"), col("tms"), col("event_id"), col("props"))
     val dates = PitDates.toDF("asof_date")
       .withColumn("asof_ms", unix_millis(col("asof_date").cast("timestamp")))
-    val w = Window.partitionBy("user_id", "asof_date").orderBy(col("tms").desc, col("event_id").desc)
     ev.join(broadcast(dates), col("tms") <= col("asof_ms"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy("user_id", "asof_date")
+      .agg(max(struct(col("tms"), col("event_id"), col("props"))).as("m"))
       .select(
         col("asof_date"),
         dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
         col("user_id"),
-        dvHash(Seq(col("props"))).as("sat_user_hd"),
-        col("tms").as("version_ms"))
+        dvHash(Seq(col("m.props"))).as("sat_user_hd"),
+        col("m.tms").as("version_ms"))
       .orderBy("asof_date", "user_id")
   }
 
-  /** Current view: latest satellite version per key (max ts, tie event_id). */
+  /** Current view: latest satellite version per key (max ts, tie event_id),
+    * via the same single-shuffle max(struct(...)) aggregation as pit.
+    */
   def currentView(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
-    val w = Window.partitionBy("user_id").orderBy(col("tms").desc, col("event_id").desc)
-    ev.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    ev.groupBy("user_id")
+      .agg(max(struct(col("tms"), col("event_id"), col("props"))).as("m"))
       .select(
         dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
-        col("user_id"), col("props").as("current_props"), col("tms").as("version_ms"))
+        col("user_id"), col("m.props").as("current_props"), col("m.tms").as("version_ms"))
       .orderBy("user_id")
   }
 }

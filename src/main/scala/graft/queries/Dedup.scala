@@ -19,22 +19,21 @@ import graft.functions.GraftFunctions._
   */
 object Dedup extends QueryModule {
 
-  private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-  private val toksDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val toksDuck = Docs.toksDuck
 
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Distinct (doc_id, shingle) with 3-word shingles — memoized per
-    * (session, sf-dir) since three dedup operators share it.
+    * (session, sf-dir) since three dedup operators share it. Tokens come
+    * from the shared [[Docs]] pass (no per-operator re-tokenization).
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
       shinglesUncached(s, dir).cache())
 
   private def shinglesUncached(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .withColumn("toks", expr(toksSpark))
+    Docs.enriched(s, dir)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks)-2), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1), element_at(toks,k+2)))"))
@@ -183,14 +182,22 @@ object Dedup extends QueryModule {
   private val DfCap = 50
   private val JaccardThreshold = 0.5
 
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Distinct (doc_id, bigram) — memoized + cached per (session, sf-dir)
+    * like the shingle set: the candidate join, the intersect join, and the
+    * size aggregation all re-scan it, so one materialization serves all.
+    */
   private def bigrams(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .withColumn("toks", expr(toksSpark))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks)-1), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1)))"))
-        .as("bg"))
-      .distinct()
+    bigramCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      Docs.enriched(s, dir)
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks)-1), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1)))"))
+          .as("bg"))
+        .distinct()
+        .cache())
 
   private val bigramsDuck =
     s"""SELECT DISTINCT doc_id,
@@ -199,7 +206,7 @@ object Dedup extends QueryModule {
        |WHERE len(toks) >= 2""".stripMargin
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val bgr = bigrams(s, dir).cache()
+    val bgr = bigrams(s, dir)
     val df = bgr.groupBy("bg").agg(count(lit(1)).as("d"))
     val rare = bgr.join(df.filter(col("d") <= DfCap), Seq("bg"))
     val cand = rare.as("a")

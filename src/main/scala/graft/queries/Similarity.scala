@@ -183,20 +183,40 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   private def embedDedup(s: SparkSession, dir: String): DataFrame = {
-    val sigArr = array((0 until DedupBands).map(b => expr(bandSigExpr("embedding", b))): _*)
-    val sigs = emb(s, dir).select(col("vec_id"), col("embedding"), sigArr.as("sigs"))
-    val exploded = sigs.select(col("vec_id"), col("embedding"), col("sigs"),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
+    // All 16 band signatures packed into one BIGINT (2 bits per band): the
+    // candidate join carries only (vec_id, sigword) — the 64-float
+    // embeddings stay out of the (band, sig) shuffle and are re-attached
+    // to surviving pairs against the slim vector table (broadcast here; at
+    // warehouse scale a bucketed hash join).
+    val wordExpr = (0 until DedupBands)
+      .map(b => s"(cast(${bandSigExpr("embedding", b)} as bigint) << ${2 * b})")
+      .mkString("(", " + ", ")")
+    val sigs = emb(s, dir)
+      .select(col("vec_id"), col("embedding"), expr(wordExpr).as("word")).cache()
+    val exploded = sigs
+      .select(col("vec_id"), col("word"), explode(sequence(lit(0), lit(DedupBands - 1))).as("band"))
+      .withColumn("sig", expr("shiftright(word, 2 * band) & 3"))
     // Emit each candidate pair exactly once — from the FIRST band whose
-    // signatures agree — so no distinct-shuffle over the pair set is needed
-    // (the dedup condition is a codegen'd filter on the carried sig arrays).
-    exploded.as("a")
+    // signatures agree — with no distinct-shuffle over the pair set: band k
+    // agrees iff 2-bit field k of (a.word XOR b.word) is 00, so
+    // t = (x | x>>1) & 0x5555... has bit 2k set iff band k DISagrees, and
+    // "no band before this one agrees" is one codegen'd mask compare.
+    val firstMatch = expr(
+      """((bitwise_xor(a.word, b.word) | shiftright(bitwise_xor(a.word, b.word), 1))
+        |  & 6148914691236517205L
+        |  & ((shiftleft(1L, 2 * a.band) - 1) div 3))
+        | = ((shiftleft(1L, 2 * a.band) - 1) div 3)""".stripMargin.replace("bitwise_xor(a.word, b.word)", "(a.word ^ b.word)"))
+    val cand = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .filter(expr("array_position(zip_with(a.sigs, b.sigs, (x, y) -> x = y), true) = a.band + 1"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        graftCosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(firstMatch)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val vecs = sigs.select(col("vec_id"), col("embedding"))
+    cand
+      .join(broadcast(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), Seq("vec_a"))
+      .join(broadcast(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), graftCosine(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= NearDupCosine)
       .orderBy("vec_a", "vec_b")
   }

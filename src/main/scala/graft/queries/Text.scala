@@ -10,13 +10,13 @@ import graft.functions.GraftFunctions._
   * All token work stays inside codegen'd higher-order functions (no UDFs);
   * the tokenizer and every formula have identical DuckDB twins. At 100 TB the
   * per-doc ops are embarrassingly parallel scans; dedup_exact is a single
-  * hash-shuffle on the normalized-text hash.
+  * hash-shuffle on the normalized-text hash. Tokenization/normalization is
+  * the shared memoized pass in [[Docs]] — computed once per session, not
+  * once per operator.
   */
 object Text extends QueryModule {
 
-  // Shared tokenizer: lowercase, split on non-alphanumeric, drop empties.
-  private val toksSpark = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-  private val toksDuck = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private val toksDuck = Docs.toksDuck
 
   private val StopEn = Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "on")
   private val StopFr = Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "dans")
@@ -25,7 +25,8 @@ object Text extends QueryModule {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "documents")
+  /** The shared cached (doc_id, text, toks, norm) pass — see [[Docs]]. */
+  private def docs(s: SparkSession, dir: String): DataFrame = Docs.enriched(s, dir)
 
   // ------------------------------------------------- text_token_count
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -33,7 +34,7 @@ object Text extends QueryModule {
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      expr(s"cast(size($toksSpark) as bigint)").as("n_words"),
+      expr("cast(size(toks) as bigint)").as("n_words"),
       regexp_count(lower(col("text")), lit(BpePattern)).cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_m"))
       .orderBy("doc_id")
@@ -48,7 +49,6 @@ object Text extends QueryModule {
   // ----------------------------------------------------- text_quality
   private def quality(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-      .withColumn("toks", expr(toksSpark))
       .withColumn("n_words", expr("cast(size(toks) as bigint)"))
       .withColumn("n_stop", expr(s"cast(size(filter(toks, x -> x IN ${inList(StopEn)})) as bigint)"))
       .withColumn("sum_len", expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) as bigint)"))
@@ -84,7 +84,6 @@ object Text extends QueryModule {
   private def langId(s: SparkSession, dir: String): DataFrame = {
     def hits(set: Seq[String]) = s"cast(size(filter(toks, x -> x IN ${inList(set)})) as bigint)"
     docs(s, dir)
-      .withColumn("toks", expr(toksSpark))
       .withColumn("hits_en", expr(hits(StopEn)))
       .withColumn("hits_fr", expr(hits(StopFr)))
       .withColumn("hits_de", expr(hits(StopDe)))
@@ -124,14 +123,13 @@ object Text extends QueryModule {
   }
 
   // ------------------------------------------------- text_fingerprint
-  private val normSpark = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
-  private val normDuck = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normDuck = Docs.normDuck
 
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      expr(s"sha2($normSpark, 256)").as("norm_sha256"),
-      md5Long64(expr(normSpark)).as("fp64"))
+      expr("sha2(norm, 256)").as("norm_sha256"),
+      md5Long64(col("norm")).as("fp64"))
       .orderBy("doc_id")
 
   private val fingerprintSql = s"""
@@ -143,11 +141,13 @@ object Text extends QueryModule {
   // ---------------------------------------------------- text_winnow
   /** Winnow-lite sketch: per doc, the minimum token hash in each of 8
     * residue buckets — a compact locality-sensitive fingerprint (long form).
+    * Per-doc token dedup happens inside the array (array_distinct BEFORE
+    * explode), so the only shuffle is the final 8-bucket aggregation — no
+    * full-corpus distinct over exploded token occurrences.
     */
   private def winnow(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
       .select(col("doc_id"), md5Long64(col("tok")).as("th"))
       .groupBy(col("doc_id"), (col("th") % 8).as("bucket"))
       .agg(min("th").as("min_hash"), count(lit(1)).as("n_toks"))
@@ -192,7 +192,7 @@ object Text extends QueryModule {
   // ---------------------------------------------------- dedup_exact
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), expr(s"sha2($normSpark, 256)").as("norm_sha256"))
+      .select(col("doc_id"), expr("sha2(norm, 256)").as("norm_sha256"))
       .groupBy("norm_sha256")
       .agg(min("doc_id").as("survivor_doc_id"), count(lit(1)).as("n_copies"))
       .select("survivor_doc_id", "n_copies", "norm_sha256")
