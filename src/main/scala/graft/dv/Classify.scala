@@ -5,13 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Deterministic column classifier — graft's stand-in for the reference's
-  * LLM transformer (extension/src/controller/bgw_transformer_client.rs +
-  * model/prompt_template.rs). Same output contract: a category
-  * ('Business Key Part' / 'Descriptor' / 'Descriptor - Sensitive'), a
-  * confidence score, and a reason per column; plus the reference's exact
-  * deploy-status window logic (model/queries.rs:441-532: bk_hold / bkp_cnt
-  * over the table, threshold = accepted_transformer_confidence_level).
+/** Column-classification status machinery — profiling, deploy-status
+  * windows, and the SQL oracle twins. The classification itself lives
+  * behind the pluggable [[Classifier]] seam (default: [[RulesClassifier]],
+  * graft's deterministic stand-in for the reference's LLM transformer,
+  * extension/src/controller/bgw_transformer_client.rs +
+  * model/prompt_template.rs). This object re-expresses the reference's
+  * exact deploy-status window logic (model/queries.rs:441-532: bk_hold /
+  * bkp_cnt over the table, NULL confidence = 'Queued for Processing',
+  * threshold = the pg_auto_dw.accepted_transformer_confidence_level GUC,
+  * utility/guc.rs:90 — here a parameter defaulting to [[Threshold]]).
   *
   * Rules combine static name signals with one data-profiling pass per table
   * (uniqueness ratio from exact distinct counts). Zero egress, reproducible,
@@ -19,12 +22,12 @@ import graft.Tables
   */
 object Classify {
 
+  /** Default accepted_transformer_confidence_level (reference guc.rs:90). */
   val Threshold = 0.80
   val Model = "graft-rules-v1"
-  val Schema = "source"
 
   final case class Signal(
-      table: String, column: Col, ordinal: Int,
+      schema: String, table: String, column: Col, ordinal: Int,
       nameBk: Boolean, nameSens: Boolean, nameLabel: Boolean,
       complexT: Boolean, uniqOkType: Boolean) {
     /** The rules consult the uniqueness ratio only for key-named columns and
@@ -42,7 +45,7 @@ object Classify {
     val partyTable = cols.exists(_.name.matches(".*acctbal$"))
     cols.zipWithIndex.map { case (c, i) =>
       Signal(
-        table = t, column = c, ordinal = i + 1,
+        schema = SourceSchemas.schemaOf(t), table = t, column = c, ordinal = i + 1,
         nameBk = c.name.matches(".*(key|id)$"),
         nameSens = partyTable && c.name.matches(".*(name|acctbal)$"),
         nameLabel = c.name.matches(".*name$|^ts$|.*(date|time|_at)$"),
@@ -117,57 +120,34 @@ object Classify {
     import s.implicits._
     signals.map { g =>
       val ov = overrides.get((g.table, g.column.name))
-      (g.table, g.column.name, g.ordinal, g.column.typeName,
+      (g.schema, g.table, g.column.name, g.ordinal, g.column.typeName,
         g.nameBk, g.nameSens, g.nameLabel, g.complexT, g.uniqOkType,
         ov.map(_._1), ov.map(_._2), ov.map(_._3))
-    }.toDF("table_name", "column_name", "ordinal", "data_type",
+    }.toDF("schema_name", "table_name", "column_name", "ordinal", "data_type",
       "name_bk", "name_sens", "name_label", "complex_t", "uniq_ok_type",
       "ov_category", "ov_confidence", "ov_reason")
   }
 
-  /** Category/confidence/reason expressions over the joined stats+signals. */
-  private def classified(df: DataFrame): DataFrame = {
-    val uniq = col("n_distinct").cast("double") / col("n_rows")
-    val bkConf = when(uniq >= 0.999, 0.95).otherwise(0.85)
-    val category =
-      when(col("name_bk"), CatBk)
-        .when(col("name_sens"), CatSens)
-        .when(col("name_label"), CatDesc)
-        .when(col("complex_t"), CatDesc)
-        .when(col("uniq_ok_type") && uniq >= 0.95, CatBk)
-        .otherwise(CatDesc)
-    val confidence =
-      when(col("name_bk"), bkConf)
-        .when(col("name_sens"), 0.90)
-        .when(col("name_label"), 0.90)
-        .when(col("complex_t"), 0.55)
-        .when(col("uniq_ok_type") && uniq >= 0.95, 0.75)
-        .otherwise(0.90)
-    val reason =
-      when(col("name_bk") && uniq >= 0.999, ReasonBkUnique)
-        .when(col("name_bk"), ReasonBkRepeat)
-        .when(col("name_sens"), ReasonSensitive)
-        .when(col("name_label"), ReasonLabel)
-        .when(col("complex_t"), ReasonComplex)
-        .when(col("uniq_ok_type") && uniq >= 0.95, ReasonUniqNoName)
-        .otherwise(ReasonPlain)
-    df.withColumn("category", coalesce(col("ov_category"), category))
-      .withColumn("confidence", coalesce(col("ov_confidence"), confidence))
-      .withColumn("reason", coalesce(col("ov_reason"), reason))
-  }
+  /** The joined catalog+profile frame a [[Classifier]] consumes. */
+  def catalogProfile(s: SparkSession, dir: String, overrides: Overrides = Map.empty): DataFrame =
+    statsDf(s, dir).join(signalsDf(s, overrides), Seq("table_name", "column_name"))
 
-  /** Reference status logic (model/queries.rs:483-497), verbatim semantics. */
-  private def withStatus(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("table_name")
+  /** Reference status logic (model/queries.rs:483-497), verbatim semantics —
+    * including NULL confidence (no classifier response yet) surfacing as
+    * 'Queued for Processing' (queries.rs:486).
+    */
+  private def withStatus(df: DataFrame, threshold: Double): DataFrame = {
+    val w = Window.partitionBy("schema_name", "table_name")
     val isBkp = col("category") === CatBk
-    val bkHold = max(when(isBkp && col("confidence") < Threshold, 1).otherwise(0)).over(w)
+    val bkHold = max(when(isBkp && col("confidence") < threshold, 1).otherwise(0)).over(w)
     val bkpCnt = sum(when(isBkp, 1).otherwise(0)).over(w)
     val conf = col("confidence")
-    val g = Threshold
+    val g = threshold
     df.withColumn("bk_hold", bkHold)
       .withColumn("bkp_cnt", bkpCnt)
       .withColumn("status",
-        when(isBkp && conf >= g && col("bkp_cnt") > 1, "Ready to Deploy - Awaiting Link Implementation")
+        when(conf.isNull, "Queued for Processing")
+          .when(isBkp && conf >= g && col("bkp_cnt") > 1, "Ready to Deploy - Awaiting Link Implementation")
           .when(!isBkp && conf >= g && col("bk_hold") === 0 && col("bkp_cnt") > 1, "Ready to Deploy - Awaiting Link Implementation")
           .when(!isBkp && conf >= g && col("bk_hold") === 1 && col("bkp_cnt") > 1, "Ready to Deploy - Awaiting Business Key (BK), Awaiting Link Implementation")
           .when(isBkp && conf >= g, "Ready to Deploy")
@@ -176,41 +156,53 @@ object Classify {
           .otherwise("Requires Attention"))
   }
 
-  private def responseCol: Column = {
-    val head = when(col("confidence") >= Threshold, "Ready to Deploy").otherwise("Requires Attention")
+  /** status_response text; '-' for queued rows (reference queries.rs:498). */
+  private def responseCol(threshold: Double, model: String): Column = {
+    val head = when(col("confidence") >= threshold, "Ready to Deploy").otherwise("Requires Attention")
     val pct = round(col("confidence") * 100, 0).cast("int").cast("string")
-    concat(lit("Status: "), head, lit(s": Model: $Model categorized this column as a "),
-      col("category"), lit(" with a confidence of "), pct,
-      lit("%.  Model Reasoning: "), col("reason"))
+    when(col("confidence").isNull, lit("-")).otherwise(
+      concat(lit("Status: "), head, lit(s": Model: $model categorized this column as a "),
+        col("category"), lit(" with a confidence of "), pct,
+        lit("%.  Model Reasoning: "), col("reason")))
   }
 
   /** source_column() — per-column classification + deploy status. */
-  def sourceColumnStatus(s: SparkSession, dir: String, overrides: Overrides = Map.empty): DataFrame = {
-    val df = withStatus(classified(statsDf(s, dir)
-      .join(signalsDf(s, overrides), Seq("table_name", "column_name"))))
+  def sourceColumnStatus(s: SparkSession, dir: String, overrides: Overrides = Map.empty,
+                         threshold: Double = Threshold,
+                         classifier: Classifier = RulesClassifier): DataFrame = {
+    val df = withStatus(classifier.respond(catalogProfile(s, dir, overrides)), threshold)
     df.select(
-      lit(Schema).as("schema_name"), col("table_name"), col("column_name"), col("ordinal"),
-      col("category"), col("confidence"), col("status"), responseCol.as("status_response"))
+      col("schema_name"), col("table_name"), col("column_name"), col("ordinal"),
+      col("category"), col("confidence"), col("status"),
+      responseCol(threshold, classifier.name).as("status_response"))
       .orderBy("table_name", "ordinal")
   }
 
-  /** source_table() — table rollup (RTD / SKIP, reference lib.rs:82 + docs). */
-  def sourceTableStatus(s: SparkSession, dir: String, overrides: Overrides = Map.empty): DataFrame = {
-    val cols = withStatus(classified(statsDf(s, dir)
-      .join(signalsDf(s, overrides), Seq("table_name", "column_name"))))
-    cols.groupBy("table_name")
+  /** source_table() — table rollup (RTD / SKIP, reference lib.rs:82 + docs);
+    * tables with any still-unclassified column report 'Queued for
+    * Processing' (the table cannot deploy or skip until the queue drains).
+    */
+  def sourceTableStatus(s: SparkSession, dir: String, overrides: Overrides = Map.empty,
+                        threshold: Double = Threshold,
+                        classifier: Classifier = RulesClassifier): DataFrame = {
+    val cols = withStatus(classifier.respond(catalogProfile(s, dir, overrides)), threshold)
+    cols.groupBy("schema_name", "table_name")
       .agg(count(lit(1)).as("n_columns"),
         sum(when(col("category") === CatBk, 1).otherwise(0)).as("n_bk_parts"),
-        sum(when(col("confidence") < Threshold, 1).otherwise(0)).as("n_attention"))
+        sum(when(col("confidence") < threshold, 1).otherwise(0)).as("n_attention"),
+        sum(when(col("confidence").isNull, 1).otherwise(0)).as("n_queued"))
       .select(
-        lit(Schema).as("schema_name"), col("table_name"),
+        col("schema_name"), col("table_name"),
         col("n_columns"), col("n_bk_parts"),
-        when(col("n_attention") > 0, "Skipped").otherwise("Ready to Deploy").as("status"),
-        when(col("n_attention") > 0, "SKIP").otherwise("RTD").as("status_code"),
-        when(col("n_attention") > 0,
-          concat(lit("Source Table was skipped as column(s) need additional context. " +
-            "Please run the following SQL query for more information: SELECT * FROM " +
-            "dv_source_column_status WHERE table_name = '"), col("table_name"), lit("'.")))
+        when(col("n_queued") > 0, "Queued for Processing")
+          .when(col("n_attention") > 0, "Skipped").otherwise("Ready to Deploy").as("status"),
+        when(col("n_queued") > 0, "QUEUE")
+          .when(col("n_attention") > 0, "SKIP").otherwise("RTD").as("status_code"),
+        when(col("n_queued") > 0, lit("Source Table has column(s) awaiting classification."))
+          .when(col("n_attention") > 0,
+            concat(lit("Source Table was skipped as column(s) need additional context. " +
+              "Please run the following SQL query for more information: SELECT * FROM " +
+              "dv_source_column_status WHERE table_name = '"), col("table_name"), lit("'.")))
           .otherwise("Source Table is ready to deploy.").as("status_response"))
       .orderBy("table_name")
   }
@@ -231,7 +223,7 @@ object Classify {
         case Some((c, f, r)) => (sqlLit(c), s"CAST($f AS DOUBLE)", sqlLit(r))
         case None => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS VARCHAR)")
       }
-      s"""SELECT ${sqlLit(g.table)} AS table_name, ${sqlLit(g.column.name)} AS column_name,
+      s"""SELECT ${sqlLit(g.schema)} AS schema_name, ${sqlLit(g.table)} AS table_name, ${sqlLit(g.column.name)} AS column_name,
          |  ${g.ordinal} AS ordinal, ${sqlLit(g.column.typeName)} AS data_type,
          |  ${if (g.nameBk) 1 else 0} AS name_bk, ${if (g.nameSens) 1 else 0} AS name_sens,
          |  ${if (g.nameLabel) 1 else 0} AS name_label, ${if (g.complexT) 1 else 0} AS complex_t,
@@ -241,7 +233,24 @@ object Classify {
          |FROM ${g.table}""".stripMargin
     }.mkString("\nUNION ALL\n")
 
-  private def classifiedSql: String = {
+  /** SQL twin of the classifier seam: rules answers, NULLed out for rows a
+    * mid-queue classifier has not reached (`queuedPredSql` = the SQL form
+    * of QueuedClassifier.answered; None = everything answered).
+    */
+  private def classifiedSql(queuedPredSql: Option[String]): String = {
+    val base = classifiedRulesSql
+    queuedPredSql match {
+      case None => base
+      case Some(pred) =>
+        s"""SELECT * EXCLUDE (category, confidence, reason),
+           |  CASE WHEN $pred THEN category ELSE NULL END AS category,
+           |  CASE WHEN $pred THEN confidence ELSE NULL END AS confidence,
+           |  CASE WHEN $pred THEN reason ELSE NULL END AS reason
+           |FROM ($base)""".stripMargin
+    }
+  }
+
+  private def classifiedRulesSql: String = {
     val uniq = "CAST(n_distinct AS DOUBLE)/n_rows"
     s"""SELECT *,
        |  COALESCE(ov_category,
@@ -269,62 +278,70 @@ object Classify {
        |FROM stats""".stripMargin
   }
 
-  private def statusSql: String =
+  private def statusSql(threshold: Double): String =
     s"""SELECT *,
-       |  max(CASE WHEN category = ${sqlLit(CatBk)} AND confidence < $Threshold THEN 1 ELSE 0 END)
-       |    OVER (PARTITION BY table_name) AS bk_hold,
+       |  max(CASE WHEN category = ${sqlLit(CatBk)} AND confidence < $threshold THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY schema_name, table_name) AS bk_hold,
        |  sum(CASE WHEN category = ${sqlLit(CatBk)} THEN 1 ELSE 0 END)
-       |    OVER (PARTITION BY table_name) AS bkp_cnt
+       |    OVER (PARTITION BY schema_name, table_name) AS bkp_cnt
        |FROM classified""".stripMargin
 
-  private val statusCaseSql =
+  private def statusCaseSql(threshold: Double) =
     s"""CASE
-       |  WHEN category = '$CatBk' AND confidence >= $Threshold AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Link Implementation'
-       |  WHEN category <> '$CatBk' AND confidence >= $Threshold AND bk_hold = 0 AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Link Implementation'
-       |  WHEN category <> '$CatBk' AND confidence >= $Threshold AND bk_hold = 1 AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Business Key (BK), Awaiting Link Implementation'
-       |  WHEN category = '$CatBk' AND confidence >= $Threshold THEN 'Ready to Deploy'
-       |  WHEN category <> '$CatBk' AND confidence >= $Threshold AND bk_hold = 0 THEN 'Ready to Deploy'
-       |  WHEN category <> '$CatBk' AND confidence >= $Threshold AND bk_hold = 1 THEN 'Ready to Deploy - Awaiting Business Key (BK)'
+       |  WHEN confidence IS NULL THEN 'Queued for Processing'
+       |  WHEN category = '$CatBk' AND confidence >= $threshold AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Link Implementation'
+       |  WHEN category <> '$CatBk' AND confidence >= $threshold AND bk_hold = 0 AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Link Implementation'
+       |  WHEN category <> '$CatBk' AND confidence >= $threshold AND bk_hold = 1 AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Business Key (BK), Awaiting Link Implementation'
+       |  WHEN category = '$CatBk' AND confidence >= $threshold THEN 'Ready to Deploy'
+       |  WHEN category <> '$CatBk' AND confidence >= $threshold AND bk_hold = 0 THEN 'Ready to Deploy'
+       |  WHEN category <> '$CatBk' AND confidence >= $threshold AND bk_hold = 1 THEN 'Ready to Deploy - Awaiting Business Key (BK)'
        |  ELSE 'Requires Attention' END""".stripMargin
 
   def sourceColumnStatusSql: String = sourceColumnStatusSql(Map.empty)
 
-  def sourceColumnStatusSql(overrides: Overrides): String =
+  def sourceColumnStatusSql(overrides: Overrides, threshold: Double = Threshold,
+                            queuedPredSql: Option[String] = None): String =
     s"""WITH stats AS (
        |${statsSql(overrides)}
        |), classified AS (
-       |$classifiedSql
+       |${classifiedSql(queuedPredSql)}
        |), with_status AS (
-       |$statusSql
+       |${statusSql(threshold)}
        |)
-       |SELECT '$Schema' AS schema_name, table_name, column_name, ordinal, category, confidence,
-       |  $statusCaseSql AS status,
+       |SELECT schema_name, table_name, column_name, ordinal, category, confidence,
+       |  ${statusCaseSql(threshold)} AS status,
+       |  CASE WHEN confidence IS NULL THEN '-' ELSE
        |  'Status: ' ||
-       |  (CASE WHEN confidence >= $Threshold THEN 'Ready to Deploy' ELSE 'Requires Attention' END) ||
+       |  (CASE WHEN confidence >= $threshold THEN 'Ready to Deploy' ELSE 'Requires Attention' END) ||
        |  ': Model: $Model categorized this column as a ' || category ||
        |  ' with a confidence of ' || CAST(CAST(round(confidence*100, 0) AS INT) AS VARCHAR) ||
-       |  '%.  Model Reasoning: ' || reason AS status_response
+       |  '%.  Model Reasoning: ' || reason END AS status_response
        |FROM with_status
        |ORDER BY table_name, ordinal""".stripMargin
 
   def sourceTableStatusSql: String = sourceTableStatusSql(Map.empty)
 
-  def sourceTableStatusSql(overrides: Overrides): String =
+  def sourceTableStatusSql(overrides: Overrides, threshold: Double = Threshold,
+                           queuedPredSql: Option[String] = None): String =
     s"""WITH stats AS (
        |${statsSql(overrides)}
        |), classified AS (
-       |$classifiedSql
+       |${classifiedSql(queuedPredSql)}
        |), rollup_t AS (
-       |  SELECT table_name,
+       |  SELECT schema_name, table_name,
        |    count(*) AS n_columns,
        |    CAST(sum(CASE WHEN category = ${sqlLit(CatBk)} THEN 1 ELSE 0 END) AS BIGINT) AS n_bk_parts,
-       |    CAST(sum(CASE WHEN confidence < $Threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_attention
-       |  FROM classified GROUP BY table_name
+       |    CAST(sum(CASE WHEN confidence < $threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_attention,
+       |    CAST(sum(CASE WHEN confidence IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_queued
+       |  FROM classified GROUP BY schema_name, table_name
        |)
-       |SELECT '$Schema' AS schema_name, table_name, n_columns, n_bk_parts,
-       |  CASE WHEN n_attention > 0 THEN 'Skipped' ELSE 'Ready to Deploy' END AS status,
-       |  CASE WHEN n_attention > 0 THEN 'SKIP' ELSE 'RTD' END AS status_code,
-       |  CASE WHEN n_attention > 0 THEN
+       |SELECT schema_name, table_name, n_columns, n_bk_parts,
+       |  CASE WHEN n_queued > 0 THEN 'Queued for Processing'
+       |       WHEN n_attention > 0 THEN 'Skipped' ELSE 'Ready to Deploy' END AS status,
+       |  CASE WHEN n_queued > 0 THEN 'QUEUE'
+       |       WHEN n_attention > 0 THEN 'SKIP' ELSE 'RTD' END AS status_code,
+       |  CASE WHEN n_queued > 0 THEN 'Source Table has column(s) awaiting classification.'
+       |  WHEN n_attention > 0 THEN
        |    'Source Table was skipped as column(s) need additional context. Please run the following SQL query for more information: SELECT * FROM dv_source_column_status WHERE table_name = ''' || table_name || '''.'
        |  ELSE 'Source Table is ready to deploy.' END AS status_response
        |FROM rollup_t

@@ -27,16 +27,19 @@ object Catalog {
     }
   }
 
-  /** source_include / source_exclude (reference lib.rs:39-79): regex
-    * include/exclude patterns over the catalog. Pattern matching runs
-    * driver-side on metadata (as the reference's catalog SQL does), with
-    * Java regex semantics on both the live and static paths.
+  /** source_include / source_exclude (reference lib.rs:39-79,
+    * source_object_dw(schema, table, column) in queries.rs:65): regex
+    * include/exclude patterns over (schema, table, column). Pattern
+    * matching runs driver-side on metadata (as the reference's catalog SQL
+    * does), with Java regex semantics on both the live and static paths.
     */
   def select(s: SparkSession, dir: String,
              tableInclude: String, columnInclude: String,
-             tableExclude: String, columnExclude: String): DataFrame = {
+             tableExclude: String, columnExclude: String,
+             schemaInclude: String = ".*", schemaExclude: String = "^$"): DataFrame = {
     import s.implicits._
-    val rows = selectStatic(tableInclude, columnInclude, tableExclude, columnExclude)
+    val rows = selectStatic(tableInclude, columnInclude, tableExclude, columnExclude,
+      schemaInclude, schemaExclude)
     // Validate the static registry against live footers, then emit.
     val live = introspect(s, dir)
     rows.toDF("schema_name", "table_name", "column_name", "ordinal", "data_type", "name_bk_ind")
@@ -45,16 +48,21 @@ object Catalog {
   }
 
   def selectStatic(tableInclude: String, columnInclude: String,
-                   tableExclude: String, columnExclude: String): Seq[(String, String, String, Int, String, Int)] =
+                   tableExclude: String, columnExclude: String,
+                   schemaInclude: String = ".*", schemaExclude: String = "^$"): Seq[(String, String, String, Int, String, Int)] =
     Classify.signals
-      .filter(g => g.table.matches(tableInclude) && g.column.name.matches(columnInclude))
+      .filter(g => g.schema.matches(schemaInclude) && g.table.matches(tableInclude) &&
+        g.column.name.matches(columnInclude))
+      .filterNot(g => g.schema.matches(schemaExclude))
       .filterNot(g => g.table.matches(tableExclude) && g.column.name.matches(columnExclude))
-      .map(g => (Classify.Schema, g.table, g.column.name, g.ordinal, g.column.typeName,
+      .map(g => (g.schema, g.table, g.column.name, g.ordinal, g.column.typeName,
         if (g.nameBk) 1 else 0))
 
   def selectSql(tableInclude: String, columnInclude: String,
-                tableExclude: String, columnExclude: String): String = {
-    val rows = selectStatic(tableInclude, columnInclude, tableExclude, columnExclude)
+                tableExclude: String, columnExclude: String,
+                schemaInclude: String = ".*", schemaExclude: String = "^$"): String = {
+    val rows = selectStatic(tableInclude, columnInclude, tableExclude, columnExclude,
+      schemaInclude, schemaExclude)
       .map { case (sc, t, c, o, dt, bk) => s"('$sc', '$t', '$c', $o, '$dt', $bk)" }
     s"""SELECT * FROM (VALUES
        |  ${rows.mkString(",\n  ")}
@@ -68,7 +76,7 @@ object Catalog {
     val rows = Tables.all.flatMap { t =>
       val schema = Tables.load(s, dir, t).schema
       schema.fields.zipWithIndex.map { case (f, i) =>
-        (Classify.Schema, t, f.name, i + 1, typeName(f.dataType),
+        (SourceSchemas.schemaOf(t), t, f.name, i + 1, typeName(f.dataType),
           if (f.name.matches(".*(key|id)$")) 1 else 0)
       }
     }

@@ -203,7 +203,7 @@ object DvSqlGen {
   /** Source catalog oracle: constants from the static schema registry. */
   def catalogSql: String = {
     val rows = Classify.signals.map { g =>
-      s"('${Classify.Schema}', '${g.table}', '${g.column.name}', ${g.ordinal}, " +
+      s"('${g.schema}', '${g.table}', '${g.column.name}', ${g.ordinal}, " +
         s"'${g.column.typeName}', ${if (g.nameBk) 1 else 0})"
     }.mkString(",\n  ")
     s"""SELECT * FROM (VALUES

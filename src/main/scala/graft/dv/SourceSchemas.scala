@@ -42,6 +42,15 @@ object SourceSchemas {
 
   def columns(table: String): Seq[Col] = tables.find(_._1 == table).get._2
 
+  /** Schema dimension of the catalog (reference source_include walks
+    * schema/table/column patterns, lib.rs:40-46): the operational TPC-H
+    * tables live in `source`, the LLM-pipeline feeds in `staging`.
+    */
+  def schemaOf(table: String): String = table match {
+    case "events" | "documents" | "embeddings" => "staging"
+    case _                                     => "source"
+  }
+
   val atomicTypes: Set[String] = Set("bigint", "int", "double", "varchar", "timestamp")
   def isComplex(c: Col): Boolean = !atomicTypes.contains(c.typeName)
 }

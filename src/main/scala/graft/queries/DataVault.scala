@@ -135,6 +135,27 @@ object DataVault extends QueryModule {
     QueryDef("dv_context_table_status",
       (s, d) => Classify.sourceTableStatus(s, d, Classify.demoContext),
       Some(Classify.sourceTableStatusSql(Classify.demoContext))),
+    // Configurable confidence threshold (reference guc.rs:90): at 0.9 the
+    // repeating-key columns (0.85) fall under the bar — statuses flip.
+    QueryDef("dv_column_status_strict",
+      (s, d) => Classify.sourceColumnStatus(s, d, threshold = 0.90),
+      Some(Classify.sourceColumnStatusSql(Map.empty, threshold = 0.90))),
+    // Classifier seam mid-queue (reference bgw worker lag, queries.rs:372):
+    // only the first two columns of each table have responses; the rest
+    // surface as 'Queued for Processing'.
+    QueryDef("dv_column_status_queued",
+      (s, d) => Classify.sourceColumnStatus(s, d,
+        classifier = QueuedClassifier(RulesClassifier, col("ordinal") <= 2)),
+      Some(Classify.sourceColumnStatusSql(Map.empty, queuedPredSql = Some("ordinal <= 2")))),
+    QueryDef("dv_table_status_queued",
+      (s, d) => Classify.sourceTableStatus(s, d,
+        classifier = QueuedClassifier(RulesClassifier, col("ordinal") <= 2)),
+      Some(Classify.sourceTableStatusSql(Map.empty, queuedPredSql = Some("ordinal <= 2")))),
+    // Multi-schema catalog selection (reference source_include(schema,
+    // table, column), lib.rs:40-46): only the staging schema.
+    QueryDef("dv_source_select_schema",
+      (s, d) => Catalog.select(s, d, ".*", ".*", "^$", "^$", schemaInclude = "^staging$"),
+      Some(Catalog.selectSql(".*", ".*", "^$", "^$", schemaInclude = "^staging$"))),
     QueryDef("dv_sat_link_orders",
       (s, d) => DvBuild.sat(s, d, satLinkOrders), Some(DvSqlGen.satSql(satLinkOrders))),
     QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.dv._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+
+  test("mid-queue classifier surfaces 'Queued for Processing' for unanswered columns") {
+    val queued = QueuedClassifier(RulesClassifier, col("ordinal") <= 2)
+    val df = Classify.sourceColumnStatus(spark, sfDir, classifier = queued).cache()
+    val q = df.filter(col("status") === "Queued for Processing")
+    assert(q.count() > 0)
+    // exactly the unanswered columns are queued, with '-' responses
+    assert(q.filter(col("ordinal") <= 2).count() == 0)
+    assert(df.filter(col("ordinal") > 2 && col("status") =!= "Queued for Processing").count() == 0)
+    assert(q.filter(col("status_response") =!= "-").count() == 0)
+    assert(q.filter(col("confidence").isNotNull).count() == 0)
+    // table rollup reports the queue
+    val t = Classify.sourceTableStatus(spark, sfDir, classifier = queued)
+    assert(t.filter(col("status_code") === "QUEUE").count() > 0)
+  }
+
+  test("the seam accepts any Classifier implementation") {
+    // a trivial third implementation: everything is a confident Descriptor
+    object AllDesc extends Classifier {
+      val name = "all-desc-v0"
+      def respond(df: DataFrame): DataFrame = df
+        .withColumn("category", lit(Classify.CatDesc))
+        .withColumn("confidence", lit(0.99))
+        .withColumn("reason", lit("mock"))
+    }
+    val df = Classify.sourceColumnStatus(spark, sfDir, classifier = AllDesc)
+    // no BK parts anywhere -> every column plain Ready to Deploy
+    assert(df.filter(col("status") =!= "Ready to Deploy").count() == 0)
+    assert(df.filter(!col("status_response").contains("all-desc-v0")).count() == 0)
+  }
+
+  test("confidence threshold is configurable and flips statuses at 0.9") {
+    val strict = Classify.sourceColumnStatus(spark, sfDir, threshold = 0.90)
+    val default = Classify.sourceColumnStatus(spark, sfDir)
+    // repeating business keys score 0.85: accepted at 0.80, held at 0.90
+    val flipped = strict.as("s")
+      .join(default.as("d"), Seq("table_name", "column_name"))
+      .filter(col("s.status") =!= col("d.status"))
+    assert(flipped.count() > 0)
+    assert(strict.filter(col("status") === "Requires Attention").count() >
+      default.filter(col("status") === "Requires Attention").count())
+  }
+
+  test("multi-schema catalog: schema patterns filter the selection") {
+    val staging = Catalog.select(spark, sfDir, ".*", ".*", "^$", "^$", schemaInclude = "^staging$")
+    assert(staging.select("table_name").distinct().count() == 3)
+    assert(staging.filter(col("schema_name") =!= "staging").count() == 0)
+    val source = Catalog.select(spark, sfDir, ".*", ".*", "^$", "^$", schemaExclude = "^staging$")
+    assert(source.filter(col("schema_name") === "staging").count() == 0)
+  }
+}
