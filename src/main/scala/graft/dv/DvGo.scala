@@ -18,14 +18,16 @@ object DvGo {
 
   final case class BuildResult(buildId: String, outDir: String, objects: Seq[(String, Long)])
 
-  def go(s: SparkSession, dir: String, outDir: String, loadTs: String = DvDefaults.LoadTs): BuildResult = {
-    val buildId = java.util.UUID.nameUUIDFromBytes(s"graft:$dir".getBytes).toString
+  def go(s: SparkSession, dir: String, outDir: String, loadTs: String = DvDefaults.LoadTs,
+         include: String => Boolean = _ => true): BuildResult = {
+    val buildId = java.util.UUID.nameUUIDFromBytes(s"graft:$dir:$loadTs".getBytes).toString
     val builds: Seq[(String, DataFrame)] =
-      hubs.map(h => s"hub_${h.name}" -> DvBuild.hub(s, dir, h, loadTs)) ++ Seq(
+      (hubs.map(h => s"hub_${h.name}" -> DvBuild.hub(s, dir, h, loadTs)) ++ Seq(
         "sat_customer" -> DvBuild.sat(s, dir, satCustomer, loadTs),
         "sat_customer_sensitive" -> DvBuild.sat(s, dir, satCustomerSensitive, loadTs),
         "link_orders" -> DvBuild.link(s, dir, linkOrders, loadTs),
-        "link_lineitem" -> DvBuild.link(s, dir, linkLineitem, loadTs))
+        "link_lineitem" -> DvBuild.link(s, dir, linkLineitem, loadTs)))
+        .filter { case (name, _) => include(name) }
     // The eight objects are independent — submit their jobs concurrently
     // (Spark's scheduler interleaves them; order of the summary is preserved).
     import scala.concurrent.{Await, Future}
@@ -63,6 +65,71 @@ object DvGo {
        |}""".stripMargin
   }
 
+  /** Build-history repo: every go() appends one row per built object to a
+    * `dv_builds` parquet — the reference's auto_dw.build_call insert
+    * (lib.rs:29-35 insert_into_build_call; the dv_repo keyed by build_id,
+    * model/dv_schema.rs:84). Returns the result plus the assigned sequence.
+    */
+  def goWithHistory(s: SparkSession, dir: String, outDir: String, historyPath: String,
+                    loadTs: String = DvDefaults.LoadTs,
+                    include: String => Boolean = _ => true): (BuildResult, Long) = {
+    import s.implicits._
+    val res = go(s, dir, outDir, loadTs, include)
+    val prevSeq =
+      try s.read.parquet(historyPath).agg(coalesce(max("build_seq"), lit(0L))).collect()(0).getLong(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val seq = prevSeq + 1
+    res.objects.map { case (o, n) => (seq, res.buildId, loadTs, o, n) }
+      .toDF("build_seq", "build_id", "load_ts", "object", "row_count")
+      .write.mode("append").parquet(historyPath)
+    (res, seq)
+  }
+
+  /** dv_build_history: two sequential scoped go() calls (customer hub+sat,
+    * two load dates), then the queryable history — "what did build N
+    * deploy". build_id stays in the stored table but out of the checked
+    * projection (it hashes the sf-dir path, which the static oracle SQL
+    * cannot know).
+    */
+  def buildHistory(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_go_hist_").toString
+    val hist = s"$tmp/dv_builds"
+    val scope = Set("hub_customer", "sat_customer")
+    goWithHistory(s, dir, s"$tmp/b1", hist, "2024-01-01 00:00:00", scope)
+    goWithHistory(s, dir, s"$tmp/b2", hist, "2024-01-02 00:00:00", scope)
+    s.read.parquet(hist)
+      .select(col("build_seq"), col("load_ts"), col("object"), col("row_count"))
+      .orderBy("build_seq", "object")
+  }
+
+  private def hubCountSql(h: HubSpec) = {
+    val parts = h.bkParts.map(_.name).mkString(", ")
+    s"SELECT 'hub_${h.name}' AS object, CAST(count(*) + 2 AS BIGINT) AS row_count FROM (SELECT DISTINCT $parts FROM ${h.sourceTable}) t"
+  }
+
+  private def satCountSql(t: SatSpec) = {
+    val cols = (t.bkParts ++ t.descriptors).map(_.name).mkString(", ")
+    s"SELECT 'sat_${t.name}' AS object, CAST(count(*) AS BIGINT) AS row_count FROM (SELECT DISTINCT $cols FROM ${t.sourceTable}) t"
+  }
+
+  private def linkCountSql(l: LinkSpec) = {
+    val cols = (l.members.flatMap(_.parts) ++ l.degenerate).map(_.name).mkString(", ")
+    s"SELECT 'link_${l.name}' AS object, CAST(count(*) AS BIGINT) AS row_count FROM (SELECT DISTINCT $cols FROM ${l.sourceTable}) t"
+  }
+
+  /** Oracle twin of buildHistory: the two builds' counts from source
+    * cardinality (hub/sat counts are load-date-invariant).
+    */
+  def buildHistorySql: String = {
+    val perBuild = Seq(("1", "2024-01-01 00:00:00"), ("2", "2024-01-02 00:00:00")).map {
+      case (seq, ts) =>
+        Seq(hubCountSql(hubCustomer), satCountSql(satCustomer)).map { q =>
+          s"SELECT CAST($seq AS BIGINT) AS build_seq, '$ts' AS load_ts, object, row_count FROM ($q) b$seq"
+        }.mkString("\nUNION ALL\n")
+    }
+    perBuild.mkString("\nUNION ALL\n") + "\nORDER BY build_seq, object"
+  }
+
   /** Query-shaped wrapper: runs the full build into a temp dir and returns
     * the (object, row_count) summary — the driver-checkable face of go().
     */
@@ -74,21 +141,8 @@ object DvGo {
   }
 
   /** Oracle twin of goSummary: row counts straight from source cardinality. */
-  def goSummarySql: String = {
-    def hubCount(h: HubSpec) = {
-      val parts = h.bkParts.map(_.name).mkString(", ")
-      s"SELECT 'hub_${h.name}' AS object, CAST(count(*) + 2 AS BIGINT) AS row_count FROM (SELECT DISTINCT $parts FROM ${h.sourceTable}) t"
-    }
-    def satCount(t: SatSpec) = {
-      val cols = (t.bkParts ++ t.descriptors).map(_.name).mkString(", ")
-      s"SELECT 'sat_${t.name}', CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cols FROM ${t.sourceTable}) t"
-    }
-    def linkCount(l: LinkSpec) = {
-      val cols = (l.members.flatMap(_.parts) ++ l.degenerate).map(_.name).mkString(", ")
-      s"SELECT 'link_${l.name}', CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT $cols FROM ${l.sourceTable}) t"
-    }
-    (hubs.map(hubCount) ++ Seq(satCount(satCustomer), satCount(satCustomerSensitive),
-      linkCount(linkOrders), linkCount(linkLineitem))).mkString("\nUNION ALL\n") +
+  def goSummarySql: String =
+    (hubs.map(hubCountSql) ++ Seq(satCountSql(satCustomer), satCountSql(satCustomerSensitive),
+      linkCountSql(linkOrders), linkCountSql(linkLineitem))).mkString("\nUNION ALL\n") +
       "\nORDER BY object"
-  }
 }

@@ -161,6 +161,9 @@ object DataVault extends QueryModule {
     QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
-    QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql))
+    QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),
+    // Build-history repo: two sequential go() calls, queryable per-build
+    // rows (the reference's auto_dw.build_call, lib.rs:29-35).
+    QueryDef("dv_build_history", (s, d) => DvGo.buildHistory(s, d), Some(DvGo.buildHistorySql))
   )
 }

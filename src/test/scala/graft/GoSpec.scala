@@ -37,4 +37,20 @@ class GoSpec extends SparkSpec {
     assert(ddl.contains("CREATE TABLE hub_customer") && ddl.contains("CREATE TABLE sat_customer_sensitive")
       && ddl.contains("CREATE TABLE link_lineitem"))
   }
+
+  test("two sequential go() calls produce two queryable build rows") {
+    val tmp = Files.createTempDirectory("graft_go_hist_spec").toString
+    val hist = s"$tmp/dv_builds"
+    val scope = Set("hub_customer")
+    val (res1, seq1) = DvGo.goWithHistory(spark, sfDir, s"$tmp/b1", hist, "2024-01-01 00:00:00", scope)
+    val (res2, seq2) = DvGo.goWithHistory(spark, sfDir, s"$tmp/b2", hist, "2024-01-02 00:00:00", scope)
+    assert(seq1 == 1 && seq2 == 2)
+    assert(res1.buildId != res2.buildId) // distinct builds in the repo
+    val h = spark.read.parquet(hist)
+    assert(h.select("build_seq").distinct().count() == 2)
+    assert(h.select("build_id").distinct().count() == 2)
+    // "what did build 2 deploy" is answerable
+    val b2 = h.filter(col("build_seq") === 2).select("object").collect().map(_.getString(0))
+    assert(b2.sameElements(Array("hub_customer")))
+  }
 }
