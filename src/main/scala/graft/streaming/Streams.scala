@@ -29,32 +29,54 @@ object Streams {
       .select(col("w.start").cast("date").cast("string").as("day"),
         col("event_type"), col("n_events"), col("sum_value_micros"))
 
+  /** Ev + the event-time column the watermark rides on. */
+  final case class EvT(event_id: Long, tms: Long, user_id: Long, event_type: String,
+                       value: Double, ets: java.sql.Timestamp)
+
   final case class SessionState(start: Long, last: Long, n: Int, sessions: Int)
   final case class SessionUpdate(user_id: Long, session_no: Int, start_ms: Long, end_ms: Long, n_events: Int)
 
   val GapMs: Long = 30 * 60 * 1000
+  val SessionWatermark = "10 minutes"
 
-  /** #39: stateful sessionization via mapGroupsWithState — emits the current
-    * open session per user on every trigger; a 30-minute gap rolls the
-    * session number (streaming twin of events_sessionize).
+  /** #39: stateful sessionization via flatMapGroupsWithState with
+    * EventTimeTimeout — a closed session is emitted when a 30-minute gap
+    * shows up in the data OR when the watermark passes the open session's
+    * gap deadline with no further events for that user (the timeout path).
+    * Timed-out state is removed, so state size tracks only currently-open
+    * sessions — bounded on an unbounded stream (the NoTimeout version kept
+    * every user's state forever; StreamingSpec asserts the bound).
     */
-  def sessionize(events: Dataset[Ev]): Dataset[SessionUpdate] = {
+  def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+    val wm = events
+      .withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", SessionWatermark)
+      .as[EvT]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state: GroupState[SessionState]) if state.hasTimedOut =>
+          val st = state.get
+          state.remove()
+          Iterator(SessionUpdate(uid, st.sessions, st.start, st.last, st.n))
         case (uid, evs, state: GroupState[SessionState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
           var st = state.getOption.getOrElse(SessionState(sorted.head.tms, sorted.head.tms, 0, 1))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
           sorted.foreach { e =>
-            st =
-              if (st.n > 0 && e.tms - st.last > GapMs)
-                SessionState(e.tms, e.tms, 1, st.sessions + 1)
-              else
-                st.copy(last = e.tms, n = st.n + 1,
-                  start = if (st.n == 0) e.tms else st.start)
+            if (st.n > 0 && e.tms - st.last > GapMs) {
+              closed += SessionUpdate(uid, st.sessions, st.start, st.last, st.n)
+              st = SessionState(e.tms, e.tms, 1, st.sessions + 1)
+            } else {
+              st = st.copy(last = e.tms, n = st.n + 1,
+                start = if (st.n == 0) e.tms else st.start)
+            }
           }
           state.update(st)
-          SessionUpdate(uid, st.sessions, st.start, st.last, st.n)
+          // close via timeout once the watermark passes the gap deadline
+          state.setTimeoutTimestamp(math.max(st.last + GapMs, state.getCurrentWatermarkMs() + 1))
+          closed.iterator
       }
   }
 

@@ -31,21 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.head.toString).contains("2024-01-01"))
   }
 
-  test("stateful sessionization rolls sessions on 30-min gaps across batches") {
+  test("sessionization closes on gap, closes via event-time timeout, and bounds state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val q = Streams.sessionize(mem.toDS())
-      .writeStream.format("memory").queryName("sess_out").outputMode("update").start()
+    val q = Streams.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    // open session for user 7 — nothing closed yet
     mem.addData(Ev(1, day(0, 1, 0), 7, "click", 1.0), Ev(2, day(0, 1, 10), 7, "click", 1.0))
     q.processAllAvailable()
-    val s1 = spark.table("sess_out").as[SessionUpdate].collect().last
-    assert(s1.session_no == 1 && s1.n_events == 2)
-    mem.addData(Ev(3, day(0, 3, 0), 7, "click", 1.0)) // > 30 min later
+    assert(spark.table("sess_out").count() == 0)
+    // a >30-min gap closes session 1 in-band
+    mem.addData(Ev(3, day(0, 3, 0), 7, "click", 1.0))
     q.processAllAvailable()
-    val s2 = spark.table("sess_out").as[SessionUpdate].collect().last
+    val s1 = spark.table("sess_out").as[SessionUpdate].collect()
+    assert(s1.length == 1 && s1.head.session_no == 1 && s1.head.n_events == 2)
+    // no further user-7 events: another user advances the watermark past
+    // user 7's gap deadline -> session 2 closes via EventTimeTimeout
+    mem.addData(Ev(4, day(0, 6, 0), 8, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(5, day(0, 6, 1), 8, "view", 1.0)) // extra trigger so the timeout fires
+    q.processAllAvailable()
+    val s2 = spark.table("sess_out").as[SessionUpdate].collect().filter(_.user_id == 7L)
+    assert(s2.exists(u => u.session_no == 2 && u.n_events == 1))
+    // timed-out state was removed: only user 8's open session remains
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
     q.stop()
-    assert(s2.session_no == 2 && s2.n_events == 1)
+    assert(stateRows == 1)
   }
 
   test("streaming sat load appends only changed attribute versions") {
