@@ -33,6 +33,31 @@ object Scale {
   def incrementAgainstBucketed(s: SparkSession, batch: DataFrame, table: String, hkCol: String): DataFrame =
     batch.join(s.table(table).select(hkCol), Seq(hkCol), "left_anti")
 
+  /** Bloom-prefiltered incremental anti-join (VERDICT r1 #9): build a bloom
+    * filter over the (small) batch side's hash keys — one two-phase
+    * aggregation to a single row — broadcast it, and prune the (huge)
+    * stored side before the anti-join. Stored rows outside the bloom can
+    * match no batch key, and bloom filters have no false negatives, so the
+    * anti-join result is unchanged; at 100 TB the probe side shrinks from
+    * the whole vault table to ~|batch| x (1+fpp) rows before any shuffle.
+    * Uses the same Catalyst build/probe pair as Spark's InjectRuntimeFilter,
+    * placed explicitly (graft_bloom_agg / graft_might_contain).
+    */
+  def incrementBloomPruned(batch: DataFrame, stored: DataFrame, hkCol: String): DataFrame = {
+    // One aggregate job builds the filter (might_contain requires a
+    // constant/scalar-subquery bloom, so the 1 MB binary rides the plan as
+    // a literal — the same payload a broadcast runtime filter ships).
+    val bytes = batch
+      .select(call_function("graft_bloom_agg", xxhash64(col(hkCol))).as("__bf"))
+      .head.getAs[Array[Byte]]("__bf")
+    if (bytes == null) batch // empty batch: nothing to load
+    else {
+      val pruned = stored.select(hkCol)
+        .filter(call_function("graft_might_contain", lit(bytes), xxhash64(col(hkCol))))
+      batch.join(pruned, Seq(hkCol), "left_anti")
+    }
+  }
+
   /** Two-phase salted aggregation: count/sum per key with bounded reducer
     * fan-in. The salt derives from a hash of the value column, so results
     * are deterministic and identical to the unsalted aggregation.

@@ -20,6 +20,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_min"),
       new ExpressionInfo(classOf[RollingHashMin].getName, "graft_rolling_min"),
       (children: Seq[Expression]) => RollingHashMin(children.head)))
+    // Bloom-filter build/probe for join pre-filtering (Scale.bloomPruned):
+    // the same Catalyst pair Spark's own InjectRuntimeFilter plans, exposed
+    // as session functions so load paths can place the filter explicitly.
+    // Callers pass xxhash64(key) on both sides.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(children.head)
+          .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(CosineSelfFold)
   }
 }

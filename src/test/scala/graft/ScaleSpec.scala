@@ -18,6 +18,23 @@ class ScaleSpec extends SparkSpec {
     assert(inc.count() == 0) // same keys -> nothing new
   }
 
+  test("bloom-prefiltered anti-join prunes the stored side and keeps the result exact") {
+    // batch = orders after 1997-06; stored = hub of all earlier orders
+    val o = Tables.load(spark, sfDir, "orders")
+    val stored = o.filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      .select(sha2(col("o_orderkey").cast("string"), 256).as("hub_order_hk")).distinct()
+    val batch = o.filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+      .select(sha2(col("o_orderkey").cast("string"), 256).as("hub_order_hk")).distinct()
+    val direct = DvBuild.hubIncrement(stored, batch, "hub_order_hk")
+    val bloomed = Scale.incrementBloomPruned(batch, stored, "hub_order_hk")
+    // identical result (bloom has no false negatives)
+    assert(bloomed.count() == direct.count())
+    assert(bloomed.exceptAll(direct).count() == 0)
+    // the bloom probe sits on the stored side before the anti-join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
+  }
+
   test("saltedSum equals the direct aggregation") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("user_id"), floor(col("value") * 1000000).cast("long").as("micros"))
