@@ -244,34 +244,88 @@ object Similarity extends QueryModule {
        |ORDER BY vec_a, vec_b""".stripMargin
 
   // -------------------------------------------------- ann_cosine_ivf
-  // IVF (inverted-file) ANN: K deterministic coarse centroids (the K
-  // lowest vec_ids), every vector assigned to its best cell, queries probe
-  // the nprobe best cells. At scale the assignment is one broadcast pass
-  // and search touches nprobe/K of the data.
+  // IVF (inverted-file) ANN with a TRAINED coarse quantizer: k-means over
+  // the corpus (seeded with the K lowest vec_ids, IvfIters Lloyd
+  // iterations), every vector assigned to its best cell, queries probe the
+  // nprobe best cells. At scale: training is IvfIters broadcast-join
+  // passes + a K*Dim aggregate to the driver per pass (the standard Spark
+  // k-means shape); search touches ~nprobe/K of the data.
+  //
+  // Determinism (Spark <-> DuckDB hash parity): embeddings quantize to
+  // BIGINT fixed-point (floor(e * 2^12) — exact in both engines since the
+  // scale is a power of two), and a centroid is its cell's element-wise
+  // integer SUM — cosine is scale-invariant, so sums serve as centroids
+  // with no division anywhere. All dot products are exact 64-bit integer
+  // arithmetic (|q| <= 2366 ⇒ no overflow below ~4e9 rows/cell); the only
+  // floats are final IEEE sqrt/divide on identical integers, and ties
+  // break on cent_id. The oracle twin unrolls the same two Lloyd
+  // iterations as SQL CTEs.
   private val IvfK = 16
   private val NProbe = 2
   private val IvfTopK = 3
+  private val IvfScale = 4096L
+  private val IvfIters = 2
+
+  private val qExpr =
+    s"transform(embedding, e -> cast(floor(cast(e as double) * $IvfScale) as bigint))"
+
+  private def dotQ(a: String, b: String): String =
+    s"aggregate(sequence(1, $Dim), cast(0 as bigint), (acc, d) -> acc + element_at($a, d) * element_at($b, d))"
+
+  /** Integer-dot similarity ordering key: dot(q, qc)/|qc| (the row's own
+    * norm is constant within its argmax partition, so it drops out).
+    */
+  private def simCol: Column =
+    expr(dotQ("q", "qc")).cast("double") / sqrt(expr(dotQ("qc", "qc")).cast("double"))
+
+  /** Quantized corpus, cached: (vec_id, embedding float[], q bigint[]). */
+  private def qVecs(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("embedding"), expr(qExpr).as("q"))
+
+  /** Trained centroids as (cent_id, integer-sum vector): IvfIters Lloyd
+    * iterations; each pass is one distributed assignment + one (cell, dim)
+    * aggregate — only K*Dim integers come back to the driver.
+    */
+  def ivfCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+    import s.implicits._
+    val vecs = qVecs(s, dir).cache()
+    var cents: Seq[(Long, Seq[Long])] = vecs.filter(col("vec_id") < IvfK)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toSeq)).toSeq
+    for (_ <- 1 to IvfIters) {
+      val cdf = broadcast(cents.toDF("cent_id", "qc"))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+      val assigned = vecs.join(cdf, lit(true))
+        .select(col("vec_id"), col("q"), col("cent_id"), simCol.as("sim"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("q"), col("cent_id").as("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("cell", "d").agg(sum("v").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cell, rows) =>
+        (cell, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+    }
+    cents
+  }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = vecs.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    // cell assignment: best centroid per vector
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = vecs.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        graftCosine(col("embedding"), col("ce")).as("ccos"))
+    import s.implicits._
+    val vecs = qVecs(s, dir).cache()
+    val cdf = broadcast(ivfCentroids(s, dir).toDF("cent_id", "qc"))
+    // cell assignment: best trained centroid per vector
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+    val assigned = vecs.join(cdf, lit(true))
+      .select(col("vec_id"), col("embedding"), col("q"), col("cent_id"), simCol.as("sim"))
       .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      .cache()
     // queries probe their NProbe closest cells
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cent_id"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))
     val probes = vecs.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qe"), col("cent_id"),
-        graftCosine(col("qe"), col("ce")).as("qcos"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("q"))
+      .join(cdf, lit(true))
+      .select(col("query_id"), col("qe"), col("cent_id"), simCol.as("sim"))
       .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= NProbe)
       .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -284,28 +338,69 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Public face of the trained assignment — SimilaritySpec asserts cell
+    * balance (max cell <= 4x mean) on it.
+    */
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = qVecs(s, dir)
+    val cdf = broadcast(ivfCentroids(s, dir).toDF("cent_id", "qc"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
+    vecs.join(cdf, lit(true))
+      .select(col("vec_id"), col("q"), col("cent_id"), simCol.as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  // SQL twin: the same two Lloyd iterations unrolled as CTEs over the same
+  // integer fixed-point arithmetic.
+  private def dotQDuck(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $Dim), d -> $a[d] * $b[d])) AS BIGINT)"
+
+  private def simDuck(q: String, qc: String): String =
+    s"CAST(${dotQDuck(q, qc)} AS DOUBLE) / sqrt(CAST(${dotQDuck(qc, qc)} AS DOUBLE))"
+
+  /** Assignment CTE body: best cell in `cents` for every row of `vecs`. */
+  private def assignDuck(vecsCte: String, centsCte: String): String =
+    s"""SELECT vec_id, embedding, q, cell FROM (
+       |    SELECT v.vec_id, v.embedding, v.q, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${simDuck("v.q", "c.qc")} DESC, c.cent_id) AS rk
+       |    FROM $vecsCte v CROSS JOIN $centsCte c) t WHERE rk = 1""".stripMargin
+
+  private def resumDuck(assignCte: String): String =
+    s"""SELECT cell AS cent_id, list(sv ORDER BY d) AS qc FROM (
+       |    SELECT a.cell, dd.d, CAST(sum(a.q[dd.d]) AS BIGINT) AS sv
+       |    FROM $assignCte a CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d) dd
+       |    GROUP BY a.cell, dd.d) s GROUP BY cell""".stripMargin
+
   private val annIvfSql =
     s"""WITH vecs AS (
-       |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM vecs WHERE vec_id < $IvfK),
-       |assigned AS (
-       |  SELECT vec_id, embedding, nrm, cell FROM (
-       |    SELECT v.vec_id, v.embedding, v.nrm, c.cent_id AS cell,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${dotDuck("v.embedding", "c.ce")} / (sqrt(v.nrm) * sqrt(c.cn)) DESC, c.cent_id) AS rk
-       |    FROM vecs v CROSS JOIN cents c) t WHERE rk = 1),
+       |  SELECT vec_id, embedding,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q,
+       |         ${dotDuck("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, q AS qc FROM vecs WHERE vec_id < $IvfK),
+       |a1 AS (${assignDuck("vecs", "c0")}),
+       |c1 AS (${resumDuck("a1")}),
+       |a2 AS (${assignDuck("vecs", "c1")}),
+       |c2 AS (${resumDuck("a2")}),
+       |assigned AS (${assignDuck("vecs", "c2")}),
        |probes AS (
        |  SELECT query_id, qe, qn, cell FROM (
        |    SELECT v.vec_id AS query_id, v.embedding AS qe, v.nrm AS qn, c.cent_id AS cell,
        |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${dotDuck("v.embedding", "c.ce")} / (sqrt(v.nrm) * sqrt(c.cn)) DESC, c.cent_id) AS rk
-       |    FROM vecs v CROSS JOIN cents c WHERE v.vec_id % $QueryMod = 0) t WHERE rk <= $NProbe),
+       |             ORDER BY ${simDuck("v.q", "c.qc")} DESC, c.cent_id) AS rk
+       |    FROM vecs v CROSS JOIN c2 c WHERE v.vec_id % $QueryMod = 0) t WHERE rk <= $NProbe),
+       |withnrm AS (
+       |  SELECT a.vec_id, a.embedding, a.cell, v.nrm
+       |  FROM assigned a JOIN vecs v ON v.vec_id = a.vec_id),
        |ranked AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
        |         ${dotDuck("p.qe", "a.embedding")} / (sqrt(p.qn) * sqrt(a.nrm)) AS cosine,
        |         row_number() OVER (PARTITION BY p.query_id
        |           ORDER BY ${dotDuck("p.qe", "a.embedding")} / (sqrt(p.qn) * sqrt(a.nrm)) DESC, a.vec_id) AS rank
-       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |  FROM probes p JOIN withnrm a ON a.cell = p.cell AND a.vec_id <> p.query_id)
        |SELECT query_id, rank, neighbor_id, cell, cosine
        |FROM ranked WHERE rank <= $IvfTopK
        |ORDER BY query_id, rank""".stripMargin

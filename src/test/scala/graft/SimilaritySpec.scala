@@ -51,6 +51,13 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("trained IVF cells are balanced (max cell <= 4x mean)") {
+    val cells = Similarity.ivfAssignments(spark, sfDir)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val mean = cells.sum.toDouble / cells.length
+    assert(cells.max <= 4 * mean, s"max=${cells.max} mean=$mean cells=${cells.toSeq}")
+  }
+
   test("ann candidates share the query's bucket") {
     val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
     assert(ann.count() > 0)
