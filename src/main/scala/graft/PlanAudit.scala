@@ -16,7 +16,8 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.nonEmpty) args.toSet
-      else Set("q5_local_supplier", "q1_pricing_summary", "dv_hub_customer", "knn_cosine", "dedup_minhash_lsh")
+      else Set("q5_local_supplier", "q1_pricing_summary", "dv_hub_customer", "knn_cosine",
+        "dedup_minhash_lsh", "dedup_embed_cosine", "ann_cosine_ivf")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(

@@ -71,6 +71,27 @@ object DvSqlGen {
        |WHERE o_orderkey_bk NOT IN (SELECT o_orderkey_bk FROM existing)
        |ORDER BY hub_order_hk""".stripMargin
 
+  /** Incremental satellite demo: "existing" = (hk, hd) attribute versions
+    * observed before the cutoff; batch = all versions; only version pairs
+    * first seen after the cutoff load (the reference's sat anti-join on
+    * (hk, hd), dv_loader.rs:339-346).
+    */
+  def satIncrSql(cutoff: String, loadTs: String = LoadTs): String =
+    s"""WITH v AS (
+       |  SELECT ${dvHashSql(Seq("CAST(user_id AS VARCHAR)"))} AS hub_user_hk,
+       |         ${dvHashSql(Seq("props"))} AS sat_user_hd,
+       |         CAST(user_id AS VARCHAR) AS user_id_bk, props, epoch_ms(ts) AS tms
+       |  FROM events),
+       |existing AS (SELECT DISTINCT hub_user_hk, sat_user_hd FROM v WHERE tms < epoch_ms(TIMESTAMP '$cutoff')),
+       |batch AS (SELECT DISTINCT hub_user_hk, sat_user_hd, user_id_bk, props FROM v)
+       |SELECT b.hub_user_hk, '$loadTs' AS load_ts, 'source.events' AS record_source,
+       |       b.sat_user_hd, b.user_id_bk, b.props
+       |FROM batch b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM existing e
+       |  WHERE e.hub_user_hk = b.hub_user_hk AND e.sat_user_hd = b.sat_user_hd)
+       |ORDER BY hub_user_hk, sat_user_hd""".stripMargin
+
   def scd2EventsSql: String =
     s"""WITH versions AS (
        |  SELECT user_id, props, min(epoch_ms(ts)) AS first_seen_ms, count(*) AS n_obs

@@ -35,6 +35,31 @@ object DataVault extends QueryModule {
       .orderBy("hub_order_hk")
   }
 
+  /** Incremental satellite load over the event feed: only (hash-key,
+    * hash-diff) attribute versions absent before the cutoff insert —
+    * DvBuild.satIncrement as an oracle-checked operator.
+    */
+  private val SatIncrCutoff = "2024-01-15 00:00:00"
+
+  private def satIncr(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "events")
+      .withColumn("tms", expr("ts div 1000000"))
+      .select(
+        dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
+        dvHash(Seq(col("props"))).as("sat_user_hd"),
+        col("user_id").cast("string").as("user_id_bk"),
+        col("props"), col("tms"))
+    val cutoffMs = java.time.LocalDateTime.parse(SatIncrCutoff.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val existing = v.filter(col("tms") < cutoffMs).select("hub_user_hk", "sat_user_hd").distinct()
+    val batch = v.select("hub_user_hk", "sat_user_hd", "user_id_bk", "props").distinct()
+    DvBuild.satIncrement(existing, batch, "hub_user_hk", "sat_user_hd")
+      .select(col("hub_user_hk"), lit(DvDefaults.LoadTs).as("load_ts"),
+        lit("source.events").as("record_source"),
+        col("sat_user_hd"), col("user_id_bk"), col("props"))
+      .orderBy("hub_user_hk", "sat_user_hd")
+  }
+
   private def health(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     val ords = Tables.load(s, dir, "orders")
@@ -116,6 +141,7 @@ object DataVault extends QueryModule {
     QueryDef("dv_link_lineitem",
       (s, d) => DvBuild.link(s, d, linkLineitem), Some(DvSqlGen.linkSql(linkLineitem))),
     QueryDef("dv_hub_incr", hubIncr, Some(DvSqlGen.hubIncrSql())),
+    QueryDef("dv_sat_incr", satIncr, Some(DvSqlGen.satIncrSql(SatIncrCutoff))),
     QueryDef("dv_sat_scd2_events",
       (s, d) => DvBuild.scd2FromEvents(s, d), Some(DvSqlGen.scd2EventsSql)),
     QueryDef("dv_ghost_records", ghosts, Some(DvSqlGen.ghostsSql(hubs))),

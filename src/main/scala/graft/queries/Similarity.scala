@@ -221,6 +221,14 @@ object Similarity extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** LSH bucket assignment (vec_id, bucket) — SimilaritySpec uses it to
+    * recompute the exact best-in-bucket neighbor independently of annLsh's
+    * join/window machinery.
+    */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("embedding"),
+      expr(bucketExpr("embedding")).as("bucket"))
+
   /** The exact all-pairs form — the oracle twin of embedDedup and the
     * ground truth SimilaritySpec measures banding recall against. Test-only
     * on the Spark side: the executed operator is the banded equi-join.
