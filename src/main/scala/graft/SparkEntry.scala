@@ -10,6 +10,7 @@ object SparkEntry {
   /** Operator registry (SURVEY.md §2). */
   def modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.Analytics,
+    _root_.graft.queries.Analytics2,
     _root_.graft.queries.DataVault,
     _root_.graft.queries.Text,
     _root_.graft.queries.Dedup,

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.B (continued) — the second tranche of warehouse queries:
+  * the remaining TPC-H forms expressible over the reduced star schema
+  * (no partsupp / shipmode / phone columns in the testdata, so q12/q19/q22
+  * are the standard adaptations on the columns that exist).
+  *
+  * Same determinism rules as Analytics (SURVEY.md §5): decimal-first money
+  * arithmetic, date comparisons on CAST-to-DATE, a full deterministic
+  * ORDER BY on every result.
+  */
+object Analytics2 extends QueryModule {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val one: Column = lit(new java.math.BigDecimal("1.00"))
+  private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def discPrice: Column = dec2(col("l_extendedprice")) * (one - pct(col("l_discount")))
+
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
+
+  // ------------------------------------------------- q6_forecast_revenue
+  // Pure scan + filter + single aggregate: the pushdown showcase — every
+  // predicate reaches the parquet scan, no shuffle beyond the final 1-row
+  // partial-agg merge.
+  private def q6(s: SparkSession, dir: String): DataFrame = {
+    li(s, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * pct(col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  private val q6Sql = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24"""
+
+  // ------------------------------------------------- q7_volume_shipping
+  // Bidirectional nation-pair trade volume by year. Dims broadcast;
+  // the only real shuffle is lineitem->orders.
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"), col("s_nationkey").as("snk"))
+    val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"), col("c_nationkey").as("cnk"))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    li(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("snk").isin(1, 2, 3) && col("cnk").isin(1, 2, 3) && col("snk") =!= col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(to_date(col("l_shipdate"))).as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(CAST(l_shipdate AS DATE)) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_nationkey IN (1, 2, 3) AND cn.n_nationkey IN (1, 2, 3)
+      AND sn.n_nationkey <> cn.n_nationkey
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  // ------------------------------------------------- q10_returned_item
+  // Customers who returned goods, ranked by lost revenue (top 20). The
+  // limit is safe: revenue is an exact decimal sum (ties impossible to
+  // differ across engines) and the ORDER BY is total.
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("o_orderdate")) < lit("1996-04-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val c = Tables.load(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    li(s, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  // ------------------------------------------------ q12_late_shipments
+  // q12 adapted to the reduced schema (no l_shipmode/commitdate): per order
+  // priority, lines shipped more than 90 days after the order date vs on
+  // time — the same join + conditional-count shape.
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li(s, dir).join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90)
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(!col("late"), 1L).otherwise(0L)).as("n_ontime"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q12Sql = """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 90 THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  // -------------------------------------------------- q14_promo_effect
+  // Promo revenue share for one month: two exact decimal sums, one final
+  // IEEE division — the conditional-aggregate ratio form.
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+    li(s, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-03-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(new java.math.BigDecimal("0.00"))))
+          .cast("double") * 100.0 /
+        sum(discPrice).cast("double")).as("promo_revenue_pct"))
+  }
+
+  private val q14Sql = """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST('0.00' AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'"""
+
+  // -------------------------------------------------- q15_top_supplier
+  // Supplier(s) with the maximum quarterly revenue — the "view + max"
+  // form, decorrelated as an unpartitioned window max over the per-supplier
+  // aggregate (a few thousand rows at any SF; the detail scan stays
+  // distributed). Equality on exact decimals, so ties are engine-stable.
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = li(s, dir)
+      .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+        to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("rev_dec"))
+    val withMax = rev.withColumn("max_rev", max(col("rev_dec")).over(Window.partitionBy()))
+    val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+    withMax.filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql = """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  // ------------------------------------------------ q19_brand_revenue
+  // Disjunctive multi-attribute predicate (brand x size x quantity bands)
+  // — the OR-of-ANDs pushdown form, adapted to the columns that exist.
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val joined = li(s, dir).join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3")  && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    joined.filter(bands)
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"""
+
+  // ------------------------------------------------ q22_idle_customers
+  // q22 adapted (no phone column): per selected nation, customers with an
+  // above-average positive balance and no orders since 2001 (lapsed). The
+  // threshold compare is exact integer/decimal arithmetic (bal * n > total)
+  // — no double average anywhere, so the boundary set is engine-stable.
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(11, 13, 15, 17).map(_.toString)
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_nationkey").isin(nations: _*) && col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), col("c_nationkey"), dec2(col("c_acctbal")).as("bal"))
+    val avgStats = c.agg(count(lit(1)).as("n_pos"), sum(col("bal")).as("total_bal"))
+    val o = Tables.load(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit("2001-01-01").cast("date"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgStats))
+      .filter(col("bal") * col("n_pos") > col("total_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q22Sql = """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+      WHERE c_nationkey IN (11, 13, 15, 17) AND c_acctbal > 0.0),
+    stats AS (SELECT count(*) AS n_pos, sum(bal) AS total_bal FROM pos)
+    SELECT c_nationkey, count(*) AS numcust, CAST(sum(bal) AS DOUBLE) AS totacctbal
+    FROM pos, stats
+    WHERE bal * n_pos > total_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
+    QueryDef("q10_returned_item", q10, Some(q10Sql)),
+    QueryDef("q12_late_shipments", q12, Some(q12Sql)),
+    QueryDef("q14_promo_effect", q14, Some(q14Sql)),
+    QueryDef("q15_top_supplier", q15, Some(q15Sql)),
+    QueryDef("q19_brand_revenue", q19, Some(q19Sql)),
+    QueryDef("q22_idle_customers", q22, Some(q22Sql))
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.Analytics2
+import org.apache.spark.sql.functions._
+
+class Analytics2Spec extends SparkSpec {
+
+  test("every tranche-2 analytics query runs and returns rows on sf0.001") {
+    Analytics2.defs.foreach { d =>
+      val out = d.run(spark, sfDir)
+      assert(out.count() > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("q12 late + ontime counts sum to the joined line count") {
+    val q12 = Analytics2.defs.find(_.name == "q12_late_shipments").get.run(spark, sfDir)
+    val total = q12.agg(sum(col("n_late") + col("n_ontime"))).collect()(0).getLong(0)
+    val l = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey")).count()
+    assert(total == joined)
+  }
+
+  test("q15 winner's revenue equals the max per-supplier revenue") {
+    val q15 = Analytics2.defs.find(_.name == "q15_top_supplier").get.run(spark, sfDir)
+    val winners = q15.collect()
+    assert(winners.nonEmpty)
+    val revs = winners.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "all winners must share the max revenue")
+  }
+
+  test("q14 promo share is a percentage in (0, 100)") {
+    val pct = Analytics2.defs.find(_.name == "q14_promo_effect").get.run(spark, sfDir)
+      .collect()(0).getAs[Double]("promo_revenue_pct")
+    assert(pct > 0.0 && pct < 100.0, s"promo pct $pct")
+  }
+
+  test("q22 selected customers all exceed the average balance") {
+    val q22 = Analytics2.defs.find(_.name == "q22_idle_customers").get.run(spark, sfDir)
+    assert(q22.count() > 0)
+    // every reported nation's average selected balance must exceed the
+    // population average of positive balances in the selected nations
+    val c = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_nationkey").isin("11", "13", "15", "17") && col("c_acctbal") > 0.0)
+    val popAvg = c.agg(avg("c_acctbal")).collect()(0).getDouble(0)
+    q22.collect().foreach { r =>
+      val avgSel = r.getAs[Double]("totacctbal") / r.getAs[Long]("numcust")
+      assert(avgSel > popAvg, s"nation ${r.get(0)}: $avgSel <= $popAvg")
+    }
+  }
+}
