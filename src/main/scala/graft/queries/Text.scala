@@ -205,8 +205,48 @@ object Text extends QueryModule {
     GROUP BY norm_sha256
     ORDER BY survivor_doc_id"""
 
+  // ---------------------------------------------------- text_tfidf
+  // Top-3 characteristic terms per document, ranked by an integer-scaled
+  // tf/df score (tf * 1e6 div df). No ln(): transcendental libm results
+  // are not bit-identical across engines, integer division is — and the
+  // ranking it induces is the same monotone tf·idf order for fixed tf.
+  // Shape at scale: one explode->groupBy for tf, one distinct-token
+  // groupBy for df (vocabulary-sized), an equi-join on the token, and a
+  // per-doc top-k window — every shuffle is on a compact key.
+  private val TfIdfTopK = 3
+
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = docs(s, dir)
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfSql = s"""
+    WITH t AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * 1000000 // df.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * 1000000 // df.df DESC, tf.term) AS rank
+      FROM tf JOIN df ON tf.term = df.term)
+    SELECT doc_id, rank, term, tf, df, CAST(score AS BIGINT) AS score
+    FROM scored WHERE rank <= $TfIdfTopK
+    ORDER BY doc_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_lang_id", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),

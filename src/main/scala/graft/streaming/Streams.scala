@@ -143,6 +143,18 @@ object Streams {
         satLoadBatch(batch.sparkSession, batch, keyCol, descCols, satPath, s"batch_$batchId")
       }
 
+  /** #43: streaming exact dedup — at-least-once event feeds collapse to
+    * exactly-once by event_id. dropDuplicatesWithinWatermark keeps dedup
+    * state only until the watermark passes the event's time, so state is
+    * bounded on an unbounded stream (plain dropDuplicates would keep every
+    * key forever — the streaming twin of dedup_exact's hash-groupBy).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Wire #40 onto a streaming DataFrame via foreachBatch. */
   def hubLoadSink(events: DataFrame, keyCol: String, hubPath: String, checkpoint: String) =
     events.writeStream

@@ -94,6 +94,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("signup_id") == 100L)
   }
 
+  test("streaming dedup drops duplicate event_ids and expires state past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    // duplicate delivery of event 1 within one batch and across batches
+    mem.addData(Ev(1, day(0, 1), 1, "click", 1.0), Ev(1, day(0, 1), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, day(0, 1), 1, "click", 1.0), Ev(2, day(0, 1, 5), 1, "view", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // events far past the watermark horizon expire the earlier state
+    mem.addData(Ev(3, day(2), 2, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(4, day(2, 1), 2, "view", 1.0))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    // ids 1 and 2 (day 0) are beyond the 1h watermark once day-2 events
+    // arrive; only the recent ids remain in state
+    assert(stateRows <= 2, s"dedup state not bounded: $stateRows rows")
+  }
+
   test("streaming hub load appends only novel keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
