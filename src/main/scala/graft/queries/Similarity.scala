@@ -277,65 +277,73 @@ object Similarity extends QueryModule {
   private val qExpr =
     s"transform(embedding, e -> cast(floor(cast(e as double) * $IvfScale) as bigint))"
 
-  private def dotQ(a: String, b: String): String =
-    s"aggregate(sequence(1, $Dim), cast(0 as bigint), (acc, d) -> acc + element_at($a, d) * element_at($b, d))"
-
-  /** Integer-dot similarity ordering key: dot(q, qc)/|qc| (the row's own
-    * norm is constant within its argmax partition, so it drops out).
-    */
-  private def simCol: Column =
-    expr(dotQ("q", "qc")).cast("double") / sqrt(expr(dotQ("qc", "qc")).cast("double"))
-
   /** Quantized corpus, cached: (vec_id, embedding float[], q bigint[]). */
   private def qVecs(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), col("embedding"), expr(qExpr).as("q"))
 
+  /** Struct array `[(sim_to_centroid, -cent_id), ...]` with centroids baked
+    * in as plan literals: cell assignment is a pure scan-local codegen
+    * projection — no join, no window, no shuffle. Struct ordering gives
+    * the (sim DESC, cent_id ASC) tie-break for free; sims are the same
+    * exact-integer dot products as before, so results are unchanged.
+    */
+  private def centSimArray(cents: Seq[(Long, Seq[Long])], qCol: String): String = {
+    val entries = cents.map { case (cid, qc) =>
+      val arr = qc.map(v => s"${v}L").mkString(", ")
+      val qcNorm = qc.map(v => BigInt(v) * BigInt(v)).sum // fits: checked below
+      require(qcNorm.isValidLong, s"centroid $cid norm overflows Long")
+      s"""named_struct(
+         |  'sim', cast(aggregate(sequence(1, $Dim), cast(0 as bigint),
+         |           (acc, d) -> acc + element_at($qCol, d) * element_at(array($arr), d)) as double)
+         |          / sqrt(cast(${qcNorm.toLong}L as double)),
+         |  'negc', ${-cid}L)""".stripMargin
+    }
+    entries.mkString("array(", ", ", ")")
+  }
+
+  /** Best cell for `qCol` (argmax sim, ties to lowest cent_id). */
+  private def bestCellExpr(cents: Seq[(Long, Seq[Long])], qCol: String): String =
+    s"-element_at(array_sort(${centSimArray(cents, qCol)}, (l, r) -> " +
+      "case when l.sim > r.sim then -1 when l.sim < r.sim then 1 " +
+      "when l.negc > r.negc then -1 when l.negc < r.negc then 1 else 0 end), 1).negc"
+
+  /** The NProbe best cells, as an array to explode on the query side. */
+  private def topCellsExpr(cents: Seq[(Long, Seq[Long])], qCol: String, n: Int): String =
+    s"transform(slice(array_sort(${centSimArray(cents, qCol)}, (l, r) -> " +
+      "case when l.sim > r.sim then -1 when l.sim < r.sim then 1 " +
+      "when l.negc > r.negc then -1 when l.negc < r.negc then 1 else 0 end), " +
+      s"1, $n), s -> -s.negc)"
+
   /** Trained centroids as (cent_id, integer-sum vector): IvfIters Lloyd
-    * iterations; each pass is one distributed assignment + one (cell, dim)
-    * aggregate — only K*Dim integers come back to the driver.
+    * iterations. Each pass is a scan-local literal-argmax assignment plus
+    * one groupBy(cell) with Dim partial sums — only K*Dim integers come
+    * back to the driver, and nothing but K*Dim partials crosses the wire.
     */
   def ivfCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
-    import s.implicits._
     val vecs = qVecs(s, dir).cache()
     var cents: Seq[(Long, Seq[Long])] = vecs.filter(col("vec_id") < IvfK)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](2).toSeq)).toSeq
     for (_ <- 1 to IvfIters) {
-      val cdf = broadcast(cents.toDF("cent_id", "qc"))
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-      val assigned = vecs.join(cdf, lit(true))
-        .select(col("vec_id"), col("q"), col("cent_id"), simCol.as("sim"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("q"), col("cent_id").as("cell"))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("q")).as(Seq("d", "v")))
-        .groupBy("cell", "d").agg(sum("v").as("sv"))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cell, rows) =>
-        (cell, rows.sortBy(_._2).map(_._3).toSeq)
-      }
+      val assigned = vecs.select(col("q"), expr(bestCellExpr(cents, "q")).as("cell"))
+      val dimSums = (1 to Dim).map(d => sum(expr(s"element_at(q, $d)")).as(s"s$d"))
+      val rows = assigned.groupBy("cell").agg(dimSums.head, dimSums.tail: _*).collect()
+      cents = rows.map(r => (r.getLong(0), (1 to Dim).map(d => r.getLong(d)).toSeq))
+        .sortBy(_._1).toSeq
     }
     cents
   }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val vecs = qVecs(s, dir).cache()
-    val cdf = broadcast(ivfCentroids(s, dir).toDF("cent_id", "qc"))
-    // cell assignment: best trained centroid per vector
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-    val assigned = vecs.join(cdf, lit(true))
-      .select(col("vec_id"), col("embedding"), col("q"), col("cent_id"), simCol.as("sim"))
-      .withColumn("rk", row_number().over(wAssign)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    // queries probe their NProbe closest cells
-    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))
+    val cents = ivfCentroids(s, dir)
+    // cell assignment: scan-local argmax against literal centroids
+    val assigned = vecs.select(col("vec_id"), col("embedding"),
+      expr(bestCellExpr(cents, "q")).as("cell"))
+    // queries probe their NProbe closest cells (explode of a 2-element array)
     val probes = vecs.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("q"))
-      .join(cdf, lit(true))
-      .select(col("query_id"), col("qe"), col("cent_id"), simCol.as("sim"))
-      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= NProbe)
-      .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(expr(topCellsExpr(cents, "q", NProbe))).as("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -350,14 +358,9 @@ object Similarity extends QueryModule {
     * balance (max cell <= 4x mean) on it.
     */
   def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val vecs = qVecs(s, dir)
-    val cdf = broadcast(ivfCentroids(s, dir).toDF("cent_id", "qc"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id"))
-    vecs.join(cdf, lit(true))
-      .select(col("vec_id"), col("q"), col("cent_id"), simCol.as("sim"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cents = ivfCentroids(s, dir)
+    vecs.select(col("vec_id"), expr(bestCellExpr(cents, "q")).as("cell"))
   }
 
   // SQL twin: the same two Lloyd iterations unrolled as CTEs over the same
