@@ -53,7 +53,7 @@ object DvGo {
     val hubsJ = hubs.map(h =>
       s"""{"name": ${q(h.name)}, "source": ${q(h.sourceTable)}, "bk_parts": [${h.bkParts.map(colJ).mkString(", ")}]}""")
     val satsJ = Seq(satCustomer, satCustomerSensitive).map(t =>
-      s"""{"name": ${q(t.name)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
+      s"""{"name": ${q(t.name)}, "source": ${q(t.sourceTable)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "bk_parts": [${t.bkParts.map(colJ).mkString(", ")}], "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
     val linksJ = Seq(linkOrders, linkLineitem).map(l =>
       s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${l.members.map(m => q(m.hubName)).mkString(", ")}]}""")
     s"""{

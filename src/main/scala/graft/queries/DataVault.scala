@@ -190,6 +190,7 @@ object DataVault extends QueryModule {
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),
     // Build-history repo: two sequential go() calls, queryable per-build
     // rows (the reference's auto_dw.build_call, lib.rs:29-35).
-    QueryDef("dv_build_history", (s, d) => DvGo.buildHistory(s, d), Some(DvGo.buildHistorySql))
+    QueryDef("dv_build_history", (s, d) => DvGo.buildHistory(s, d), Some(DvGo.buildHistorySql)),
+    QueryDef("dv_load_from_repo", (s, d) => DvLoader.loadFromRepo(s, d), Some(DvLoader.loadFromRepoSql))
   )
 }

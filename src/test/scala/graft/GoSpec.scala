@@ -53,4 +53,31 @@ class GoSpec extends SparkSpec {
     val b2 = h.filter(col("build_seq") === 2).select("object").collect().map(_.getString(0))
     assert(b2.sameElements(Array("hub_customer")))
   }
+
+  test("dv_schema.json round-trips to the typed specs") {
+    val out = Files.createTempDirectory("graft_schema_rt").toString
+    Files.writeString(Paths.get(s"$out/dv_schema.json"), DvGo.planJson("rt"))
+    val ref = DvLoader.readSchema(spark, out)
+    assert(ref.hubs.toSet == DvPlanner.hubs.toSet)
+    assert(ref.sats.map(t => (t.name, t.sourceTable, t.bkParts, t.descriptors)).toSet ==
+      Set(DvPlanner.satCustomer, DvPlanner.satCustomerSensitive)
+        .map(t => (t.name, t.sourceTable, t.bkParts, t.descriptors)))
+  }
+
+  test("schema-driven incremental load appends the missing keys, then is idempotent") {
+    val counts = DvLoader.loadFromRepo(spark, sfDir).collect()
+      .map(r => r.getAs[String]("object") -> r.getAs[Long]("n_new")).toMap
+    assert(counts("hub_customer") > 0 && counts("sat_customer") > 0)
+    // a second pass over an up-to-date repo appends nothing: seed a full
+    // repo, then load from the same source
+    val repo = Files.createTempDirectory("graft_repo_idem").toString
+    DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+      .write.mode("overwrite").parquet(s"$repo/hub_customer")
+    DvBuild.sat(spark, sfDir, DvPlanner.satCustomer)
+      .write.mode("overwrite").parquet(s"$repo/sat_customer")
+    Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("idem"))
+    val again = DvLoader.incrementalLoad(spark, sfDir, repo,
+      scope = Set("hub_customer", "sat_customer")).toMap
+    assert(again.values.forall(_ == 0L), s"second load not idempotent: $again")
+  }
 }
