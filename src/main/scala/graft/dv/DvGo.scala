@@ -54,8 +54,11 @@ object DvGo {
       s"""{"name": ${q(h.name)}, "source": ${q(h.sourceTable)}, "bk_parts": [${h.bkParts.map(colJ).mkString(", ")}]}""")
     val satsJ = Seq(satCustomer, satCustomerSensitive).map(t =>
       s"""{"name": ${q(t.name)}, "source": ${q(t.sourceTable)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "bk_parts": [${t.bkParts.map(colJ).mkString(", ")}], "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
-    val linksJ = Seq(linkOrders, linkLineitem).map(l =>
-      s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${l.members.map(m => q(m.hubName)).mkString(", ")}]}""")
+    val linksJ = Seq(linkOrders, linkLineitem).map { l =>
+      val membersJ = l.members.map(m =>
+        s"""{"hub": ${q(m.hubName)}, "parts": [${m.parts.map(colJ).mkString(", ")}]}""")
+      s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${membersJ.mkString(", ")}], "degenerate": [${l.degenerate.map(colJ).mkString(", ")}]}"""
+    }
     s"""{
        |  "build_id": ${q(buildId)},
        |  "dw_schema": "graft_dv",

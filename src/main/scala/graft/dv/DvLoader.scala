@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object DvLoader {
 
-  final case class DvSchemaRef(hubs: Seq[HubSpec], sats: Seq[SatSpec])
+  final case class DvSchemaRef(hubs: Seq[HubSpec], sats: Seq[SatSpec], links: Seq[LinkSpec])
 
   private def cols(rows: scala.collection.Seq[Row]): Seq[Col] =
     rows.map(r => Col(r.getAs[String]("name"), r.getAs[String]("type"))).toSeq
@@ -33,7 +33,13 @@ object DvLoader {
       SatSpec(t.getAs[String]("name"), t.getAs[String]("source"), t.getAs[String]("hub"),
         cols(arr(t, "bk_parts")), cols(arr(t, "descriptors")), t.getAs[Boolean]("sensitive"))
     }.toSeq
-    DvSchemaRef(hubs, sats)
+    val links = arr(row, "links").map { l =>
+      LinkSpec(l.getAs[String]("name"), l.getAs[String]("source"),
+        arr(l, "members").map(m =>
+          LinkMember(m.getAs[String]("hub"), cols(arr(m, "parts")))).toSeq,
+        cols(arr(l, "degenerate")))
+    }.toSeq
+    DvSchemaRef(hubs, sats, links)
   }
 
   /** One incremental load pass over every schema object in `scope`: batch
@@ -63,7 +69,16 @@ object DvLoader {
       novel.unpersist()
       s"sat_${t.name}" -> n
     }
-    hubLoads ++ satLoads
+    val linkLoads = schema.links.filter(l => scope(s"link_${l.name}")).map { l =>
+      val stored = s.read.parquet(s"$repoDir/link_${l.name}")
+      val batch = DvBuild.link(s, dir, l, loadTs)
+      val novel = DvBuild.hubIncrement(stored.select(l.hkName), batch, l.hkName).cache()
+      val n = novel.count()
+      novel.write.mode("append").parquet(s"$repoDir/link_${l.name}")
+      novel.unpersist()
+      s"link_${l.name}" -> n
+    }
+    hubLoads ++ satLoads ++ linkLoads
   }
 
   /** Query face: seed a repo with a partial build (customers with

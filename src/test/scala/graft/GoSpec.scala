@@ -62,6 +62,7 @@ class GoSpec extends SparkSpec {
     assert(ref.sats.map(t => (t.name, t.sourceTable, t.bkParts, t.descriptors)).toSet ==
       Set(DvPlanner.satCustomer, DvPlanner.satCustomerSensitive)
         .map(t => (t.name, t.sourceTable, t.bkParts, t.descriptors)))
+    assert(ref.links.toSet == Set(DvPlanner.linkOrders, DvPlanner.linkLineitem))
   }
 
   test("schema-driven incremental load appends the missing keys, then is idempotent") {
@@ -75,9 +76,12 @@ class GoSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$repo/hub_customer")
     DvBuild.sat(spark, sfDir, DvPlanner.satCustomer)
       .write.mode("overwrite").parquet(s"$repo/sat_customer")
+    DvBuild.link(spark, sfDir, DvPlanner.linkOrders)
+      .write.mode("overwrite").parquet(s"$repo/link_orders")
     Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("idem"))
     val again = DvLoader.incrementalLoad(spark, sfDir, repo,
-      scope = Set("hub_customer", "sat_customer")).toMap
+      scope = Set("hub_customer", "sat_customer", "link_orders")).toMap
+    assert(again.keySet == Set("hub_customer", "sat_customer", "link_orders"))
     assert(again.values.forall(_ == 0L), s"second load not idempotent: $again")
   }
 }
