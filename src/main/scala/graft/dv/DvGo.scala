@@ -29,14 +29,18 @@ object DvGo {
         "link_lineitem" -> DvBuild.link(s, dir, linkLineitem, loadTs)))
         .filter { case (name, _) => include(name) }
     // The eight objects are independent — submit their jobs concurrently
-    // (Spark's scheduler interleaves them; order of the summary is preserved).
+    // (Spark's scheduler interleaves them; order of the summary is
+    // preserved). Row counts ride on the write pass itself via observe()
+    // metrics instead of a second read of every written object.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val counts = Await.result(Future.sequence(builds.map { case (name, df) =>
       Future {
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
-        name -> s.read.parquet(s"$outDir/$name").count()
+        val obs = org.apache.spark.sql.Observation(s"go_${name}_${System.nanoTime()}")
+        df.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        name -> obs.get("n").asInstanceOf[Long]
       }
     }), Duration.Inf)
     val schemaJson = planJson(buildId)
