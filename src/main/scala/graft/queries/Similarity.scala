@@ -416,10 +416,50 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= $IvfTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------- emb_centroids
+  // Per-cluster mean embedding (the training-pipeline "centroid per
+  // cluster" aggregation), long form (cluster, dim, sum_q, n, mean).
+  // Determinism: per-dim sums are exact fixed-point BIGINTs (floor(e*2^12)
+  // — the IVF quantization), so partial-agg order can't change them; the
+  // mean is one IEEE division of exact operands. Plan shape: Dim aggregate
+  // columns with map-side combine — only Clusters*Dim partials shuffle —
+  // then a stack() to long form.
+  private val CentClusters = 8
+
+  private def embCentroids(s: SparkSession, dir: String): DataFrame = {
+    val dimSums = (1 to Dim).map(d => sum(expr(s"element_at(q, $d)")).as(s"s$d"))
+    val agg = qVecs(s, dir)
+      .withColumn("cluster", col("vec_id") % CentClusters)
+      .groupBy("cluster")
+      .agg(dimSums.head, (dimSums.tail :+ count(lit(1)).as("n")): _*)
+    val stackExpr = s"stack($Dim, " +
+      (1 to Dim).map(d => s"$d, s$d").mkString(", ") + ") as (d, sum_q)"
+    agg.select(col("cluster"), col("n"), expr(stackExpr))
+      .select(col("cluster"), col("d"), col("sum_q"),
+        col("n"), (col("sum_q").cast("double") / col("n")).as("mean_q"))
+      .orderBy("cluster", "d")
+  }
+
+  private val embCentroidsSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id % $CentClusters AS cluster,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM vecs GROUP BY cluster)
+       |SELECT v.cluster, dd.d, CAST(sum(v.q[dd.d]) AS BIGINT) AS sum_q,
+       |       any_value(n.n) AS n,
+       |       CAST(CAST(sum(v.q[dd.d]) AS BIGINT) AS DOUBLE) / any_value(n.n) AS mean_q
+       |FROM vecs v
+       |JOIN n ON n.cluster = v.cluster
+       |CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d) dd
+       |GROUP BY v.cluster, dd.d
+       |ORDER BY v.cluster, dd.d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("knn_cosine", knn, Some(knnSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
-    QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql))
+    QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
+    QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql))
   )
 }

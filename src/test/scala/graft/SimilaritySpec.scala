@@ -97,6 +97,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("emb_centroids partitions the corpus and reproduces a direct mean") {
+    val cent = Similarity.defs.find(_.name == "emb_centroids").get.run(spark, sfDir).cache()
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    // each cluster reports n once per dim; per-dim n sums to the corpus size
+    val nPerDim = cent.filter(col("d") === 1).agg(sum("n")).collect()(0).getLong(0)
+    assert(nPerDim == total)
+    // independent recomputation of cluster 0, dim 1
+    val expected = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 8 === 0)
+      .agg(sum(expr("cast(floor(cast(element_at(embedding, 1) as double) * 4096) as bigint)")))
+      .collect()(0).getLong(0)
+    val got = cent.filter(col("cluster") === 0 && col("d") === 1)
+      .collect()(0).getAs[Long]("sum_q")
+    assert(got == expected)
+  }
+
   test("ann candidates share the query's bucket") {
     val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
     assert(ann.count() > 0)
