@@ -259,8 +259,76 @@ object Analytics2 extends QueryModule {
     GROUP BY c_nationkey
     ORDER BY c_nationkey"""
 
+  // ----------------------------------------------- events_retention
+  // Daily cohort retention: users grouped by first-activity day; for each
+  // day offset k in 0..7, how many of the cohort were active again. Two
+  // aggregations and one equi-join on user_id — co-partitioned at scale.
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("tms", expr("ts div 1000000"))
+      .withColumn("day", to_date(timestamp_millis(col("tms"))))
+
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val act = ev(s, dir).select("user_id", "day").distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("d0"))
+    act.join(cohort, "user_id")
+      .withColumn("k", datediff(col("day"), col("d0")))
+      .filter(col("k").between(0, 7))
+      .groupBy(col("d0").cast("string").as("cohort_day"), col("k"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "k")
+  }
+
+  private val retentionSql = """
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohort AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id)
+    SELECT CAST(d0 AS VARCHAR) AS cohort_day, (day - d0) AS k,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    WHERE (day - d0) BETWEEN 0 AND 7
+    GROUP BY cohort_day, k
+    ORDER BY cohort_day, k"""
+
+  // ------------------------------------------------- events_funnel
+  // Strict sequential funnel view -> click -> purchase: each stage's
+  // timestamp must follow the previous stage's first occurrence. Three
+  // conditional aggregations chained by user_id equi-joins.
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select("user_id", "event_type", "tms")
+    val f1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tms").as("t1"))
+    val f2 = e.join(f1, "user_id")
+      .filter(col("event_type") === "click" && col("tms") > col("t1"))
+      .groupBy("user_id").agg(min("tms").as("t2"))
+    val f3 = e.join(f2, "user_id")
+      .filter(col("event_type") === "purchase" && col("tms") > col("t2"))
+      .groupBy("user_id").agg(min("tms").as("t3"))
+    def stageCount(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stageCount(f1, "1_view")
+      .unionByName(stageCount(f2, "2_click"))
+      .unionByName(stageCount(f3, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  private val funnelSql = """
+    WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+    f1 AS (SELECT user_id, min(tms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    f2 AS (SELECT e.user_id, min(tms) AS t2 FROM e JOIN f1 USING (user_id)
+           WHERE event_type = 'click' AND tms > t1 GROUP BY e.user_id),
+    f3 AS (SELECT e.user_id, min(tms) AS t3 FROM e JOIN f2 USING (user_id)
+           WHERE event_type = 'purchase' AND tms > t2 GROUP BY e.user_id)
+    SELECT '1_view' AS stage, CAST((SELECT count(*) FROM f1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT '2_click', CAST((SELECT count(*) FROM f2) AS BIGINT)
+    UNION ALL
+    SELECT '3_purchase', CAST((SELECT count(*) FROM f3) AS BIGINT)
+    ORDER BY stage"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("events_retention", retention, Some(retentionSql)),
+    QueryDef("events_funnel", funnel, Some(funnelSql)),
     QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
     QueryDef("q10_returned_item", q10, Some(q10Sql)),
     QueryDef("q12_late_shipments", q12, Some(q12Sql)),

@@ -35,6 +35,25 @@ class Analytics2Spec extends SparkSpec {
     assert(pct > 0.0 && pct < 100.0, s"promo pct $pct")
   }
 
+  test("funnel stage counts are monotone non-increasing") {
+    val f = Analytics2.defs.find(_.name == "events_funnel").get.run(spark, sfDir)
+      .orderBy("stage").collect().map(_.getAs[Long]("n_users"))
+    assert(f.length == 3 && f(0) >= f(1) && f(1) >= f(2) && f(0) > 0)
+  }
+
+  test("retention day-0 count equals the cohort size") {
+    val r = Analytics2.defs.find(_.name == "events_retention").get.run(spark, sfDir).cache()
+    val day0 = r.filter(col("k") === 0)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    val users = Tables.load(spark, sfDir, "events").select("user_id").distinct().count()
+    assert(day0 == users) // every user is active on their own first day
+    // retention never exceeds the cohort's day-0 size
+    val d0 = r.filter(col("k") === 0)
+      .select(col("cohort_day"), col("n_active").as("n0"))
+    val bad = r.join(d0, "cohort_day").filter(col("n_active") > col("n0")).count()
+    assert(bad == 0)
+  }
+
   test("q22 selected customers all exceed the average balance") {
     val q22 = Analytics2.defs.find(_.name == "q22_idle_customers").get.run(spark, sfDir)
     assert(q22.count() > 0)
