@@ -118,6 +118,28 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows <= 2, s"dedup state not bounded: $stateRows rows")
   }
 
+  test("file-based streaming source drives the hub load (real source, not MemoryStream)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_filesrc").toString
+    val src = s"$dir/incoming"
+    // batch 1 lands before the stream starts
+    Seq(Ev(1, day(0), 1, "a", 0), Ev(2, day(0), 2, "a", 0)).toDF()
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = Streams.hubLoadSink(stream, "user_id", s"$dir/hub", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    // batch 2 arrives as a new file while the stream runs; user 2 repeats
+    Seq(Ev(3, day(0), 2, "a", 0), Ev(4, day(0), 3, "a", 0)).toDF()
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val hub = spark.read.parquet(s"$dir/hub")
+    assert(hub.count() == 3 && hub.select("hub_hk").distinct().count() == 3)
+  }
+
   test("streaming hub load appends only novel keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
