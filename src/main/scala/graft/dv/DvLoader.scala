@@ -50,33 +50,29 @@ object DvLoader {
                       loadTs: String = DvDefaults.LoadTs,
                       scope: String => Boolean = _ => true): Seq[(String, Long)] = {
     val schema = readSchema(s, repoDir)
+    // count-of-appended rides on the write pass via an Observation — one
+    // action per object, no cache (the same pattern as DvGo.go).
+    def append(novel: DataFrame, obj: String): (String, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"load_${obj}_${System.nanoTime()}")
+      novel.observe(obs, count(lit(1)).as("n"))
+        .write.mode("append").parquet(s"$repoDir/$obj")
+      obj -> obs.get("n").asInstanceOf[Long]
+    }
     val hubLoads = schema.hubs.filter(h => scope(s"hub_${h.name}")).map { h =>
       val stored = s.read.parquet(s"$repoDir/hub_${h.name}")
       val batch = DvBuild.hub(s, dir, h, loadTs)
-      val novel = DvBuild.hubIncrement(stored.select(h.hkName), batch, h.hkName).cache()
-      val n = novel.count()
-      novel.write.mode("append").parquet(s"$repoDir/hub_${h.name}")
-      novel.unpersist()
-      s"hub_${h.name}" -> n
+      append(DvBuild.hubIncrement(stored.select(h.hkName), batch, h.hkName), s"hub_${h.name}")
     }
     val satLoads = schema.sats.filter(t => scope(s"sat_${t.name}")).map { t =>
       val stored = s.read.parquet(s"$repoDir/sat_${t.name}")
       val batch = DvBuild.sat(s, dir, t, loadTs)
-      val novel = DvBuild.satIncrement(
-        stored.select(t.hkName, t.hdName), batch, t.hkName, t.hdName).cache()
-      val n = novel.count()
-      novel.write.mode("append").parquet(s"$repoDir/sat_${t.name}")
-      novel.unpersist()
-      s"sat_${t.name}" -> n
+      append(DvBuild.satIncrement(stored.select(t.hkName, t.hdName), batch, t.hkName, t.hdName),
+        s"sat_${t.name}")
     }
     val linkLoads = schema.links.filter(l => scope(s"link_${l.name}")).map { l =>
       val stored = s.read.parquet(s"$repoDir/link_${l.name}")
       val batch = DvBuild.link(s, dir, l, loadTs)
-      val novel = DvBuild.hubIncrement(stored.select(l.hkName), batch, l.hkName).cache()
-      val n = novel.count()
-      novel.write.mode("append").parquet(s"$repoDir/link_${l.name}")
-      novel.unpersist()
-      s"link_${l.name}" -> n
+      append(DvBuild.hubIncrement(stored.select(l.hkName), batch, l.hkName), s"link_${l.name}")
     }
     hubLoads ++ satLoads ++ linkLoads
   }
@@ -99,8 +95,18 @@ object DvLoader {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("repo-load-demo"))
     val scope = Set("hub_customer", "sat_customer")
-    incrementalLoad(s, dir, repo, scope = scope)
-      .toDF("object", "n_new").orderBy("object")
+    val counts = incrementalLoad(s, dir, repo, scope = scope)
+    // counts are materialized; the seeded repo is no longer needed
+    deleteRecursively(java.nio.file.Paths.get(repo))
+    counts.toDF("object", "n_new").orderBy("object")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Oracle twin: the appended counts from source cardinality. */

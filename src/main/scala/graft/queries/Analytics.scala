@@ -15,19 +15,7 @@ import org.apache.spark.sql.types.DecimalType
   * averages are a single IEEE division of exact operands; timestamps are
   * compared/emitted as epoch-millis BIGINTs or yyyy-MM-dd strings.
   */
-object Analytics extends QueryModule {
-
-  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  /** Exact decimal "1.00" so 1-x / 1+x keeps tight precision in both engines. */
-  private val one: Column = lit(new java.math.BigDecimal("1.00"))
-  private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
-  /** ep*(1-disc) with decimal-first arithmetic: base casts of clean 2-decimal
-    * doubles are unambiguous; all later arithmetic is exact, so Spark and the
-    * DuckDB oracle agree bit-for-bit (casting *computed* doubles to decimal
-    * does NOT — the engines' rounding of the binary expansion differs).
-    */
-  private def discPrice: Column = dec2(col("l_extendedprice")) * (one - pct(col("l_discount")))
-  private def charge: Column = discPrice * (one + pct(col("l_tax")))
+object Analytics extends QueryModule with MoneyArithmetic {
 
   /** lineitem with l_shipdate usable as date. */
   private def li(s: SparkSession, dir: String): DataFrame =

@@ -15,12 +15,7 @@ import org.apache.spark.sql.types.DecimalType
   * arithmetic, date comparisons on CAST-to-DATE, a full deterministic
   * ORDER BY on every result.
   */
-object Analytics2 extends QueryModule {
-
-  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  private val one: Column = lit(new java.math.BigDecimal("1.00"))
-  private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
-  private def discPrice: Column = dec2(col("l_extendedprice")) * (one - pct(col("l_discount")))
+object Analytics2 extends QueryModule with MoneyArithmetic {
 
   private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
 
@@ -209,7 +204,7 @@ object Analytics2 extends QueryModule {
     val bands =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
-      (col("p_brand") === "Brand#3")  && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+      (col("p_brand") === "Brand#3"  && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
     joined.filter(bands)
       .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
   }
