@@ -320,8 +320,27 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     SELECT '3_purchase', CAST((SELECT count(*) FROM f3) AS BIGINT)
     ORDER BY stage"""
 
+  // --------------------------------------------- events_approx_stats
+  // The sketch path for 100 TB: HyperLogLog++ distinct users and KLL-style
+  // approximate quantiles per day — what replaces exact countDistinct /
+  // percentile when the data no longer fits a sort. Sketches are
+  // mergeable, so partial aggregation stays map-side. No DuckDB oracle
+  // (sketch implementations differ across engines by design); the driver
+  // records a rows-only check and Analytics2Spec pins the error bounds
+  // against the exact answers.
+  private def approxStats(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id", 0.02).as("approx_users"),
+        expr("percentile_approx(value, 0.5, 10000)").as("approx_p50"),
+        expr("percentile_approx(value, 0.9, 10000)").as("approx_p90"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("events_approx_stats", approxStats, None),
     QueryDef("events_retention", retention, Some(retentionSql)),
     QueryDef("events_funnel", funnel, Some(funnelSql)),
     QueryDef("q7_volume_shipping", q7, Some(q7Sql)),
