@@ -17,7 +17,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.nonEmpty) args.toSet
       else Set("q5_local_supplier", "q1_pricing_summary", "dv_hub_customer", "knn_cosine",
-        "dedup_minhash_lsh", "dedup_embed_cosine", "ann_cosine_ivf")
+        "dedup_minhash_lsh", "dedup_embed_cosine", "ann_cosine_ivf",
+        "q6_forecast_revenue", "q10_returned_item", "text_tfidf", "events_retention")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(
