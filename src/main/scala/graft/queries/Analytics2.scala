@@ -338,8 +338,116 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
       .orderBy("day")
   }
 
+  // -------------------------------------------------- q8_market_share
+  // National market share: of ASIA-region customers' PROMO-part revenue,
+  // the fraction supplied by NATION_1, by order year. Share = one IEEE
+  // division of two exact decimal sums.
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.load(s, dir, "nation")
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").select(col("n_nationkey"))
+    val cust = Tables.load(s, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val promo = Tables.load(s, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li(s, dir)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
+      .agg((sum(when(col("s_nationkey") === 1, discPrice)
+          .otherwise(lit(new java.math.BigDecimal("0.00")))).cast("double") /
+        sum(discPrice).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql = """
+    SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+           CAST(sum(CASE WHEN s_nationkey = 1
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE CAST('0.00' AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_type = 'PROMO')
+      AND EXISTS (SELECT 1 FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+    GROUP BY o_year
+    ORDER BY o_year"""
+
+  // ------------------------------------------------ q9_product_profit
+  // Q9 adapted (no partsupp.ps_supplycost): cost proxied by the part's
+  // retail price per unit. Profit = disc revenue - qty*retailprice, all
+  // exact decimal, grouped by supplier nation and order year.
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val p = Tables.load(s, dir, "part").select("p_partkey", "p_retailprice")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    li(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(to_date(col("o_orderdate"))).as("o_year"))
+      .agg(sum(discPrice - dec2(col("l_quantity")) * dec2(col("p_retailprice")))
+        .cast("double").as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  private val q9Sql = """
+    SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year"""
+
+  // -------------------------------------------------- win_order_gaps
+  // lead/lag window form: inter-order gap per customer (orders sorted by
+  // date then key), aggregated to mean gap for repeat customers.
+  private def orderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap", datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))))
+      .filter(col("gap").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_gap_days"),
+        (sum("gap").cast("double") / count(lit(1))).as("avg_gap_days"))
+      .orderBy("o_custkey")
+  }
+
+  private val orderGapsSql = """
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) - CAST(lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS gap
+      FROM orders)
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_days,
+           CAST(CAST(sum(gap) AS BIGINT) AS DOUBLE) / count(*) AS avg_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY o_custkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("q8_market_share", q8, Some(q8Sql)),
+    QueryDef("q9_product_profit", q9, Some(q9Sql)),
+    QueryDef("win_order_gaps", orderGaps, Some(orderGapsSql)),
     QueryDef("events_approx_stats", approxStats, None),
     QueryDef("events_retention", retention, Some(retentionSql)),
     QueryDef("events_funnel", funnel, Some(funnelSql)),

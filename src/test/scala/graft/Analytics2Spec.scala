@@ -76,6 +76,27 @@ class Analytics2Spec extends SparkSpec {
     }
   }
 
+  test("q8 market shares are fractions; q9 covers every nation") {
+    val shares = Analytics2.defs.find(_.name == "q8_market_share").get.run(spark, sfDir)
+      .collect().map(_.getAs[Double]("mkt_share"))
+    assert(shares.nonEmpty && shares.forall(v => v >= 0.0 && v <= 1.0))
+    val nations = Analytics2.defs.find(_.name == "q9_product_profit").get.run(spark, sfDir)
+      .select("nation").distinct().count()
+    val expected = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select("s_nationkey").distinct().count()
+    assert(nations == expected && nations > 0)
+  }
+
+  test("win_order_gaps: gap count per customer is orders-1") {
+    val gaps = Analytics2.defs.find(_.name == "win_order_gaps").get.run(spark, sfDir)
+    val totalGaps = gaps.agg(sum("n_gaps")).collect()(0).getLong(0)
+    val o = Tables.load(spark, sfDir, "orders")
+    val orders = o.count()
+    val customers = o.select("o_custkey").distinct().count()
+    assert(totalGaps == orders - customers)
+  }
+
   test("q22 selected customers all exceed the average balance") {
     val q22 = Analytics2.defs.find(_.name == "q22_idle_customers").get.run(spark, sfDir)
     assert(q22.count() > 0)
