@@ -37,8 +37,13 @@ object DvBuild {
   }
 
   /** Hub load: distinct canonical business keys, hash key, ghosts. */
-  def hub(s: SparkSession, dir: String, spec: HubSpec, loadTs: String = LoadTs): DataFrame = {
-    val src = Tables.load(s, dir, spec.sourceTable)
+  def hub(s: SparkSession, dir: String, spec: HubSpec, loadTs: String = LoadTs): DataFrame =
+    hubFrom(s, Tables.load(s, dir, spec.sourceTable), spec, loadTs)
+
+  /** Hub frame from an arbitrary source slice (a streaming micro-batch or
+    * a filtered subset) — the dir-based form delegates here.
+    */
+  def hubFrom(s: SparkSession, src: DataFrame, spec: HubSpec, loadTs: String = LoadTs): DataFrame = {
     val keys = src.select(spec.bkParts.map(p => canonAs(p, s"${p.name}_bk")): _*).distinct()
     val hk = dvHash(spec.bkParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)
     val main = keys.select(
@@ -51,8 +56,11 @@ object DvBuild {
     * raw descriptor columns carried (dv_loader.rs:325-357). Insert-only
     * SCD2: one row per distinct (hk, hd).
     */
-  def sat(s: SparkSession, dir: String, spec: SatSpec, loadTs: String = LoadTs): DataFrame = {
-    val src = Tables.load(s, dir, spec.sourceTable)
+  def sat(s: SparkSession, dir: String, spec: SatSpec, loadTs: String = LoadTs): DataFrame =
+    satFrom(Tables.load(s, dir, spec.sourceTable), spec, loadTs)
+
+  /** Satellite frame from an arbitrary source slice. */
+  def satFrom(src: DataFrame, spec: SatSpec, loadTs: String = LoadTs): DataFrame = {
     val hk = dvHash(spec.bkParts.map(p => canon(col(p.name), p.typeName))).as(spec.hkName)
     val hd = dvHash(spec.descriptors.map(d => canon(col(d.name), d.typeName))).as(spec.hdName)
     src.select((hk +: hd +: spec.descriptors.map(d => col(d.name))): _*)

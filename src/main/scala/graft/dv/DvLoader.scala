@@ -77,6 +77,43 @@ object DvLoader {
     hubLoads ++ satLoads ++ linkLoads
   }
 
+  /** Streaming continuous load — the reference's background-worker refresh
+    * loop (controller/bgw_init.rs) re-expressed: every micro-batch of
+    * `tableName` source rows runs the schema-driven increments for each
+    * vault object that table feeds. Ghost records insert on the first
+    * batch and are anti-joined away afterwards, exactly like the batch
+    * path.
+    */
+  def streamTableLoadBatch(s: SparkSession, batch: DataFrame, tableName: String,
+                           repoDir: String, loadTs: String): Unit = {
+    val schema = readSchema(s, repoDir)
+    // first micro-batch of a fresh repo: nothing stored yet -> full insert
+    def novelAgainst(path: String, keys: Seq[String], b: DataFrame): DataFrame =
+      try {
+        val stored = s.read.parquet(path).select(keys.head, keys.tail: _*)
+        b.join(stored, keys, "left_anti")
+      } catch { case _: org.apache.spark.sql.AnalysisException => b }
+    schema.hubs.filter(_.sourceTable == tableName).foreach { h =>
+      novelAgainst(s"$repoDir/hub_${h.name}", Seq(h.hkName),
+        DvBuild.hubFrom(s, batch, h, loadTs))
+        .write.mode("append").parquet(s"$repoDir/hub_${h.name}")
+    }
+    schema.sats.filter(_.sourceTable == tableName).foreach { t =>
+      novelAgainst(s"$repoDir/sat_${t.name}", Seq(t.hkName, t.hdName),
+        DvBuild.satFrom(batch, t, loadTs))
+        .write.mode("append").parquet(s"$repoDir/sat_${t.name}")
+    }
+  }
+
+  /** Wire the continuous load onto a streaming source of `tableName` rows. */
+  def streamTableLoadSink(rows: DataFrame, tableName: String, repoDir: String,
+                          checkpoint: String) =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamTableLoadBatch(batch.sparkSession, batch, tableName, repoDir, s"batch_$batchId")
+      }
+
   /** Query face: seed a repo with a partial build (customers with
     * custkey % 5 != 0), then run the schema-driven load from the full
     * source — the appended counts are exactly the % 5 == 0 remainder, which

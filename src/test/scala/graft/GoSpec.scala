@@ -84,4 +84,32 @@ class GoSpec extends SparkSpec {
     assert(again.keySet == Set("hub_customer", "sat_customer", "link_orders"))
     assert(again.values.forall(_ == 0L), s"second load not idempotent: $again")
   }
+
+  test("streaming continuous load converges to the batch build (bgw loop)") {
+    val tmp = Files.createTempDirectory("graft_stream_repo").toString
+    val repo = s"$tmp/repo"
+    Files.createDirectories(Paths.get(repo))
+    Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("stream"))
+    // customer rows arrive as two file chunks on a streaming source
+    val cust = Tables.load(spark, sfDir, "customer")
+    val src = s"$tmp/incoming"
+    cust.filter(col("c_custkey") % 2 === 0).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = DvLoader.streamTableLoadSink(stream, "customer", repo, s"$tmp/ckpt").start()
+    q.processAllAvailable()
+    cust.filter(col("c_custkey") % 2 === 1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed vault equals the one-shot batch build, rows and all
+    val streamedHub = spark.read.parquet(s"$repo/hub_customer")
+    val batchHub = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+    assert(streamedHub.count() == batchHub.count())
+    val diff = streamedHub.select("hub_customer_hk", "c_custkey_bk")
+      .exceptAll(batchHub.select("hub_customer_hk", "c_custkey_bk")).count()
+    assert(diff == 0)
+    val streamedSat = spark.read.parquet(s"$repo/sat_customer")
+    val batchSat = DvBuild.sat(spark, sfDir, DvPlanner.satCustomer)
+    assert(streamedSat.count() == batchSat.count())
+  }
 }
