@@ -122,9 +122,45 @@ object Multimodal extends QueryModule {
       'stub' AS format
     FROM documents ORDER BY doc_id"""
 
+  // mm_resize: decode -> bounded-box resize -> typed metadata out, all
+  // partition-wise (the real pipeline would re-encode the payload; the
+  // stub transforms the metadata with the exact scale arithmetic a
+  // thumbnailer uses). Single IEEE ops, so the oracle reproduces the
+  // integer dimensions bit-for-bit.
+  val ResizeMaxW = 128
+  val ResizeMaxH = 96
+
+  private def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[DocBlob]
+      .mapPartitions(_.map(b => resizeStub(decodeStub(b), ResizeMaxW, ResizeMaxH)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val resizeSql = s"""
+    WITH m AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             upper(hex(substr(text, 1, 4))) AS magic_hex,
+             CAST(strlen(text) % 640 AS INT) AS w,
+             CAST((strlen(text) * 7) % 480 AS INT) AS h
+      FROM documents),
+    scaled AS (
+      SELECT *, least(1.0, least(CAST($ResizeMaxW AS DOUBLE) / greatest(w, 1),
+                                 CAST($ResizeMaxH AS DOUBLE) / greatest(h, 1))) AS s
+      FROM m)
+    SELECT doc_id, n_bytes, magic_hex,
+           CAST(floor(w * s) AS INT) AS width,
+           CAST(floor(h * s) AS INT) AS height,
+           'stub_resized' AS format
+    FROM scaled ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_meta_extract", metaExtract, Some(metaExtractSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("mm_features", features, Some(featuresSql))
+    QueryDef("mm_features", features, Some(featuresSql)),
+    QueryDef("mm_resize", resize, Some(resizeSql))
   )
 }

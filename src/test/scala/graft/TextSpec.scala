@@ -34,6 +34,10 @@ class TextSpec extends SparkSpec {
     val frames = sampleFrames(DocBlob(7, ("x" * 200).getBytes("UTF-8"))).toSeq
     assert(frames.map(_.offset) == Seq(0, 64, 128))
     assert(frames.map(_.frame_no) == Seq(0, 1, 2))
+    // the end-to-end operator honors the bounding box on every row
+    val resized = run("mm_resize")
+    assert(resized.filter(col("width") > ResizeMaxW || col("height") > ResizeMaxH).count() == 0)
+    assert(resized.count() == Tables.load(spark, sfDir, "documents").count())
   }
 
   test("dedup_exact: survivors <= docs, copies sum to docs") {
