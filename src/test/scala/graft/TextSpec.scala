@@ -35,7 +35,7 @@ class TextSpec extends SparkSpec {
     assert(frames.map(_.offset) == Seq(0, 64, 128))
     assert(frames.map(_.frame_no) == Seq(0, 1, 2))
     // the end-to-end operator honors the bounding box on every row
-    val resized = run("mm_resize")
+    val resized = SparkEntry.queries("mm_resize")(spark, sfDir)
     assert(resized.filter(col("width") > ResizeMaxW || col("height") > ResizeMaxH).count() == 0)
     assert(resized.count() == Tables.load(spark, sfDir, "documents").count())
   }
