@@ -85,3 +85,35 @@ final case class QueuedClassifier(inner: Classifier, answered: Column) extends C
       .withColumn("reason", when(answered, col("reason")))
   }
 }
+
+/** A model-client-backed classifier: consumes a table of RAW model JSON
+  * responses keyed by (table, column) — the auto_dw.transformer_responses
+  * analogue — and parses the reference's response contract
+  * (prompt_template.rs:227-233: a JSON object carrying the category with
+  * "Confidence Value" and "Reason") with from_json. Columns without a
+  * response row stay NULL → 'Queued for Processing', exactly the lag
+  * behavior of the asynchronous background worker. Swapping in a live
+  * model client means only writing rows to the responses table; nothing
+  * in the status machinery changes.
+  */
+final case class JsonResponseClassifier(responses: DataFrame,
+                                        modelName: String = "json-client-v0") extends Classifier {
+  val name: String = modelName
+
+  def respond(df: DataFrame): DataFrame = {
+    val parsed = responses.select(
+      col("table_name"), col("column_name"),
+      from_json(col("response_json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "Category STRING, `Confidence Value` DOUBLE, Reason STRING")).as("r"))
+      .select(col("table_name"), col("column_name"),
+        col("r.Category").as("resp_category"),
+        col("r.`Confidence Value`").as("resp_confidence"),
+        col("r.Reason").as("resp_reason"))
+    df.join(parsed, Seq("table_name", "column_name"), "left_outer")
+      .withColumn("category", col("resp_category"))
+      .withColumn("confidence", col("resp_confidence"))
+      .withColumn("reason", col("resp_reason"))
+      .drop("resp_category", "resp_confidence", "resp_reason")
+  }
+}

@@ -36,6 +36,28 @@ class ClassifierSpec extends SparkSpec {
     assert(df.filter(!col("status_response").contains("all-desc-v0")).count() == 0)
   }
 
+  test("raw model JSON responses drive classification; missing responses queue") {
+    import spark.implicits._
+    // the transformer_responses analogue: raw model JSON per (table, column)
+    val responses = Seq(
+      ("customer", "c_custkey",
+        """{"Category": "Business Key Part", "Confidence Value": 0.92, "Reason": "Primary identifier for the customer entity."}"""),
+      ("customer", "c_name",
+        """{"Category": "Descriptor - Sensitive", "Confidence Value": 0.88, "Reason": "Personal name is PII."}"""))
+      .toDF("table_name", "column_name", "response_json")
+    val df = Classify.sourceColumnStatus(spark, sfDir,
+      classifier = JsonResponseClassifier(responses)).cache()
+    val answered = df.filter(col("table_name") === "customer" &&
+      col("column_name").isin("c_custkey", "c_name"))
+    assert(answered.filter(col("status") === "Queued for Processing").count() == 0)
+    assert(answered.filter(col("column_name") === "c_custkey")
+      .collect()(0).getAs[Double]("confidence") == 0.92)
+    // everything the model has not answered yet is queued
+    val rest = df.filter(!(col("table_name") === "customer" &&
+      col("column_name").isin("c_custkey", "c_name")))
+    assert(rest.filter(col("status") =!= "Queued for Processing").count() == 0)
+  }
+
   test("confidence threshold is configurable and flips statuses at 0.9") {
     val strict = Classify.sourceColumnStatus(spark, sfDir, threshold = 0.90)
     val default = Classify.sourceColumnStatus(spark, sfDir)
