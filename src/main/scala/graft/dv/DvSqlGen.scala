@@ -71,6 +71,33 @@ object DvSqlGen {
        |WHERE o_orderkey_bk NOT IN (SELECT o_orderkey_bk FROM existing)
        |ORDER BY hub_order_hk""".stripMargin
 
+  /** Incremental link demo: the link analogue of hubIncrSql — "existing" =
+    * customer-order relationships observed before 1998, batch = all; only
+    * link hash keys absent from the existing link insert (the reference
+    * loads links with the same WHERE hk IS NULL anti-join as hubs,
+    * dv_loader.rs:166-199).
+    */
+  def linkIncrSql(loadTs: String = LoadTs): String = {
+    val hk = dvHashSql(Seq("o_custkey_bk", "o_orderkey_bk"))
+    s"""WITH existing AS (
+       |  SELECT DISTINCT $hk AS link_orders_hk
+       |  FROM (SELECT CAST(o_custkey AS VARCHAR) AS o_custkey_bk,
+       |               CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk
+       |        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01')),
+       |batch AS (
+       |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS o_custkey_bk,
+       |                  CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk
+       |  FROM orders)
+       |SELECT $hk AS link_orders_hk, '$loadTs' AS load_ts,
+       |  'source.orders' AS record_source,
+       |  ${dvHashSql(Seq("o_custkey_bk"))} AS hub_customer_hk,
+       |  ${dvHashSql(Seq("o_orderkey_bk"))} AS hub_order_hk,
+       |  o_custkey_bk, o_orderkey_bk
+       |FROM batch
+       |WHERE $hk NOT IN (SELECT link_orders_hk FROM existing)
+       |ORDER BY link_orders_hk""".stripMargin
+  }
+
   /** Incremental satellite demo: "existing" = (hk, hd) attribute versions
     * observed before the cutoff; batch = all versions; only version pairs
     * first seen after the cutoff load (the reference's sat anti-join on

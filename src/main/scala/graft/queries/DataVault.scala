@@ -35,6 +35,30 @@ object DataVault extends QueryModule {
       .orderBy("hub_order_hk")
   }
 
+  /** Incremental link load: links append with the same hash-key anti-join
+    * as hubs (dv_loader.rs:166-199) — the relationship itself is the key,
+    * so a re-delivered (customer, order) pair never double-inserts. Same
+    * co-partitioned shuffle shape as hubIncrement: both sides hash on the
+    * link hk, and at scale the stored side is bucketed on it.
+    */
+  private def linkIncr(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def linkRows(df: DataFrame): DataFrame = df
+      .select(col("o_custkey").cast("string").as("o_custkey_bk"),
+        col("o_orderkey").cast("string").as("o_orderkey_bk"))
+      .distinct()
+      .withColumn("link_orders_hk", dvHash(Seq(col("o_custkey_bk"), col("o_orderkey_bk"))))
+    val existing = linkRows(o.filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date")))
+    val batch = linkRows(o)
+    DvBuild.hubIncrement(existing, batch, "link_orders_hk")
+      .select(col("link_orders_hk"), lit(DvDefaults.LoadTs).as("load_ts"),
+        lit("source.orders").as("record_source"),
+        dvHash(Seq(col("o_custkey_bk"))).as("hub_customer_hk"),
+        dvHash(Seq(col("o_orderkey_bk"))).as("hub_order_hk"),
+        col("o_custkey_bk"), col("o_orderkey_bk"))
+      .orderBy("link_orders_hk")
+  }
+
   /** Incremental satellite load over the event feed: only (hash-key,
     * hash-diff) attribute versions absent before the cutoff insert —
     * DvBuild.satIncrement as an oracle-checked operator.
@@ -141,6 +165,7 @@ object DataVault extends QueryModule {
     QueryDef("dv_link_lineitem",
       (s, d) => DvBuild.link(s, d, linkLineitem), Some(DvSqlGen.linkSql(linkLineitem))),
     QueryDef("dv_hub_incr", hubIncr, Some(DvSqlGen.hubIncrSql())),
+    QueryDef("dv_link_incr", linkIncr, Some(DvSqlGen.linkIncrSql())),
     QueryDef("dv_sat_incr", satIncr, Some(DvSqlGen.satIncrSql(SatIncrCutoff))),
     QueryDef("dv_sat_scd2_events",
       (s, d) => DvBuild.scd2FromEvents(s, d), Some(DvSqlGen.scd2EventsSql)),

@@ -248,9 +248,81 @@ object Dedup extends QueryModule {
        |WHERE CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------------------------- dedup_cluster
+  // Near-dup pairs are not yet a dedup decision: a cluster {a,b,c} found as
+  // pairs (a,b),(b,c) must keep ONE survivor, which needs connected
+  // components over the pair graph. Min-label propagation: every node
+  // starts labeled with itself; each round a node takes the min of its own
+  // and its neighbors' labels — one shuffle per round on the node id,
+  // converging in O(cluster diameter) rounds (near-dup clusters are tiny;
+  // the O(log n) large-star/small-star variant is the swap-in if a
+  // pathological chain ever appears at 100 TB). The loop is driver-side
+  // over ITERATIONS, never over rows.
+  private val MaxCcIters = 20
+
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prev = lblSum(labels)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxCcIters) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("lbl"))
+      val next = labels.select("id", "lbl").union(viaNbr)
+        .groupBy("id").agg(min("lbl").as("lbl")).cache()
+      val cur = lblSum(next) // labels only ever decrease: equal sum = fixpoint
+      labels.unpersist()
+      labels = next
+      converged = cur == prev
+      prev = cur
+      iters += 1
+    }
+    val assign = Docs.enriched(s, dir).select("doc_id")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))
+    val sizes = assign.groupBy("canon_id").agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+        when(col("doc_id") === col("canon_id"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  private val clusterSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($minhashSql)
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+       |), labels AS (
+       |  SELECT id, min(r) AS canon FROM reach GROUP BY id
+       |), assign AS (
+       |  SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |), sizes AS (
+       |  SELECT canon_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM assign GROUP BY canon_id
+       |)
+       |SELECT a.doc_id, a.canon_id, s.cluster_size,
+       |  CASE WHEN a.doc_id = a.canon_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
+       |FROM assign a JOIN sizes s ON s.canon_id = a.canon_id
+       |ORDER BY a.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
-    QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql))
+    QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql)),
+    QueryDef("dedup_cluster", dedupCluster, Some(clusterSql))
   )
 }

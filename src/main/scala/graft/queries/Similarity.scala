@@ -455,11 +455,53 @@ object Similarity extends QueryModule {
        |GROUP BY v.cluster, dd.d
        |ORDER BY v.cluster, dd.d""".stripMargin
 
+  // ----------------------------------------------------- emb_quantize
+  // Symmetric int8 quantization per vector (the embedding-storage shape a
+  // 100 TB corpus actually ships: 4x smaller than fp32, dot products in
+  // integer SIMD). q_i = floor(e_i * 127 / max|e|); the operator emits the
+  // per-vector quantization summary (scale + int stats) rather than 64
+  // columns. Determinism: max|e| and each q_i are single IEEE double
+  // expressions evaluated identically in both engines, and floor is exact —
+  // no round() ties to disagree on. Embarrassingly parallel scan, no
+  // shuffle at all.
+  private def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val amax = s"aggregate(sequence(1, $Dim), cast(0 as double), (acc, i) -> greatest(acc, abs(cast(element_at(embedding, i) as double))))"
+    emb(s, dir)
+      .withColumn("amax", expr(amax))
+      .withColumn("q", expr(
+        s"transform(sequence(1, $Dim), i -> cast(floor(cast(element_at(embedding, i) as double) * 127.0 / amax) as bigint))"))
+      .select(
+        col("vec_id"),
+        round(col("amax"), 6).as("max_abs"),
+        expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)").as("q_sum"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  private val embQuantizeSql =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_max(list_transform(generate_series(1, $Dim), i -> abs(CAST(embedding[i] AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT e.vec_id, b.amax,
+       |         list_transform(generate_series(1, $Dim),
+       |                        i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / b.amax) AS BIGINT)) AS qv
+       |  FROM embeddings e JOIN base b ON b.vec_id = e.vec_id)
+       |SELECT vec_id, round(amax, 6) AS max_abs,
+       |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       |       CAST(list_min(qv) AS BIGINT) AS q_min,
+       |       CAST(list_max(qv) AS BIGINT) AS q_max
+       |FROM q
+       |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("knn_cosine", knn, Some(knnSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
-    QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql))
+    QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql)),
+    QueryDef("emb_quantize", embQuantize, Some(embQuantizeSql))
   )
 }

@@ -47,7 +47,7 @@ object Text extends QueryModule {
     FROM documents ORDER BY doc_id"""
 
   // ----------------------------------------------------- text_quality
-  private def quality(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def quality(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
       .withColumn("n_words", expr("cast(size(toks) as bigint)"))
       .withColumn("n_stop", expr(s"cast(size(filter(toks, x -> x IN ${inList(StopEn)})) as bigint)"))
@@ -61,7 +61,7 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val qualitySql = s"""
+  private[queries] val qualitySql = s"""
     WITH t AS (
       SELECT doc_id, $toksDuck AS toks FROM documents),
     m AS (
@@ -81,7 +81,7 @@ object Text extends QueryModule {
     FROM r ORDER BY doc_id"""
 
   // ----------------------------------------------------- text_lang_id
-  private def langId(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def langId(s: SparkSession, dir: String): DataFrame = {
     def hits(set: Seq[String]) = s"cast(size(filter(toks, x -> x IN ${inList(set)})) as bigint)"
     docs(s, dir)
       .withColumn("hits_en", expr(hits(StopEn)))
@@ -99,7 +99,7 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val langIdSql = {
+  private[queries] val langIdSql = {
     def hits(set: Seq[String]) = s"CAST(len(list_filter(toks, x -> x IN ${inList(set)})) AS BIGINT)"
     s"""
     WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
@@ -190,7 +190,7 @@ object Text extends QueryModule {
   }
 
   // ---------------------------------------------------- dedup_exact
-  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+  private[queries] def dedupExact(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), expr("sha2(norm, 256)").as("norm_sha256"))
       .groupBy("norm_sha256")
@@ -198,7 +198,7 @@ object Text extends QueryModule {
       .select("survivor_doc_id", "n_copies", "norm_sha256")
       .orderBy("survivor_doc_id")
 
-  private val dedupExactSql = s"""
+  private[queries] val dedupExactSql = s"""
     SELECT min(doc_id) AS survivor_doc_id, count(*) AS n_copies,
            sha256($normDuck) AS norm_sha256
     FROM documents

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the curation composites, dedup clustering, link increment,
+  * and int8 quantization added after round-2 close.
+  */
+class CurateSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("dedup_cluster: canonical is the component min and pairs land in one cluster") {
+    val assign = run("dedup_cluster").cache()
+    // canonical id never exceeds the member id (min-label semantics)
+    assert(assign.filter(col("canon_id") > col("doc_id")).count() == 0)
+    // exactly one canonical member per cluster, and it labels itself
+    val canons = assign.groupBy("canon_id").agg(
+      sum("is_canonical").as("n_canon"), count(lit(1)).as("n"))
+    assert(canons.filter(col("n_canon") =!= 1).count() == 0)
+    assert(assign.filter(col("is_canonical") === 1 && col("doc_id") =!= col("canon_id")).count() == 0)
+    // every near-dup pair's endpoints resolve to the same canonical doc
+    val pairs = run("dedup_minhash_lsh").select("doc_a", "doc_b")
+    val joined = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("canon_id").as("ca")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("canon_id").as("cb")), "doc_b")
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+    // clusters exist (the corpus plants near-dups) and sizes add up
+    assert(assign.filter(col("cluster_size") > 1).count() > 0)
+    val total = assign.count()
+    assert(assign.groupBy("canon_id").count().agg(sum("count")).head.getLong(0) == total)
+  }
+
+  test("pipeline_curate: kept docs pass every gate and survive exact dedup") {
+    val kept = run("pipeline_curate").cache()
+    assert(kept.count() > 0)
+    assert(kept.filter(col("n_words") < 20 || col("quality_score") < 0.40 ||
+      col("predicted_lang") === "unknown").count() == 0)
+    val survivors = run("dedup_exact").select(col("survivor_doc_id").as("doc_id"))
+    assert(kept.join(survivors, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("sample_stratified: bounded per stratum and reproducible") {
+    val a = run("sample_stratified").cache()
+    assert(a.groupBy("stratum").count().filter(col("count") > 10).count() == 0)
+    // deterministic: a second run returns the identical sample
+    val b = run("sample_stratified")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("emb_quantize: int8 range with the max element hitting +127") {
+    val q = run("emb_quantize").cache()
+    assert(q.filter(col("q_max") > 127 || col("q_min") < -128).count() == 0)
+    // for every vector some element attains max|e|, so q_max = 127 or
+    // q_min = -127/-128 (sign of the extremal element)
+    assert(q.filter(col("q_max") === 127 || col("q_min") <= -127).count() == q.count())
+  }
+
+  test("dv_link_incr: appended links are new relationships only") {
+    val incr = run("dv_link_incr").cache()
+    val o = Tables.load(spark, sfDir, "orders")
+    val pre = o.filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+      .select(col("o_custkey").cast("string").as("o_custkey_bk"),
+        col("o_orderkey").cast("string").as("o_orderkey_bk")).distinct()
+    assert(incr.join(pre, Seq("o_custkey_bk", "o_orderkey_bk")).count() == 0)
+    assert(incr.select("link_orders_hk").distinct().count() == incr.count())
+    assert(incr.count() > 0)
+  }
+}
