@@ -86,8 +86,109 @@ object Curate extends QueryModule {
        |  AND lang.predicted_lang <> 'unknown'
        |ORDER BY q.doc_id""".stripMargin
 
+  // ------------------------------------------------------ text_lm_score
+  // Corpus bigram language-model score per document — the KenLM-style
+  // "does this text look like the corpus" quality filter. Integer-scaled
+  // conditional probabilities (C(w1,w2)*1e6 div C(w1)) instead of log
+  // probs: transcendental libm results are not bit-identical across
+  // engines, integer division is, and the induced ranking is the same
+  // monotone order. Plan shape: one explode→groupBy for per-doc bigram
+  // tfs, corpus bigram/unigram counts are vocabulary-sized aggregates that
+  // broadcast into the tf join — the detail side shuffles once on
+  // (doc_id, bigram), never on the corpus.
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val occ = Docs.enriched(s, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), k -> named_struct('w1', element_at(toks,k), 'bg', concat_ws(' ', element_at(toks,k), element_at(toks,k+1))))"))
+        .as("o"))
+      .select(col("doc_id"), col("o.w1").as("w1"), col("o.bg").as("bg"))
+    val tf = occ.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("tf"))
+    val cBg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val cW1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    tf.join(cBg, "bg").join(cW1, "w1")
+      .withColumn("p_scaled", expr("c_bg * 1000000L div c_w1"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), sum(expr("tf * p_scaled")).as("sum_p"))
+      .withColumn("lm_score", expr("sum_p div n_bigrams"))
+      .select("doc_id", "n_bigrams", "lm_score")
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    s"""WITH occ AS (
+       |  SELECT doc_id, toks[k] AS w1, toks[k] || ' ' || toks[k+1] AS bg
+       |  FROM (SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents),
+       |       unnest(range(1, len(toks))) AS u(k)
+       |  WHERE len(toks) >= 2),
+       |tf AS (SELECT doc_id, w1, bg, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY doc_id, w1, bg),
+       |c_bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM occ GROUP BY bg),
+       |c_w1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM occ GROUP BY w1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tf, c_bg.c_bg * 1000000 // c_w1.c_w1 AS p_scaled
+       |  FROM tf JOIN c_bg ON c_bg.bg = tf.bg JOIN c_w1 ON c_w1.w1 = tf.w1)
+       |SELECT doc_id,
+       |       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |       CAST(CAST(sum(tf * p_scaled) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS BIGINT) AS lm_score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ decontaminate
+  // Benchmark-overlap detection (train/eval decontamination): any corpus
+  // document sharing a 5-gram with the held-out set is flagged. The eval
+  // set is a CONSTANT-size slice (doc_id < 20 stands in for "the
+  // benchmark"), so its distinct 5-gram hashes broadcast and the check is
+  // a scan-local semi-join at any corpus size — the shape HELM/The-Pile
+  // style decontamination uses (exact n-gram hash match, n=5).
+  private val DecontamN = 5
+  private val BenchDocs = 20L
+
+  private def grams(df: DataFrame): DataFrame = df
+    .filter(size(col("toks")) >= DecontamN)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(toks)-${DecontamN - 1}), k -> concat_ws(' ', ${(0 until DecontamN).map(j => s"element_at(toks,k+$j)").mkString(", ")}))"))
+      .as("gram"))
+    .select(col("doc_id"), md5Long64(col("gram")).as("gh"))
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Docs.enriched(s, dir)
+    val bench = broadcast(grams(d.filter(col("doc_id") < BenchDocs))
+      .select("gh").distinct())
+    val corpus = grams(d.filter(col("doc_id") >= BenchDocs))
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(bench, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql = {
+    val gramExpr = (0 until DecontamN).map(j => s"toks[k+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, ${md5Long64Sql(s"($gramExpr)")} AS gh
+       |  FROM toks, unnest(range(1, len(toks) - ${DecontamN - 2})) AS u(k)
+       |  WHERE len(toks) >= $DecontamN),
+       |bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id < $BenchDocs),
+       |corpus AS (SELECT doc_id, gh FROM grams WHERE doc_id >= $BenchDocs),
+       |totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM corpus GROUP BY doc_id),
+       |hits AS (
+       |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM corpus c JOIN bench b ON b.gh = c.gh GROUP BY c.doc_id)
+       |SELECT t.doc_id, t.n_grams,
+       |       coalesce(h.n_hits, 0) AS n_hits,
+       |       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS contaminated
+       |FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
-    QueryDef("pipeline_curate", pipelineCurate, Some(pipelineCurateSql))
+    QueryDef("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
+    QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
+    QueryDef("decontaminate", decontaminate, Some(decontaminateSql))
   )
 }

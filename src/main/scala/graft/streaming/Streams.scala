@@ -143,6 +143,37 @@ object Streams {
         satLoadBatch(batch.sparkSession, batch, keyCol, descCols, satPath, s"batch_$batchId")
       }
 
+  /** #45: streaming link load — per micro-batch, hash the relationship's
+    * combined business keys into the link hash key, anti-join the link
+    * parquet on it, and append only never-seen relationships (the
+    * streaming form of the batch dv_link_incr; the reference loads links
+    * with the same hk anti-join as hubs, dv_loader.rs:166-199).
+    */
+  def linkLoadBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+                    linkPath: String, loadTs: String): Unit = {
+    val bks = keyCols.map(c => col(c).cast("string").as(s"${c}_bk"))
+    val keyed = batch.select(bks: _*).distinct()
+      .select((dvHash(keyCols.map(c => col(s"${c}_bk"))).as("link_hk") +:
+        lit(loadTs).as("load_ts") +:
+        keyCols.map(c => dvHash(Seq(col(s"${c}_bk"))).as(s"hub_${c}_hk"))) ++
+        keyCols.map(c => col(s"${c}_bk")): _*)
+    val novel =
+      try {
+        val existing = spark.read.parquet(linkPath).select("link_hk")
+        keyed.join(existing, Seq("link_hk"), "left_anti")
+      } catch { case _: org.apache.spark.sql.AnalysisException => keyed } // first batch: no link yet
+    novel.write.mode("append").parquet(linkPath)
+  }
+
+  /** Wire #45 onto a streaming DataFrame via foreachBatch. */
+  def linkLoadSink(events: DataFrame, keyCols: Seq[String], linkPath: String, checkpoint: String) =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        linkLoadBatch(batch.sparkSession, batch, keyCols, linkPath, s"batch_$batchId")
+      }
+
   /** #43: streaming exact dedup — at-least-once event feeds collapse to
     * exactly-once by event_id. dropDuplicatesWithinWatermark keeps dedup
     * state only until the watermark passes the event's time, so state is

@@ -55,6 +55,22 @@ class CurateSpec extends SparkSpec {
     assert(q.filter(col("q_max") === 127 || col("q_min") <= -127).count() == q.count())
   }
 
+  test("text_lm_score: scaled conditional probabilities stay in [0, 1e6]") {
+    val lm = run("text_lm_score").cache()
+    // p_scaled = C(w1,w2)*1e6 div C(w1) <= 1e6, so the per-doc mean is too
+    assert(lm.filter(col("lm_score") < 0 || col("lm_score") > 1000000L).count() == 0)
+    assert(lm.filter(col("n_bigrams") <= 0).count() == 0)
+    assert(lm.count() ==
+      run("text_token_count").filter(col("n_words") >= 2).count())
+  }
+
+  test("decontaminate: benchmark docs excluded, flag consistent with hits") {
+    val d = run("decontaminate").cache()
+    assert(d.filter(col("doc_id") < 20).count() == 0)
+    assert(d.filter(col("n_hits") > col("n_grams")).count() == 0)
+    assert(d.filter((col("contaminated") === 1) =!= (col("n_hits") > 0)).count() == 0)
+  }
+
   test("dv_link_incr: appended links are new relationships only") {
     val incr = run("dv_link_incr").cache()
     val o = Tables.load(spark, sfDir, "orders")

@@ -140,6 +140,27 @@ class StreamingSpec extends SparkSpec {
     assert(hub.count() == 3 && hub.select("hub_hk").distinct().count() == 3)
   }
 
+  test("streaming link load appends only novel relationships across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_link").toString
+    val mem = MemoryStream[Ev]
+    // relationship = (user_id, event_type); re-delivered pairs must not double-insert
+    val q = Streams.linkLoadSink(mem.toDF(), Seq("user_id", "event_type"),
+      s"$dir/link", s"$dir/ckpt").start()
+    mem.addData(Ev(1, day(0), 1, "a", 0), Ev(2, day(0), 1, "b", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(3, day(0), 1, "a", 0), Ev(4, day(0), 2, "a", 0)) // (1,a) repeats
+    q.processAllAvailable()
+    q.stop()
+    val link = spark.read.parquet(s"$dir/link")
+    assert(link.count() == 3)
+    assert(link.select("link_hk").distinct().count() == 3)
+    // member hub hks and bk payload ride along
+    assert(link.columns.toSet ==
+      Set("link_hk", "load_ts", "hub_user_id_hk", "hub_event_type_hk", "user_id_bk", "event_type_bk"))
+  }
+
   test("streaming hub load appends only novel keys across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
