@@ -254,6 +254,58 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     GROUP BY c_nationkey
     ORDER BY c_nationkey"""
 
+  // --------------------------------------------- q21_waiting_supplier
+  // Q21 adapted (no receipt/commit dates): a supplier "kept an order
+  // waiting" if, on a finished multi-supplier order, it was the ONLY
+  // supplier that shipped a line more than 90 days after the order date.
+  // The classic double-correlated EXISTS/NOT EXISTS decorrelates into two
+  // aggregations: per-(order, supplier) lateness, then per-order supplier/
+  // late-supplier counts — both shuffles on the order key, no correlated
+  // re-scans of lineitem (the plan shape that survives 100x).
+  private val Q21LateDays = 90
+  private val Q21TopK = 10
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("sdate"))
+    val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("sdate") > date_add(col("odate"), Q21LateDays), 1L).otherwise(0L)).as("late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late_supp"))
+    val waiting = perSupp.filter(col("late") === 1)
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    waiting.join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(Q21TopK)
+  }
+
+  private val q21Sql = s"""
+    WITH per_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL $Q21LateDays DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late_supp
+      FROM per_supp GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT $Q21TopK"""
+
   // ----------------------------------------------- events_retention
   // Daily cohort retention: users grouped by first-activity day; for each
   // day offset k in 0..7, how many of the cohort were active again. Two
@@ -457,6 +509,7 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     QueryDef("q14_promo_effect", q14, Some(q14Sql)),
     QueryDef("q15_top_supplier", q15, Some(q15Sql)),
     QueryDef("q19_brand_revenue", q19, Some(q19Sql)),
+    QueryDef("q21_waiting_supplier", q21, Some(q21Sql)),
     QueryDef("q22_idle_customers", q22, Some(q22Sql))
   )
 }

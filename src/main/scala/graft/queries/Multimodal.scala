@@ -157,10 +157,60 @@ object Multimodal extends QueryModule {
            'stub_resized' AS format
     FROM scaled ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // mm_dedup: near-duplicate media via shared sampled-frame hashes — the
+  // video-dedup shape (perceptual frame hash → inverted index → overlap
+  // verify). Candidate pairs come from an inverted index on the frame
+  // hash with a document-frequency cap (a frame appearing in many docs is
+  // a title card / black frame — joining through it would explode the
+  // pair set at 100 TB), so the shuffle is on compact 64-bit keys and the
+  // pair set stays proportional to the true duplicate count.
+  private val MmDfCap = 20
+  private val MmMinShared = 2
+
+  private def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val fr = frameSample(s, dir).select("doc_id", "frame_hash").distinct()
+    val df = fr.groupBy("frame_hash").agg(count(lit(1)).as("d"))
+    val rare = fr.join(df.filter(col("d") <= MmDfCap), Seq("frame_hash"))
+    val shared = rare.as("a")
+      .join(rare.as("b"), col("a.frame_hash") === col("b.frame_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MmMinShared)
+    val sizes = fr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shared
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        (col("n_shared").cast("double") / least(col("sa.n"), col("sb.n"))).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mmDedupSql =
+    s"""WITH fr AS (
+       |  SELECT DISTINCT doc_id, frame_hash FROM ($frameSampleSql)),
+       |df AS (SELECT frame_hash, count(*) AS d FROM fr GROUP BY frame_hash),
+       |rare AS (SELECT fr.doc_id, fr.frame_hash FROM fr JOIN df ON df.frame_hash = fr.frame_hash WHERE df.d <= $MmDfCap),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM rare a JOIN rare b ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING count(*) >= $MmMinShared),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fr GROUP BY doc_id)
+       |SELECT s.doc_a, s.doc_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+       |       CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+       |FROM shared s
+       |JOIN sizes sa ON sa.doc_id = s.doc_a
+       |JOIN sizes sb ON sb.doc_id = s.doc_b
+       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("mm_meta_extract", metaExtract, Some(metaExtractSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_features", features, Some(featuresSql)),
-    QueryDef("mm_resize", resize, Some(resizeSql))
+    QueryDef("mm_resize", resize, Some(resizeSql)),
+    QueryDef("mm_dedup", mmDedup, Some(mmDedupSql))
   )
 }

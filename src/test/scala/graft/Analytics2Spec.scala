@@ -110,4 +110,21 @@ class Analytics2Spec extends SparkSpec {
       assert(avgSel > popAvg, s"nation ${r.get(0)}: $avgSel <= $popAvg")
     }
   }
+
+  test("q21: only-late supplier on multi-supplier finished orders") {
+    val q21 = Analytics2.defs.find(_.name == "q21_waiting_supplier").get.run(spark, sfDir)
+    val rows = q21.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // descending numwait with name tiebreak
+    val nw = rows.map(r => (r.getAs[Long]("numwait"), r.getAs[String]("s_name")))
+    assert(nw.sameElements(nw.sortBy { case (n, s) => (-n, s) }))
+  }
+
+  test("mm_dedup: frame-overlap pairs are ordered with bounded containment") {
+    val d = SparkEntry.queries("mm_dedup")(spark, sfDir)
+    assert(d.count() > 0)
+    assert(d.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(d.filter(col("containment") > 1.0 || col("n_shared") < 2).count() == 0)
+    assert(d.filter(col("n_shared") > least(col("n_a"), col("n_b"))).count() == 0)
+  }
 }
