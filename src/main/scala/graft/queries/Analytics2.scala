@@ -254,6 +254,125 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     GROUP BY c_nationkey
     ORDER BY c_nationkey"""
 
+  // ------------------------------------------------- events_anomaly
+  // Daily per-type volume anomalies (|z| > 2) in EXACT integer arithmetic:
+  // (c − μ)² > 4σ²  ⇔  (n·c − S)² > 4·(n·Q − S²)  with S = Σc, Q = Σc²
+  // — no sqrt, no double mean, so the boundary set is engine-stable.
+  // Plan: one shuffle for the daily counts; the per-type stats are a
+  // type-cardinality aggregate broadcast back into the daily side.
+  private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .withColumn("day", expr("cast(cast(timestamp_millis(ts div 1000000) as date) as string)"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("s"), sum(expr("cnt * cnt")).as("q"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("dev_n", expr("n_days * cnt - s"))
+      .withColumn("anomaly",
+        when(expr("dev_n * dev_n > 4 * (n_days * q - s * s)"), 1L).otherwise(0L))
+      .select("event_type", "day", "cnt", "dev_n", "anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  private val eventsAnomalySql = """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS q
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.cnt,
+           CAST(st.n_days * d.cnt - st.s AS BIGINT) AS dev_n,
+           CASE WHEN (st.n_days * d.cnt - st.s) * (st.n_days * d.cnt - st.s)
+                     > 4 * (st.n_days * st.q - st.s * st.s)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS anomaly
+    FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ORDER BY d.event_type, d.day"""
+
+  // ------------------------------------------------ q16_supplier_cnt
+  // Q16 adapted: no partsupp table, so the part↔supplier relation is the
+  // distinct (l_partkey, l_suppkey) observed in lineitem; "complaint"
+  // suppliers are stood in by negative account balance. Distinct-supplier
+  // counts per part attribute group; the exclusion is a broadcast
+  // anti-join (the excluded set is supplier-cardinality, tiny vs lineitem).
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excl = Tables.load(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(broadcast(excl), ps("l_suppkey") === excl("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  private val q16Sql = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE ps.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+      AND p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+
+  // ---------------------------------------------- q20_dominant_supplier
+  // Q20 adapted (no partsupp.availqty): a supplier "dominates" a part if
+  // it shipped more than half of that part's total 2001 volume for the
+  // selected brand set. Exact DECIMAL quantity sums; the half-of-total
+  // compare is 2·supp_qty > part_qty (no division). Two aggregations on
+  // (part, supp) then part — both co-partitioned on the part key.
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .filter(to_date(col("l_shipdate")).between(lit("2001-01-01").cast("date"), lit("2001-12-31").cast("date")))
+      .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_quantity")).as("qty"))
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13"))
+      .select("p_partkey")
+    val shipped = l.join(p, col("l_partkey") === col("p_partkey"))
+    val bySupp = shipped.groupBy("l_partkey", "l_suppkey").agg(sum("qty").as("supp_qty"))
+    val byPart = shipped.groupBy(col("l_partkey").as("pk")).agg(sum("qty").as("part_qty"))
+    bySupp.join(byPart, col("l_partkey") === col("pk"))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("l_partkey").as("p_partkey"),
+        col("supp_qty").cast("double").as("supp_qty"),
+        col("part_qty").cast("double").as("part_qty"))
+      .orderBy("s_name", "p_partkey")
+  }
+
+  private val q20Sql = """
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS DECIMAL(12,2)) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '2001-01-01' AND DATE '2001-12-31'
+        AND p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')),
+    by_supp AS (
+      SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty
+      FROM shipped GROUP BY l_partkey, l_suppkey),
+    by_part AS (
+      SELECT l_partkey, sum(qty) AS part_qty FROM shipped GROUP BY l_partkey)
+    SELECT s.s_name, bs.l_partkey AS p_partkey,
+           CAST(bs.supp_qty AS DOUBLE) AS supp_qty,
+           CAST(bp.part_qty AS DOUBLE) AS part_qty
+    FROM by_supp bs
+    JOIN by_part bp ON bp.l_partkey = bs.l_partkey
+    JOIN supplier s ON s.s_suppkey = bs.l_suppkey
+    WHERE bs.supp_qty * 2 > bp.part_qty
+    ORDER BY s.s_name, p_partkey"""
+
   // --------------------------------------------- q21_waiting_supplier
   // Q21 adapted (no receipt/commit dates): a supplier "kept an order
   // waiting" if, on a finished multi-supplier order, it was the ONLY
@@ -509,6 +628,9 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     QueryDef("q14_promo_effect", q14, Some(q14Sql)),
     QueryDef("q15_top_supplier", q15, Some(q15Sql)),
     QueryDef("q19_brand_revenue", q19, Some(q19Sql)),
+    QueryDef("events_anomaly", eventsAnomaly, Some(eventsAnomalySql)),
+    QueryDef("q16_supplier_cnt", q16, Some(q16Sql)),
+    QueryDef("q20_dominant_supplier", q20, Some(q20Sql)),
     QueryDef("q21_waiting_supplier", q21, Some(q21Sql)),
     QueryDef("q22_idle_customers", q22, Some(q22Sql))
   )

@@ -261,9 +261,14 @@ object Dedup extends QueryModule {
   private val MaxCcIters = 20
 
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Symmetrize with one explode instead of a self-union: a union would
+    // evaluate the whole minhash candidate pipeline twice (Spark does not
+    // dedup common subtrees across union branches).
+    val edges = minhashLsh(s, dir).select("doc_a", "doc_b")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).cache()

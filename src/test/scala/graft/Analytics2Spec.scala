@@ -127,4 +127,32 @@ class Analytics2Spec extends SparkSpec {
     assert(d.filter(col("containment") > 1.0 || col("n_shared") < 2).count() == 0)
     assert(d.filter(col("n_shared") > least(col("n_a"), col("n_b"))).count() == 0)
   }
+
+  test("events_anomaly: integer z-test matches the double formula") {
+    val a = SparkEntry.queries("events_anomaly")(spark, sfDir).cache()
+    assert(a.filter(col("anomaly") === 1).count() > 0)
+    // cross-check against the naive double z-score on collected rows
+    a.collect().groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val cnts = rows.map(_.getAs[Long]("cnt").toDouble)
+      val n = cnts.length
+      val mean = cnts.sum / n
+      val sigma2 = cnts.map(c => (c - mean) * (c - mean)).sum / n
+      rows.foreach { r =>
+        val c = r.getAs[Long]("cnt").toDouble
+        val expect = if ((c - mean) * (c - mean) > 4 * sigma2) 1L else 0L
+        assert(r.getAs[Long]("anomaly") == expect, s"row $r")
+      }
+    }
+  }
+
+  test("q16/q20: part-supplier adaptations hold their invariants") {
+    val q16 = SparkEntry.queries("q16_supplier_cnt")(spark, sfDir)
+    assert(q16.count() > 0)
+    assert(q16.filter(col("supplier_cnt") <= 0).count() == 0)
+    val q20 = SparkEntry.queries("q20_dominant_supplier")(spark, sfDir).cache()
+    // dominance: strictly more than half the part total, so at most one
+    // dominant supplier per part
+    assert(q20.filter(col("supp_qty") * 2 <= col("part_qty")).count() == 0)
+    assert(q20.groupBy("p_partkey").count().filter(col("count") > 1).count() == 0)
+  }
 }
