@@ -21,24 +21,27 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // Two timed passes, keep each query's best: the steady-state number a
-    // resident engine delivers (pass 1 charges one-time session caches —
-    // shared normalization passes, shuffle files — to whichever query hits
-    // them first; pass 2 measures the operator itself). Methodology is
-    // recorded in the emitted JSON.
-    def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    val pass1 = timedPass().toMap
-    val pass2 = timedPass().toMap
-    val results = pass1.keys.toSeq.sorted.map(k => k -> math.min(pass1(k), pass2(k)))
+    // Steady-state timing: pass 1 times every query but charges one-time
+    // session caches (shared normalization passes, shuffle files) to
+    // whichever query hits them first; queries slow enough for that to
+    // matter are re-timed and the best of the two kept. Re-timing only the
+    // slow tail keeps total bench wall-time near a single pass. The
+    // methodology is recorded in the emitted JSON.
+    val RetimeAboveSec = 0.75
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> time(fn) }.toMap
+    val results = ordered.map { case (name, fn) =>
+      name -> (if (pass1(name) > RetimeAboveSec) math.min(pass1(name), time(fn)) else pass1(name))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min-per-query"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min-per-query-retimed-above-${RetimeAboveSec}s"}""")
     spark.stop()
   }
 }

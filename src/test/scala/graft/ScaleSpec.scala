@@ -35,6 +35,18 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
   }
 
+  test("new-op plans stay equi-join only (no cartesian / nested-loop)") {
+    // the pair-generating and signal-joining operators added in round 2
+    // must never degrade to CartesianProduct or BroadcastNestedLoopJoin
+    Seq("dedup_cluster", "decontaminate", "mm_dedup", "text_lm_score",
+      "pipeline_curate", "q21_waiting_supplier", "events_anomaly").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested loop:\n$plan")
+    }
+  }
+
   test("saltedSum equals the direct aggregation") {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("user_id"), floor(col("value") * 1000000).cast("long").as("micros"))
