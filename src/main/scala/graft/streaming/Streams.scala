@@ -174,6 +174,38 @@ object Streams {
         linkLoadBatch(batch.sparkSession, batch, keyCols, linkPath, s"batch_$batchId")
       }
 
+  /** #46: streaming anomaly detection — the streaming twin of the batch
+    * events_anomaly. Per event type, keep the exact integer running stats
+    * (n, S=Σc, Q=Σc²) over completed daily counts in state and flag each
+    * arriving day whose count fails the integer z-test
+    * (n·c − S)² > 4·(n·Q − S²) against the history SO FAR. All-integer
+    * state (no running double mean), so results are replay-stable; state
+    * is three longs per event type — bounded by type cardinality.
+    */
+  final case class DayCount(event_type: String, day: String, cnt: Long)
+  final case class TypeStats(n: Long, s: Long, q: Long)
+  final case class AnomalyFlag(event_type: String, day: String, cnt: Long, anomaly: Boolean)
+
+  def anomalyStream(dailyCounts: Dataset[DayCount]): Dataset[AnomalyFlag] = {
+    import dailyCounts.sparkSession.implicits._
+    dailyCounts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeStats, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, days, state: GroupState[TypeStats]) =>
+          var st = state.getOption.getOrElse(TypeStats(0L, 0L, 0L))
+          val out = days.toSeq.sortBy(_.day).map { d =>
+            val flagged = st.n >= 2 && {
+              val dev = st.n * d.cnt - st.s
+              dev * dev > 4 * (st.n * st.q - st.s * st.s)
+            }
+            st = TypeStats(st.n + 1, st.s + d.cnt, st.q + d.cnt * d.cnt)
+            AnomalyFlag(d.event_type, d.day, d.cnt, flagged)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** #43: streaming exact dedup — at-least-once event feeds collapse to
     * exactly-once by event_id. dropDuplicatesWithinWatermark keeps dedup
     * state only until the watermark passes the event's time, so state is

@@ -140,6 +140,26 @@ class StreamingSpec extends SparkSpec {
     assert(hub.count() == 3 && hub.select("hub_hk").distinct().count() == 3)
   }
 
+  test("streaming anomaly flags a spike against running integer stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.DayCount
+    val mem = MemoryStream[DayCount]
+    val q = Streams.anomalyStream(mem.toDS()).writeStream
+      .format("memory").queryName("anomaly_out").outputMode("append").start()
+    mem.addData((1 to 4).map(i => DayCount("a", f"2024-01-0$i", 10)): _*)
+    q.processAllAvailable()
+    mem.addData(DayCount("a", "2024-01-05", 100), DayCount("a", "2024-01-06", 10))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("anomaly_out").as[Streams.AnomalyFlag].collect()
+      .map(f => f.day -> f.anomaly).toMap
+    assert(!out("2024-01-01") && !out("2024-01-02")) // n<2 guard: no baseline yet
+    assert(!out("2024-01-04")) // stable history, stable day
+    assert(out("2024-01-05"))  // 10x spike vs zero-variance history
+    assert(!out("2024-01-06")) // post-spike variance absorbs a normal day
+  }
+
   test("streaming link load appends only novel relationships across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
