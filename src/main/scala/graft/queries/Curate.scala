@@ -185,10 +185,50 @@ object Curate extends QueryModule {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ vocab_growth
+  // Heaps-law vocabulary saturation: scanning docs in id order, how many
+  // NEW vocabulary units each block of 50 docs introduces and the
+  // cumulative vocabulary — the curve that sizes a tokenizer vocab before
+  // training. The unit is the word bigram (the BPE-merge analogue; the
+  // synthetic corpus's unigram vocab saturates in the first block, bigrams
+  // keep growing). One shuffle on the unit for first-seen, then the
+  // running sum runs on the block axis, whose cardinality is corpus/50 —
+  // the unpartitioned window is over that tiny derived table, never rows.
+  private val VocabBlock = 50L
+
+  private def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val first = Docs.enriched(s, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks)-1), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1))))"))
+        .as("unit"))
+      .groupBy("unit").agg(min("doc_id").as("first_doc"))
+    val blocks = first.groupBy(expr(s"first_doc div $VocabBlock").as("block"))
+      .agg(count(lit(1)).as("new_units"))
+    val w = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks.withColumn("cum_vocab", sum("new_units").over(w))
+      .orderBy("block")
+  }
+
+  private val vocabGrowthSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(toks)), k -> toks[k] || ' ' || toks[k+1]))) AS unit
+       |  FROM (SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents)
+       |  WHERE len(toks) >= 2),
+       |first AS (SELECT unit, min(doc_id) AS first_doc FROM t GROUP BY unit),
+       |blocks AS (
+       |  SELECT first_doc // $VocabBlock AS block, CAST(count(*) AS BIGINT) AS new_units
+       |  FROM first GROUP BY first_doc // $VocabBlock)
+       |SELECT block, new_units,
+       |       CAST(sum(new_units) OVER (ORDER BY block ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+       |FROM blocks ORDER BY block""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
-    QueryDef("decontaminate", decontaminate, Some(decontaminateSql))
+    QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql))
   )
 }

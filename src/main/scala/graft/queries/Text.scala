@@ -205,6 +205,43 @@ object Text extends QueryModule {
     GROUP BY norm_sha256
     ORDER BY survivor_doc_id"""
 
+  // ------------------------------------------------ text_repetition
+  // Gopher-style repetition filter: the fraction of a document's word
+  // 3-grams that are duplicates (1 − distinct/total). Highly repetitive
+  // docs (boilerplate, keyword stuffing, generation loops) score high and
+  // get flagged. Everything happens inside array expressions before any
+  // shuffle — per-doc work, embarrassingly parallel at any scale. The
+  // ratio is one exact integer division per doc (engine-stable boundary).
+  private val RepetitionFlagPct = 2L // flag when dup 3-grams > 2% (corpus-tuned, as the Gopher rules are)
+
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("g3", expr(
+        "transform(sequence(1, size(toks)-2), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1), element_at(toks,k+2)))"))
+      .select(col("doc_id"),
+        expr("cast(size(g3) as bigint)").as("n_grams"),
+        expr("cast(size(array_distinct(g3)) as bigint)").as("n_distinct"))
+      .withColumn("dup_pct", expr("(n_grams - n_distinct) * 100L div n_grams"))
+      .withColumn("flagged", when(col("dup_pct") > RepetitionFlagPct, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
+  private val repetitionSql = s"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks)-1), k -> toks[k] || ' ' || toks[k+1] || ' ' || toks[k+2]) AS g3
+      FROM (SELECT doc_id, $toksDuck AS toks FROM documents)
+      WHERE len(toks) >= 3),
+    m AS (
+      SELECT doc_id, CAST(len(g3) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct
+      FROM g)
+    SELECT doc_id, n_grams, n_distinct,
+           (n_grams - n_distinct) * 100 // n_grams AS dup_pct,
+           CASE WHEN (n_grams - n_distinct) * 100 // n_grams > $RepetitionFlagPct
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged
+    FROM m ORDER BY doc_id"""
+
   // ---------------------------------------------------- text_tfidf
   // Top-3 characteristic terms per document, ranked by an integer-scaled
   // tf/df score (tf * 1e6 div df). No ln(): transcendental libm results
@@ -251,6 +288,7 @@ object Text extends QueryModule {
     QueryDef("text_lang_id", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_winnow", winnow, Some(winnowSql)),
+    QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_rolling_fp", rollingFp, Some(rollingFpSql)),
     QueryDef("dedup_exact", dedupExact, Some(dedupExactSql))
   )

@@ -71,6 +71,21 @@ class CurateSpec extends SparkSpec {
     assert(d.filter((col("contaminated") === 1) =!= (col("n_hits") > 0)).count() == 0)
   }
 
+  test("text_repetition: dup ratio bounded and flag consistent") {
+    val r = run("text_repetition").cache()
+    assert(r.filter(col("n_distinct") > col("n_grams")).count() == 0)
+    assert(r.filter(col("dup_pct") < 0 || col("dup_pct") > 100).count() == 0)
+    assert(r.filter((col("flagged") === 1) =!= (col("dup_pct") > 2)).count() == 0)
+  }
+
+  test("vocab_growth: cumulative vocabulary is monotone and totals match") {
+    val v = run("vocab_growth").collect()
+    assert(v.length > 1) // the bigram vocabulary must not saturate in one block
+    val cum = v.map(_.getAs[Long]("cum_vocab"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b > a })
+    assert(cum.last == v.map(_.getAs[Long]("new_units")).sum)
+  }
+
   test("dv_link_incr: appended links are new relationships only") {
     val incr = run("dv_link_incr").cache()
     val o = Tables.load(spark, sfDir, "orders")
