@@ -18,7 +18,9 @@ object PlanAudit {
     val wanted = if (args.nonEmpty) args.toSet
       else Set("q5_local_supplier", "q1_pricing_summary", "dv_hub_customer", "knn_cosine",
         "dedup_minhash_lsh", "dedup_embed_cosine", "ann_cosine_ivf",
-        "q6_forecast_revenue", "q10_returned_item", "text_tfidf", "events_retention")
+        "q6_forecast_revenue", "q10_returned_item", "text_tfidf", "events_retention",
+        "dedup_cluster", "decontaminate", "text_lm_score", "mm_dedup",
+        "q21_waiting_supplier", "events_anomaly")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(
