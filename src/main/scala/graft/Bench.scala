@@ -35,13 +35,17 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> time(fn) }.toMap
+    var retimed = 0
     val results = ordered.map { case (name, fn) =>
-      name -> (if (pass1(name) > RetimeAboveSec) math.min(pass1(name), time(fn)) else pass1(name))
+      name -> (if (pass1(name) >= RetimeAboveSec) {
+        retimed += 1
+        math.min(pass1(name), time(fn))
+      } else pass1(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min-per-query-retimed-above-${RetimeAboveSec}s"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass"}""")
     spark.stop()
   }
 }

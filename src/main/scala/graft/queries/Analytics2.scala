@@ -258,6 +258,11 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   // Daily per-type volume anomalies (|z| > 2) in EXACT integer arithmetic:
   // (c − μ)² > 4σ²  ⇔  (n·c − S)² > 4·(n·Q − S²)  with S = Σc, Q = Σc²
   // — no sqrt, no double mean, so the boundary set is engine-stable.
+  // The squared terms are compared in 38-digit arithmetic (Spark DECIMAL,
+  // DuckDB HUGEINT — both exact): with daily counts near 1e9, S² ~ 1e22
+  // overflows int64, where Spark would wrap silently and DuckDB would
+  // error — diverging engines. dev_n itself (n·c − S ≲ 1e12 even at 100
+  // TB) stays a BIGINT output column.
   // Plan: one shuffle for the daily counts; the per-type stats are a
   // type-cardinality aggregate broadcast back into the daily side.
   private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
@@ -266,10 +271,11 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
       .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("cnt").as("s"), sum(expr("cnt * cnt")).as("q"))
+    val wide = "cast(dev_n as decimal(38,0)) * cast(dev_n as decimal(38,0)) > " +
+      "4 * (cast(n_days as decimal(38,0)) * cast(q as decimal(38,0)) - cast(s as decimal(38,0)) * cast(s as decimal(38,0)))"
     daily.join(broadcast(stats), "event_type")
       .withColumn("dev_n", expr("n_days * cnt - s"))
-      .withColumn("anomaly",
-        when(expr("dev_n * dev_n > 4 * (n_days * q - s * s)"), 1L).otherwise(0L))
+      .withColumn("anomaly", when(expr(wide), 1L).otherwise(0L))
       .select("event_type", "day", "cnt", "dev_n", "anomaly")
       .orderBy("event_type", "day")
   }
@@ -282,14 +288,19 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     stats AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
              CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS q
-      FROM daily GROUP BY event_type)
-    SELECT d.event_type, d.day, d.cnt,
-           CAST(st.n_days * d.cnt - st.s AS BIGINT) AS dev_n,
-           CASE WHEN (st.n_days * d.cnt - st.s) * (st.n_days * d.cnt - st.s)
-                     > 4 * (st.n_days * st.q - st.s * st.s)
+      FROM daily GROUP BY event_type),
+    joined AS (
+      SELECT d.event_type, d.day, d.cnt,
+             CAST(st.n_days * d.cnt - st.s AS BIGINT) AS dev_n,
+             CAST(st.n_days AS HUGEINT) AS n_h, CAST(st.s AS HUGEINT) AS s_h,
+             CAST(st.q AS HUGEINT) AS q_h
+      FROM daily d JOIN stats st ON st.event_type = d.event_type)
+    SELECT event_type, day, cnt, dev_n,
+           CASE WHEN CAST(dev_n AS HUGEINT) * CAST(dev_n AS HUGEINT)
+                     > 4 * (n_h * q_h - s_h * s_h)
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS anomaly
-    FROM daily d JOIN stats st ON st.event_type = d.event_type
-    ORDER BY d.event_type, d.day"""
+    FROM joined
+    ORDER BY event_type, day"""
 
   // ------------------------------------------------ q16_supplier_cnt
   // Q16 adapted: no partsupp table, so the part↔supplier relation is the
@@ -399,9 +410,12 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
       .join(perOrder, "l_orderkey")
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
       .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    // group by the supplier KEY (names are not unique by schema) and keep
+    // s_suppkey in the output so the top-k cut is fully deterministic even
+    // under (numwait, s_name) ties
     waiting.join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      .select(col("s_name"), col("s_suppkey"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
       .limit(Q21TopK)
   }
 
@@ -416,13 +430,13 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     per_order AS (
       SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late_supp
       FROM per_supp GROUP BY l_orderkey)
-    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    SELECT s.s_name, s.s_suppkey, CAST(count(*) AS BIGINT) AS numwait
     FROM per_supp ps
     JOIN per_order po ON po.l_orderkey = ps.l_orderkey
     JOIN supplier s ON s.s_suppkey = ps.l_suppkey
     WHERE ps.late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
+    GROUP BY s.s_name, s.s_suppkey
+    ORDER BY numwait DESC, s.s_name, s.s_suppkey
     LIMIT $Q21TopK"""
 
   // ----------------------------------------------- events_retention

@@ -289,6 +289,13 @@ object Dedup extends QueryModule {
       prev = cur
       iters += 1
     }
+    // Fail loudly rather than silently emitting non-minimal labels: the
+    // oracle computes the exact closure, so an unconverged result would
+    // surface as an undiagnosable hash mismatch. Near-dup clusters have
+    // tiny diameters; hitting the cap means the pair graph is pathological
+    // (fix: pointer-jumping / large-star rounds, O(log n)).
+    require(converged, s"dedup_cluster: min-label propagation did not converge in $MaxCcIters rounds")
+    edges.unpersist() // labels (tiny, cached) backs the result; the edge cache is the big one
     val assign = Docs.enriched(s, dir).select("doc_id")
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))

@@ -168,8 +168,20 @@ object Multimodal extends QueryModule {
   private val MmDfCap = 20
   private val MmMinShared = 2
 
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Distinct (doc_id, frame_hash), memoized + cached per (session, dir):
+    * the df cap, the self-joined candidate pairs, and the size aggregation
+    * all re-scan it — without the cache the binary frame-hash pass runs
+    * four times per invocation (same pattern as Docs/shingles).
+    */
+  private def frames(s: SparkSession, dir: String): DataFrame =
+    frameCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+      frameSample(s, dir).select("doc_id", "frame_hash").distinct().cache())
+
   private def mmDedup(s: SparkSession, dir: String): DataFrame = {
-    val fr = frameSample(s, dir).select("doc_id", "frame_hash").distinct()
+    val fr = frames(s, dir)
     val df = fr.groupBy("frame_hash").agg(count(lit(1)).as("d"))
     val rare = fr.join(df.filter(col("d") <= MmDfCap), Seq("frame_hash"))
     val shared = rare.as("a")

@@ -464,15 +464,30 @@ object Similarity extends QueryModule {
   // expressions evaluated identically in both engines, and floor is exact —
   // no round() ties to disagree on. Embarrassingly parallel scan, no
   // shuffle at all.
+  // Shared int8 quantization expressions (emb_quantize + ann_cosine_int8
+  // must agree on what "the int8 vectors" are — one definition, two ops).
+  // The greatest(amax, 1e-300) guard keeps a hypothetical all-zero vector
+  // deterministic in both engines (Spark would flow NaN→null, DuckDB would
+  // hard-error casting NaN) without changing any nonzero vector: every
+  // real amax is far above the guard. amax is emitted UNROUNDED — it is a
+  // single float widened to double, exact in both engines, whereas
+  // round(double, n) is implemented differently per engine (banned class).
+  private val amaxSpark =
+    s"greatest(aggregate(sequence(1, $Dim), cast(0 as double), (acc, i) -> greatest(acc, abs(cast(element_at(embedding, i) as double)))), 1e-300d)"
+  private def q8Spark(castTo: String): String =
+    s"transform(sequence(1, $Dim), i -> cast(floor(cast(element_at(embedding, i) as double) * 127.0 / amax) as $castTo))"
+  private val amaxDuck =
+    s"greatest(list_max(list_transform(generate_series(1, $Dim), i -> abs(CAST(embedding[i] AS DOUBLE)))), 1e-300)"
+  private def q8Duck(e: String, amax: String): String =
+    s"list_transform(generate_series(1, $Dim), i -> CAST(floor(CAST($e[i] AS DOUBLE) * 127.0 / $amax) AS DOUBLE))"
+
   private def embQuantize(s: SparkSession, dir: String): DataFrame = {
-    val amax = s"aggregate(sequence(1, $Dim), cast(0 as double), (acc, i) -> greatest(acc, abs(cast(element_at(embedding, i) as double))))"
     emb(s, dir)
-      .withColumn("amax", expr(amax))
-      .withColumn("q", expr(
-        s"transform(sequence(1, $Dim), i -> cast(floor(cast(element_at(embedding, i) as double) * 127.0 / amax) as bigint))"))
+      .withColumn("amax", expr(amaxSpark))
+      .withColumn("q", expr(q8Spark("bigint")))
       .select(
         col("vec_id"),
-        round(col("amax"), 6).as("max_abs"),
+        col("amax").as("max_abs"),
         expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)").as("q_sum"),
         expr("array_min(q)").as("q_min"),
         expr("array_max(q)").as("q_max"))
@@ -481,15 +496,13 @@ object Similarity extends QueryModule {
 
   private val embQuantizeSql =
     s"""WITH base AS (
-       |  SELECT vec_id,
-       |         list_max(list_transform(generate_series(1, $Dim), i -> abs(CAST(embedding[i] AS DOUBLE)))) AS amax
+       |  SELECT vec_id, $amaxDuck AS amax
        |  FROM embeddings),
        |q AS (
        |  SELECT e.vec_id, b.amax,
-       |         list_transform(generate_series(1, $Dim),
-       |                        i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / b.amax) AS BIGINT)) AS qv
+       |         list_transform(${q8Duck("e.embedding", "b.amax")}, x -> CAST(x AS BIGINT)) AS qv
        |  FROM embeddings e JOIN base b ON b.vec_id = e.vec_id)
-       |SELECT vec_id, round(amax, 6) AS max_abs,
+       |SELECT vec_id, amax AS max_abs,
        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
        |       CAST(list_min(qv) AS BIGINT) AS q_min,
        |       CAST(list_max(qv) AS BIGINT) AS q_max
@@ -506,11 +519,9 @@ object Similarity extends QueryModule {
   // final division are bit-identical across engines with no rounding.
   // SimilaritySpec pins the measured recall against the exact kNN.
   private def annInt8(s: SparkSession, dir: String): DataFrame = {
-    val amaxE = s"aggregate(sequence(1, $Dim), cast(0 as double), (acc, i) -> greatest(acc, abs(cast(element_at(embedding, i) as double))))"
     val vecs = emb(s, dir)
-      .withColumn("amax", expr(amaxE))
-      .withColumn("q8", expr(
-        s"transform(sequence(1, $Dim), i -> cast(floor(cast(element_at(embedding, i) as double) * 127.0 / amax) as float))"))
+      .withColumn("amax", expr(amaxSpark))
+      .withColumn("q8", expr(q8Spark("float")))
       .select(col("vec_id"), col("q8"))
     val queries = vecs.filter(col("vec_id") < KnnQueries)
       .select(col("vec_id").as("query_id"), col("q8").as("qq"))
@@ -526,13 +537,10 @@ object Similarity extends QueryModule {
 
   private val annInt8Sql =
     s"""WITH base AS (
-       |  SELECT vec_id, embedding,
-       |         list_max(list_transform(generate_series(1, $Dim), i -> abs(CAST(embedding[i] AS DOUBLE)))) AS amax
+       |  SELECT vec_id, embedding, $amaxDuck AS amax
        |  FROM embeddings),
        |qv AS (
-       |  SELECT vec_id,
-       |         list_transform(generate_series(1, $Dim),
-       |                        i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / amax) AS DOUBLE)) AS q8
+       |  SELECT vec_id, ${q8Duck("embedding", "amax")} AS q8
        |  FROM base),
        |vecs AS (SELECT vec_id, q8, ${dotDuck("q8", "q8")} AS nrm FROM qv),
        |queries AS (

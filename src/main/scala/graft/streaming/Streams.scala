@@ -195,8 +195,12 @@ object Streams {
           var st = state.getOption.getOrElse(TypeStats(0L, 0L, 0L))
           val out = days.toSeq.sortBy(_.day).map { d =>
             val flagged = st.n >= 2 && {
-              val dev = st.n * d.cnt - st.s
-              dev * dev > 4 * (st.n * st.q - st.s * st.s)
+              // BigInt: S² and n·Q overflow int64 once daily counts reach
+              // ~1e9 on a long-lived stream; the squared compare must not
+              // wrap (the batch twin widens to DECIMAL(38,0) for the same
+              // reason)
+              val dev = BigInt(st.n) * d.cnt - st.s
+              dev * dev > 4 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
             }
             st = TypeStats(st.n + 1, st.s + d.cnt, st.q + d.cnt * d.cnt)
             AnomalyFlag(d.event_type, d.day, d.cnt, flagged)
