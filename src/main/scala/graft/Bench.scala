@@ -17,7 +17,14 @@ object Bench {
     // bench SF, not first-use compilation latency.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val warmDir = "/root/testdata/sf0.001"
+    // Warm at the smallest SF when present, else at the bench SF itself —
+    // a missing warm dir must not silently revert to cold-start numbers
+    // (the warmed-methodology claim would be wrong).
+    val warmDir = {
+      val w = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      if (new java.io.File(w).isDirectory) w
+      else { System.err.println(s"[bench] warm dir $w missing; warming at $sfDir"); sfDir }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }

@@ -43,22 +43,27 @@ object DvGo {
         name -> obs.get("n").asInstanceOf[Long]
       }
     }), Duration.Inf)
-    val schemaJson = planJson(buildId)
+    val schemaJson = planJson(buildId, include)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.sql"), DvSqlGen.allDdl)
     BuildResult(buildId, outDir, counts)
   }
 
-  /** dv_repo JSON: the serialized plan (hand-rolled; no JSON lib on the CP). */
-  def planJson(buildId: String): String = {
+  /** dv_repo JSON: the serialized plan (hand-rolled; no JSON lib on the CP).
+    * `include` scopes the serialized schema to the objects the build
+    * actually materialized — a scoped go() must not register a repo that
+    * advertises objects it never wrote (the schema-driven loader trusts
+    * the repo and would crash on the missing paths).
+    */
+  def planJson(buildId: String, include: String => Boolean = _ => true): String = {
     def q(x: String) = "\"" + x + "\""
     def colJ(c: Col) = s"""{"name": ${q(c.name)}, "type": ${q(c.typeName)}}"""
-    val hubsJ = hubs.map(h =>
+    val hubsJ = hubs.filter(h => include(s"hub_${h.name}")).map(h =>
       s"""{"name": ${q(h.name)}, "source": ${q(h.sourceTable)}, "bk_parts": [${h.bkParts.map(colJ).mkString(", ")}]}""")
-    val satsJ = Seq(satCustomer, satCustomerSensitive).map(t =>
+    val satsJ = Seq(satCustomer, satCustomerSensitive).filter(t => include(s"sat_${t.name}")).map(t =>
       s"""{"name": ${q(t.name)}, "source": ${q(t.sourceTable)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "bk_parts": [${t.bkParts.map(colJ).mkString(", ")}], "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
-    val linksJ = Seq(linkOrders, linkLineitem).map { l =>
+    val linksJ = Seq(linkOrders, linkLineitem).filter(l => include(s"link_${l.name}")).map { l =>
       val membersJ = l.members.map(m =>
         s"""{"hub": ${q(m.hubName)}, "parts": [${m.parts.map(colJ).mkString(", ")}]}""")
       s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${membersJ.mkString(", ")}], "degenerate": [${l.degenerate.map(colJ).mkString(", ")}]}"""
@@ -104,9 +109,17 @@ object DvGo {
     val scope = Set("hub_customer", "sat_customer")
     goWithHistory(s, dir, s"$tmp/b1", hist, "2024-01-01 00:00:00", scope)
     goWithHistory(s, dir, s"$tmp/b2", hist, "2024-01-02 00:00:00", scope)
-    s.read.parquet(hist)
+    val stored = s.read.parquet(hist)
       .select(col("build_seq"), col("load_ts"), col("object"), col("row_count"))
       .orderBy("build_seq", "object")
+    // The history rows are tiny (objects x builds): materialize them
+    // driver-side so the temp vault+history dir can be deleted now instead
+    // of leaking a build tree per invocation (same policy as
+    // DvLoader.loadFromRepo).
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(stored.collect(): _*), stored.schema)
+    DvLoader.deletePath(java.nio.file.Paths.get(tmp))
+    out
   }
 
   private def hubCountSql(h: HubSpec) = {

@@ -138,11 +138,18 @@ object DvLoader {
     counts.toDF("object", "n_new").orderBy("object")
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private def deleteRecursively(p: java.nio.file.Path): Unit = deletePath(p)
+
+  /** Depth-first recursive delete; the Files.walk stream is closed (it
+    * holds open directory descriptors until then).
+    */
+  private[dv] def deletePath(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { walk =>
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
   }
 

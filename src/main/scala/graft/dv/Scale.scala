@@ -44,17 +44,21 @@ object Scale {
     * placed explicitly (graft_bloom_agg / graft_might_contain).
     */
   def incrementBloomPruned(batch: DataFrame, stored: DataFrame, hkCol: String): DataFrame = {
+    // The batch side is consumed twice (bloom build + anti-join); cache it
+    // so a derived batch plan is not recomputed — by construction it is
+    // the small side.
+    val b = batch.cache()
     // One aggregate job builds the filter (might_contain requires a
     // constant/scalar-subquery bloom, so the 1 MB binary rides the plan as
     // a literal — the same payload a broadcast runtime filter ships).
-    val bytes = batch
+    val bytes = b
       .select(call_function("graft_bloom_agg", xxhash64(col(hkCol))).as("__bf"))
       .head.getAs[Array[Byte]]("__bf")
-    if (bytes == null) batch // empty batch: nothing to load
+    if (bytes == null) b // empty batch: nothing to load
     else {
       val pruned = stored.select(hkCol)
         .filter(call_function("graft_might_contain", lit(bytes), xxhash64(col(hkCol))))
-      batch.join(pruned, Seq(hkCol), "left_anti")
+      b.join(pruned, Seq(hkCol), "left_anti")
     }
   }
 

@@ -260,42 +260,59 @@ object Dedup extends QueryModule {
   // over ITERATIONS, never over rows.
   private val MaxCcIters = 20
 
+  private val ccLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Converged (id, lbl) component labels over the minhash pair graph —
+    * memoized + cached per (session, sf-dir) like the shingle set: the
+    * labels are the session's materialized dedup assignment (tiny — only
+    * docs that appear in a near-dup pair), and re-running the propagation
+    * loop per invocation would redo the whole candidate pipeline.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    ccLabelCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      // Symmetrize with one explode instead of a self-union: a union would
+      // evaluate the whole minhash candidate pipeline twice (Spark does
+      // not dedup common subtrees across union branches).
+      val edges = minhashLsh(s, dir).select("doc_a", "doc_b")
+        .select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).cache()
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+      var prev = lblSum(labels)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < MaxCcIters) {
+        val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), labels("lbl"))
+        val next = labels.select("id", "lbl").union(viaNbr)
+          .groupBy("id").agg(min("lbl").as("lbl")).cache()
+        val cur = lblSum(next) // labels only ever decrease: equal sum = fixpoint
+        labels.unpersist()
+        labels = next
+        converged = cur == prev
+        prev = cur
+        iters += 1
+      }
+      // Fail loudly rather than silently emitting non-minimal labels: the
+      // oracle computes the exact closure, so an unconverged result would
+      // surface as an undiagnosable hash mismatch. Near-dup clusters have
+      // tiny diameters; hitting the cap means the pair graph is
+      // pathological (fix: pointer-jumping / large-star rounds, O(log n)).
+      require(converged, s"dedup_cluster: min-label propagation did not converge in $MaxCcIters rounds")
+      // materialize the labels so the edge cache can be released now
+      labels.count()
+      edges.unpersist()
+      labels
+    })
+
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    // Symmetrize with one explode instead of a self-union: a union would
-    // evaluate the whole minhash candidate pipeline twice (Spark does not
-    // dedup common subtrees across union branches).
-    val edges = minhashLsh(s, dir).select("doc_a", "doc_b")
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-    var prev = lblSum(labels)
-    var converged = false
-    var iters = 0
-    while (!converged && iters < MaxCcIters) {
-      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), labels("lbl"))
-      val next = labels.select("id", "lbl").union(viaNbr)
-        .groupBy("id").agg(min("lbl").as("lbl")).cache()
-      val cur = lblSum(next) // labels only ever decrease: equal sum = fixpoint
-      labels.unpersist()
-      labels = next
-      converged = cur == prev
-      prev = cur
-      iters += 1
-    }
-    // Fail loudly rather than silently emitting non-minimal labels: the
-    // oracle computes the exact closure, so an unconverged result would
-    // surface as an undiagnosable hash mismatch. Near-dup clusters have
-    // tiny diameters; hitting the cap means the pair graph is pathological
-    // (fix: pointer-jumping / large-star rounds, O(log n)).
-    require(converged, s"dedup_cluster: min-label propagation did not converge in $MaxCcIters rounds")
-    edges.unpersist() // labels (tiny, cached) backs the result; the edge cache is the big one
+    val labels = ccLabels(s, dir)
     val assign = Docs.enriched(s, dir).select("doc_id")
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon_id"))

@@ -264,10 +264,14 @@ object Similarity extends QueryModule {
   // scale is a power of two), and a centroid is its cell's element-wise
   // integer SUM — cosine is scale-invariant, so sums serve as centroids
   // with no division anywhere. All dot products are exact 64-bit integer
-  // arithmetic (|q| <= 2366 ⇒ no overflow below ~4e9 rows/cell); the only
-  // floats are final IEEE sqrt/divide on identical integers, and ties
-  // break on cent_id. The oracle twin unrolls the same two Lloyd
-  // iterations as SQL CTEs.
+  // arithmetic — the query·centroid dots stay below 2^63 for cells up to
+  // ~2.6e10 members (per-dim product <= 2366² · n_cell, 64 dims); centroid
+  // NORMS grow with n_cell² and are therefore computed in arbitrary
+  // precision driver-side with one correctly-rounded conversion to double
+  // (DuckDB reaches the same double via HUGEINT sums + CAST). The only
+  // floats are final IEEE sqrt/divide on identical values, and ties break
+  // on cent_id. The oracle twin unrolls the same two Lloyd iterations as
+  // SQL CTEs.
   private val IvfK = 16
   private val NProbe = 2
   private val IvfTopK = 3
@@ -290,12 +294,14 @@ object Similarity extends QueryModule {
   private def centSimArray(cents: Seq[(Long, Seq[Long])], qCol: String): String = {
     val entries = cents.map { case (cid, qc) =>
       val arr = qc.map(v => s"${v}L").mkString(", ")
-      val qcNorm = qc.map(v => BigInt(v) * BigInt(v)).sum // fits: checked below
-      require(qcNorm.isValidLong, s"centroid $cid norm overflows Long")
+      // BigInt: the norm is Σ(component²) with components up to 2366·n_cell
+      // — it overflows Long near 1.6e5 members/cell. One correctly-rounded
+      // BigInt→double conversion matches DuckDB's HUGEINT→DOUBLE cast.
+      val qcNormD = qc.map(v => BigInt(v) * BigInt(v)).sum.toDouble
       s"""named_struct(
          |  'sim', cast(aggregate(sequence(1, $Dim), cast(0 as bigint),
          |           (acc, d) -> acc + element_at($qCol, d) * element_at(array($arr), d)) as double)
-         |          / sqrt(cast(${qcNorm.toLong}L as double)),
+         |          / sqrt(cast('${qcNormD}' as double)),
          |  'negc', ${-cid}L)""".stripMargin
     }
     entries.mkString("array(", ", ", ")")

@@ -38,6 +38,11 @@ object Streams {
 
   val GapMs: Long = 30 * 60 * 1000
   val SessionWatermark = "10 minutes"
+  /** How long a closed-session tombstone keeps the per-user session
+    * counter alive before state is dropped (counter continuity vs state
+    * size: a returning user within the grace window continues numbering).
+    */
+  val TombstoneGraceMs: Long = 24 * 60 * 60 * 1000
 
   /** #39: stateful sessionization via flatMapGroupsWithState with
     * EventTimeTimeout — a closed session is emitted when a 30-minute gap
@@ -58,8 +63,22 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, _, state: GroupState[SessionState]) if state.hasTimedOut =>
           val st = state.get
-          state.remove()
-          Iterator(SessionUpdate(uid, st.sessions, st.start, st.last, st.n))
+          if (st.n == 0) {
+            // idle tombstone reached its grace deadline: drop the counter
+            state.remove()
+            Iterator.empty
+          } else {
+            // Close the open session but KEEP a tombstone carrying the
+            // session counter (n = 0) for a grace period — removing state
+            // outright restarted a returning user at session_no 1,
+            // emitting duplicate (user_id, session_no) keys. The tombstone
+            // is one tiny row per recently-active user and expires via the
+            // grace timeout, so state stays bounded.
+            state.update(st.copy(n = 0, sessions = st.sessions + 1))
+            state.setTimeoutTimestamp(math.max(
+              st.last + TombstoneGraceMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(SessionUpdate(uid, st.sessions, st.start, st.last, st.n))
+          }
         case (uid, evs, state: GroupState[SessionState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
           var st = state.getOption.getOrElse(SessionState(sorted.head.tms, sorted.head.tms, 0, 1))

@@ -54,10 +54,19 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val s2 = spark.table("sess_out").as[SessionUpdate].collect().filter(_.user_id == 7L)
     assert(s2.exists(u => u.session_no == 2 && u.n_events == 1))
-    // timed-out state was removed: only user 8's open session remains
+    // the timeout left a tombstone carrying user 7's session counter, so
+    // state holds exactly that tombstone + user 8's open session
     val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 2, s"expected tombstone + open session, got $stateRows")
+    // a returning user 7 continues numbering at session 3 (no duplicate
+    // (user_id, session_no) keys), proven by gap-closing the new session
+    mem.addData(Ev(6, day(0, 8, 0), 7, "click", 1.0))
+    mem.addData(Ev(7, day(0, 10, 0), 7, "click", 1.0)) // >30-min gap closes session 3
+    q.processAllAvailable()
     q.stop()
-    assert(stateRows == 1)
+    val s3 = spark.table("sess_out").as[SessionUpdate].collect().filter(_.user_id == 7L)
+    assert(s3.exists(u => u.session_no == 3 && u.n_events == 1))
+    assert(s3.map(_.session_no).distinct.length == s3.length) // unique keys
   }
 
   test("streaming sat load appends only changed attribute versions") {
