@@ -162,9 +162,16 @@ object Similarity extends QueryModule {
   // banding is verified exhaustively against the exact all-pairs oracle at
   // every test SF (the oracle twin below is intentionally the all-pairs
   // form: the hash-match IS the recall proof; SimilaritySpec re-asserts it).
-  // At production near-dup thresholds (>=0.8) the same plan needs fewer
-  // bands and candidate volume is sub-quadratic; the equi-join shuffles on
-  // the compact (band, sig) key, so the plan survives a 100x scale-up.
+  // The 2-plane bands are CORPUS-TUNED, not the production setting: on
+  // this near-orthogonal corpus a random pair agrees on a 2-plane band
+  // with p=1/4, so candidate volume stays near-quadratic with only 64
+  // distinct (band, sig) join keys — acceptable here exactly because the
+  // τ=0.4 threshold on near-orthogonal data makes dense candidates
+  // unavoidable (recall 1.0 is the requirement the oracle enforces). At
+  // production near-dup thresholds (>=0.8) the same plan uses 8-16 planes
+  // per band: collision probability for non-dups drops to p^8..p^16, keys
+  // multiply into the millions (no reducer skew), and candidate volume is
+  // sub-quadratic — only the two constants change, not the plan shape.
   private val NearDupCosine = 0.4
   private val DedupBands = 16
   private val DedupRows = 2 // hyperplanes per band
