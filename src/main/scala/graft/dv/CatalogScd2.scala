@@ -38,7 +38,10 @@ object CatalogScd2 {
 
     val pKey = col("p.table_name")
     val nKey = col("n.table_name")
-    val changed = Attrs.map(a => col(s"p.$a") =!= col(s"n.$a")).reduce(_ || _)
+    // null-safe: with =!= a NULL attribute makes `changed` NULL and the row
+    // falls out of every branch (unchanged/closed/opened all filter false),
+    // silently dropping the column from the new state
+    val changed = Attrs.map(a => !(col(s"p.$a") <=> col(s"n.$a"))).reduce(_ || _)
 
     // unchanged current rows (possibly resurrecting a deleted one)
     val unchanged = joined.filter(pKey.isNotNull && nKey.isNotNull && !changed)

@@ -110,10 +110,20 @@ final case class JsonResponseClassifier(responses: DataFrame,
         col("r.Category").as("resp_category"),
         col("r.`Confidence Value`").as("resp_confidence"),
         col("r.Reason").as("resp_reason"))
-    df.join(parsed, Seq("table_name", "column_name"), "left_outer")
-      .withColumn("category", col("resp_category"))
-      .withColumn("confidence", col("resp_confidence"))
-      .withColumn("reason", col("resp_reason"))
+    // A retrying model client can write several responses for one column —
+    // keep exactly one (highest confidence, deterministic tie-break) so the
+    // left join cannot fan catalog rows out.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("table_name", "column_name")
+      .orderBy(col("resp_confidence").desc_nulls_last, col("resp_category"), col("resp_reason"))
+    val dedup = parsed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    // user update_context overrides outrank the model, same as the rules
+    // engine (Classifier.scala:64)
+    df.join(dedup, Seq("table_name", "column_name"), "left_outer")
+      .withColumn("category", coalesce(col("ov_category"), col("resp_category")))
+      .withColumn("confidence", coalesce(col("ov_confidence"), col("resp_confidence")))
+      .withColumn("reason", coalesce(col("ov_reason"), col("resp_reason")))
       .drop("resp_category", "resp_confidence", "resp_reason")
   }
 }

@@ -75,8 +75,13 @@ object DvBuild {
   /** Link load: distinct combinations of member hub keys (+ degenerate
     * columns), with the link hash over all parts and per-member hub hashes.
     */
-  def link(s: SparkSession, dir: String, spec: LinkSpec, loadTs: String = LoadTs): DataFrame = {
-    val src = Tables.load(s, dir, spec.sourceTable)
+  def link(s: SparkSession, dir: String, spec: LinkSpec, loadTs: String = LoadTs): DataFrame =
+    linkFrom(Tables.load(s, dir, spec.sourceTable), spec, loadTs)
+
+  /** Link rows from an arbitrary source slice (streaming micro-batches use
+    * this; `link` is the whole-table form).
+    */
+  def linkFrom(src: DataFrame, spec: LinkSpec, loadTs: String = LoadTs): DataFrame = {
     val allParts = spec.members.flatMap(_.parts) ++ spec.degenerate
     val distinctKeys = src.select(allParts.map(p => canonAs(p, s"${p.name}_bk")): _*).distinct()
     val linkHk = dvHash(allParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)

@@ -46,7 +46,11 @@ object DvGo {
     val schemaJson = planJson(buildId, include)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.sql"), DvSqlGen.allDdl)
+    // DDL scoped to what this build wrote (sat_orders_link, for example, is
+    // a standalone operator, not a go() object — it must not be advertised)
+    val built = builds.map(_._1).toSet
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/dv_schema.sql"), DvSqlGen.allDdl(built))
     BuildResult(buildId, outDir, counts)
   }
 
@@ -157,6 +161,10 @@ object DvGo {
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_go_").toString
     val res = go(s, dir, out)
+    // the summary lives in res.objects (driver-side counts from observe()),
+    // so the materialized temp vault can be deleted immediately — same
+    // no-leak policy as buildHistory / loadFromRepo
+    DvLoader.deletePath(java.nio.file.Paths.get(out))
     res.objects.toDF("object", "row_count").orderBy("object")
   }
 

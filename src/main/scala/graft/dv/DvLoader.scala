@@ -87,12 +87,18 @@ object DvLoader {
   def streamTableLoadBatch(s: SparkSession, batch: DataFrame, tableName: String,
                            repoDir: String, loadTs: String): Unit = {
     val schema = readSchema(s, repoDir)
-    // first micro-batch of a fresh repo: nothing stored yet -> full insert
+    // First micro-batch of a fresh repo: nothing stored yet -> full insert.
+    // ONLY a missing path means "fresh" — any other analysis failure
+    // (schema drift, renamed hash-key column) must fail the batch loudly,
+    // or every micro-batch would silently degrade to a full duplicate
+    // insert.
     def novelAgainst(path: String, keys: Seq[String], b: DataFrame): DataFrame =
       try {
         val stored = s.read.parquet(path).select(keys.head, keys.tail: _*)
         b.join(stored, keys, "left_anti")
-      } catch { case _: org.apache.spark.sql.AnalysisException => b }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException if isPathMissing(e) => b
+      }
     schema.hubs.filter(_.sourceTable == tableName).foreach { h =>
       novelAgainst(s"$repoDir/hub_${h.name}", Seq(h.hkName),
         DvBuild.hubFrom(s, batch, h, loadTs))
@@ -103,6 +109,17 @@ object DvLoader {
         DvBuild.satFrom(batch, t, loadTs))
         .write.mode("append").parquet(s"$repoDir/sat_${t.name}")
     }
+    schema.links.filter(_.sourceTable == tableName).foreach { l =>
+      novelAgainst(s"$repoDir/link_${l.name}", Seq(l.hkName),
+        DvBuild.linkFrom(batch, l, loadTs))
+        .write.mode("append").parquet(s"$repoDir/link_${l.name}")
+    }
+  }
+
+  /** True only for "the stored object does not exist yet" failures. */
+  private[graft] def isPathMissing(e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
   }
 
   /** Wire the continuous load onto a streaming source of `tableName` rows. */
@@ -130,7 +147,8 @@ object DvLoader {
       .join(hub0.select(satCustomer.hkName), Seq(satCustomer.hkName), "left_semi")
       .write.mode("overwrite").parquet(s"$repo/sat_customer")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("repo-load-demo"))
+      java.nio.file.Paths.get(s"$repo/dv_schema.json"),
+      DvGo.planJson("repo-load-demo", Set("hub_customer", "sat_customer")))
     val scope = Set("hub_customer", "sat_customer")
     val counts = incrementalLoad(s, dir, repo, scope = scope)
     // counts are materialized; the seeded repo is no longer needed

@@ -78,7 +78,8 @@ object DvSqlGen {
     * dv_loader.rs:166-199).
     */
   def linkIncrSql(loadTs: String = LoadTs): String = {
-    val hk = dvHashSql(Seq("o_custkey_bk", "o_orderkey_bk"))
+    // part order matches the canonical link_orders hk (order, customer)
+    val hk = dvHashSql(Seq("o_orderkey_bk", "o_custkey_bk"))
     s"""WITH existing AS (
        |  SELECT DISTINCT $hk AS link_orders_hk
        |  FROM (SELECT CAST(o_custkey AS VARCHAR) AS o_custkey_bk,
@@ -242,11 +243,16 @@ object DvSqlGen {
   }
 
   /** All DDL for the standard plan — written by DvGo alongside the data. */
-  def allDdl: String =
-    (DvPlanner.hubs.map(hubDdl) ++
-      Seq(satDdl(DvPlanner.satCustomer), satDdl(DvPlanner.satCustomerSensitive),
-        satDdl(DvPlanner.satLinkOrders),
-        linkDdl(DvPlanner.linkOrders), linkDdl(DvPlanner.linkLineitem))).mkString("\n\n")
+  /** CREATE TABLE DDL for the vault, optionally scoped to the objects a
+    * build actually materializes (go() passes its include filter so the
+    * registered dv_schema.sql never advertises unbuilt objects).
+    */
+  def allDdl(include: String => Boolean = _ => true): String =
+    (DvPlanner.hubs.filter(h => include(s"hub_${h.name}")).map(hubDdl) ++
+      Seq(DvPlanner.satCustomer, DvPlanner.satCustomerSensitive, DvPlanner.satLinkOrders)
+        .filter(t => include(s"sat_${t.name}")).map(satDdl) ++
+      Seq(DvPlanner.linkOrders, DvPlanner.linkLineitem)
+        .filter(l => include(s"link_${l.name}")).map(linkDdl)).mkString("\n\n")
 
   /** Source catalog oracle: constants from the static schema registry. */
   def catalogSql: String = {

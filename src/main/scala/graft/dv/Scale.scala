@@ -63,12 +63,18 @@ object Scale {
   }
 
   /** Two-phase salted aggregation: count/sum per key with bounded reducer
-    * fan-in. The salt derives from a hash of the value column, so results
-    * are deterministic and identical to the unsalted aggregation.
+    * fan-in for EXACT (integer/decimal) aggregates — exactness is what
+    * makes the result independent of the grouping (double sums would pick
+    * up non-associative rounding under a different split). The salt mixes
+    * the value hash with the input partition id: a hot key whose values
+    * repeat (the common skew case — think value=0) still spreads across
+    * partitions, so the final reducer receives at most saltBuckets
+    * partials per key regardless of the value distribution.
     */
   def saltedSum(df: DataFrame, key: Column, value: Column, saltBuckets: Int = 32): DataFrame =
     df.select(key.as("k"), value.as("v"))
-      .withColumn("_salt", pmod(xxhash64(col("v")), lit(saltBuckets)))
+      .withColumn("_salt",
+        pmod(xxhash64(col("v")) + spark_partition_id().cast("long"), lit(saltBuckets)))
       .groupBy("k", "_salt")
       .agg(count(lit(1)).as("_c"), sum("v").as("_s"))
       .groupBy("k")

@@ -43,11 +43,15 @@ object DataVault extends QueryModule {
     */
   private def linkIncr(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
+    // hash part order MUST match the canonical link_orders build
+    // (DvPlanner.linkOrders members: order first, then customer) — a
+    // different order yields different hash keys and the anti-join against
+    // the stored link would match nothing
     def linkRows(df: DataFrame): DataFrame = df
       .select(col("o_custkey").cast("string").as("o_custkey_bk"),
         col("o_orderkey").cast("string").as("o_orderkey_bk"))
       .distinct()
-      .withColumn("link_orders_hk", dvHash(Seq(col("o_custkey_bk"), col("o_orderkey_bk"))))
+      .withColumn("link_orders_hk", dvHash(Seq(col("o_orderkey_bk"), col("o_custkey_bk"))))
     val existing = linkRows(o.filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date")))
     val batch = linkRows(o)
     DvBuild.hubIncrement(existing, batch, "link_orders_hk")

@@ -48,9 +48,12 @@ object Streams {
     * EventTimeTimeout — a closed session is emitted when a 30-minute gap
     * shows up in the data OR when the watermark passes the open session's
     * gap deadline with no further events for that user (the timeout path).
-    * Timed-out state is removed, so state size tracks only currently-open
-    * sessions — bounded on an unbounded stream (the NoTimeout version kept
-    * every user's state forever; StreamingSpec asserts the bound).
+    * A timed-out session leaves an n=0 tombstone carrying the session
+    * counter for a grace window (then expires), so session numbering stays
+    * monotone per user while state size tracks open sessions plus
+    * recently-active tombstones — bounded on an unbounded stream (the
+    * NoTimeout version kept every user's state forever; StreamingSpec
+    * asserts the bound and the numbering continuity).
     */
   def sessionize(events: DataFrame): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -111,7 +114,9 @@ object Streams {
       try {
         val existing = spark.read.parquet(hubPath).select("hub_hk")
         keyed.join(existing, Seq("hub_hk"), "left_anti")
-      } catch { case _: org.apache.spark.sql.AnalysisException => keyed } // first batch: no hub yet
+      } catch { // ONLY a missing path means first batch; anything else must fail loudly
+        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
+      }
     novel.write.mode("append").parquet(hubPath)
   }
 
@@ -149,7 +154,9 @@ object Streams {
       try {
         val existing = spark.read.parquet(satPath).select("hub_hk", "sat_hd")
         keyed.join(existing, Seq("hub_hk", "sat_hd"), "left_anti")
-      } catch { case _: org.apache.spark.sql.AnalysisException => keyed }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
+      }
     novel.write.mode("append").parquet(satPath)
   }
 
@@ -180,7 +187,9 @@ object Streams {
       try {
         val existing = spark.read.parquet(linkPath).select("link_hk")
         keyed.join(existing, Seq("link_hk"), "left_anti")
-      } catch { case _: org.apache.spark.sql.AnalysisException => keyed } // first batch: no link yet
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
+      }
     novel.write.mode("append").parquet(linkPath)
   }
 

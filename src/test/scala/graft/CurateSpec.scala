@@ -95,5 +95,10 @@ class CurateSpec extends SparkSpec {
     assert(incr.join(pre, Seq("o_custkey_bk", "o_orderkey_bk")).count() == 0)
     assert(incr.select("link_orders_hk").distinct().count() == incr.count())
     assert(incr.count() > 0)
+    // the increment's hash keys must be the canonical link_orders keys —
+    // a different bk part order would anti-join against nothing
+    val canonical = SparkEntry.queries("dv_link_orders")(spark, sfDir)
+      .select("link_orders_hk")
+    assert(incr.select("link_orders_hk").except(canonical).count() == 0)
   }
 }
