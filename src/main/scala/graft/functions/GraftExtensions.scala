@@ -51,8 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 case class CosineSelfFold(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // Null-preserving: folding a nullable input straight to 1.0 would turn
+    // NULL rows into 1.0 — keep the null check, fold only the cosine loop.
     case CosineSimilarity(l, r) if l.deterministic && l.semanticEquals(r) =>
-      Literal(1.0)
+      if (!l.nullable) Literal(1.0)
+      else org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.IsNull(l),
+        Literal(null, org.apache.spark.sql.types.DoubleType), Literal(1.0))
   }
 }
 

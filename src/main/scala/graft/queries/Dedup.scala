@@ -21,16 +21,12 @@ object Dedup extends QueryModule {
 
   private val toksDuck = Docs.toksDuck
 
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
   /** Distinct (doc_id, shingle) with 3-word shingles — memoized per
     * (session, sf-dir) since three dedup operators share it. Tokens come
     * from the shared [[Docs]] pass (no per-operator re-tokenization).
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
-      shinglesUncached(s, dir).cache())
+    SessionCache.memo(s, "shingles", dir)(shinglesUncached(s, dir))
 
   private def shinglesUncached(s: SparkSession, dir: String): DataFrame =
     Docs.enriched(s, dir)
@@ -182,22 +178,18 @@ object Dedup extends QueryModule {
   private val DfCap = 50
   private val JaccardThreshold = 0.5
 
-  private val bigramCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
   /** Distinct (doc_id, bigram) — memoized + cached per (session, sf-dir)
     * like the shingle set: the candidate join, the intersect join, and the
     * size aggregation all re-scan it, so one materialization serves all.
     */
   private def bigrams(s: SparkSession, dir: String): DataFrame =
-    bigramCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    SessionCache.memo(s, "bigrams", dir)(
       Docs.enriched(s, dir)
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(toks)-1), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1)))"))
           .as("bg"))
-        .distinct()
-        .cache())
+        .distinct())
 
   private val bigramsDuck =
     s"""SELECT DISTINCT doc_id,
@@ -260,9 +252,6 @@ object Dedup extends QueryModule {
   // over ITERATIONS, never over rows.
   private val MaxCcIters = 20
 
-  private val ccLabelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
   /** Converged (id, lbl) component labels over the minhash pair graph —
     * memoized + cached per (session, sf-dir) like the shingle set: the
     * labels are the session's materialized dedup assignment (tiny — only
@@ -270,7 +259,7 @@ object Dedup extends QueryModule {
     * loop per invocation would redo the whole candidate pipeline.
     */
   private def ccLabels(s: SparkSession, dir: String): DataFrame =
-    ccLabelCache.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+    SessionCache.memo(s, "cc_labels", dir) {
       // Symmetrize with one explode instead of a self-union: a union would
       // evaluate the whole minhash candidate pipeline twice (Spark does
       // not dedup common subtrees across union branches).
@@ -309,7 +298,7 @@ object Dedup extends QueryModule {
       labels.count()
       edges.unpersist()
       labels
-    })
+    }
 
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     val labels = ccLabels(s, dir)

@@ -21,13 +21,27 @@ object Docs {
   val normSpark = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
   val normDuck = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
   /** `documents` + (`toks` array, `norm` text), computed once and cached. */
   def enriched(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
+    SessionCache.memo(s, "docs", dir) {
       Tables.load(s, dir, "documents")
         .withColumn("toks", expr(toksSpark))
         .withColumn("norm", expr(normSpark))
-        .cache())
+    }
+}
+
+/** Session-scoped DataFrame memo behind every per-corpus cache (docs,
+  * shingles, bigrams, frames, cluster labels). Keyed by the session OBJECT
+  * — identity-hash string keys could collide with a GC'd session and hand
+  * back a DataFrame bound to a stopped context. Entries live for the
+  * session (they ARE the session's materialized derived corpus); a
+  * process cycling many sessions should call clear().
+  */
+private[queries] object SessionCache {
+  import org.apache.spark.sql.SparkSession
+  private val entries =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  def memo(s: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame =
+    entries.getOrElseUpdate((s, tag, dir), build.cache())
+  def clear(): Unit = { entries.values.foreach(_.unpersist()); entries.clear() }
 }

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * an opaque binary payload column, a typed Dataset, a partition-wise decode
   * (the shape a JNI/FFmpeg/PIL bridge would take: one decoder instance per
   * partition, streaming rows through it), and a typed metadata schema out.
+  *
+  * Oracle encoding assumption: the DuckDB twins index `text` by CHARACTER
+  * while the Spark side works on the payload BYTES — identical only while
+  * the corpus is single-byte (ASCII), which TextSpec asserts explicitly. A
+  * real binary corpus exercises only the Spark side (the payloads would
+  * not round-trip through a VARCHAR oracle at all).
   */
 object Multimodal extends QueryModule {
 
@@ -51,6 +57,12 @@ object Multimodal extends QueryModule {
 
   val FrameStep = 64
   val FrameLen = 32
+  /** Hard frame cap shared with the oracle's generate_series bound: both
+    * engines stop at frame_no MaxFrameNo, so a pathological multi-MB
+    * payload cannot silently diverge the twins (and the explode stays
+    * bounded). 1001 frames covers payloads up to ~64 KB.
+    */
+  val MaxFrameNo = 1000
 
   private def md5Long64Jvm(x: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -61,7 +73,7 @@ object Multimodal extends QueryModule {
   def sampleFrames(b: DocBlob): Iterator[Frame] = {
     val payload = new String(b.payload, "UTF-8")
     Iterator.from(0).map(_ * FrameStep)
-      .takeWhile(_ + FrameLen <= payload.length)
+      .takeWhile(off => off + FrameLen <= payload.length && off / FrameStep <= MaxFrameNo)
       .map(off => Frame(b.doc_id, off / FrameStep, off,
         md5Long64Jvm(payload.substring(off, off + FrameLen))))
   }
@@ -81,7 +93,7 @@ object Multimodal extends QueryModule {
       SELECT doc_id, CAST(i AS INT) AS frame_no, CAST(i * $FrameStep AS INT) AS "offset",
              substr(text, i * $FrameStep + 1, $FrameLen) AS frame
       FROM documents
-      CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i) g
+      CROSS JOIN (SELECT unnest(generate_series(0, $MaxFrameNo)) AS i) g
       WHERE i * $FrameStep + $FrameLen <= length(text))
     SELECT doc_id, frame_no, "offset",
            CAST('0x'||substr(md5(frame),1,15) AS BIGINT) AS frame_hash
@@ -168,17 +180,14 @@ object Multimodal extends QueryModule {
   private val MmDfCap = 20
   private val MmMinShared = 2
 
-  private val frameCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
   /** Distinct (doc_id, frame_hash), memoized + cached per (session, dir):
     * the df cap, the self-joined candidate pairs, and the size aggregation
     * all re-scan it — without the cache the binary frame-hash pass runs
     * four times per invocation (same pattern as Docs/shingles).
     */
   private def frames(s: SparkSession, dir: String): DataFrame =
-    frameCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
-      frameSample(s, dir).select("doc_id", "frame_hash").distinct().cache())
+    SessionCache.memo(s, "frames", dir)(
+      frameSample(s, dir).select("doc_id", "frame_hash").distinct())
 
   private def mmDedup(s: SparkSession, dir: String): DataFrame = {
     val fr = frames(s, dir)

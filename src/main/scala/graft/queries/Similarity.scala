@@ -381,8 +381,15 @@ object Similarity extends QueryModule {
   private def dotQDuck(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, $Dim), d -> $a[d] * $b[d])) AS BIGINT)"
 
+  // Centroid self-dot in HUGEINT: norms grow with n_cell² and overflow
+  // int64 near 1.6e5 members/cell — the Spark side computes them in BigInt
+  // (centSimArray), so the oracle must not error first. One HUGEINT→DOUBLE
+  // cast matches BigInt.toDouble (both correctly rounded).
+  private def normDuck(qc: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, $Dim), d -> CAST($qc[d] AS HUGEINT) * $qc[d])) AS DOUBLE)"
+
   private def simDuck(q: String, qc: String): String =
-    s"CAST(${dotQDuck(q, qc)} AS DOUBLE) / sqrt(CAST(${dotQDuck(qc, qc)} AS DOUBLE))"
+    s"CAST(${dotQDuck(q, qc)} AS DOUBLE) / sqrt(${normDuck(qc)})"
 
   /** Assignment CTE body: best cell in `cents` for every row of `vecs`. */
   private def assignDuck(vecsCte: String, centsCte: String): String =

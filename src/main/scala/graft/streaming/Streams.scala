@@ -102,13 +102,27 @@ object Streams {
       }
   }
 
+  /** Canonicalize a business-key/descriptor column by its SCHEMA type so
+    * streaming hash keys and hash-diffs match the batch DvBuild contract
+    * (doubles hash as DECIMAL(12,2) text, timestamps as epoch millis — a
+    * plain cast-to-string would diverge: '123.4' vs '123.40').
+    */
+  private def canonByType(df: DataFrame, name: String) = {
+    val t = df.schema(name).dataType match {
+      case org.apache.spark.sql.types.DoubleType => "double"
+      case _: org.apache.spark.sql.types.TimestampType => "timestamp"
+      case _ => "string"
+    }
+    graft.functions.GraftFunctions.canon(col(name), t)
+  }
+
   /** #40: streaming incremental hub load — every micro-batch anti-joins the
     * hub parquet on the hash key and appends only new keys (the streaming
     * form of DvBuild.hubIncrement; the hub parquet is hash-keyed so at scale
     * this is a broadcast of the batch side against a bucketed table).
     */
   def hubLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, hubPath: String, loadTs: String): Unit = {
-    val keyed = batch.select(col(keyCol).cast("string").as("bk")).distinct()
+    val keyed = batch.select(canonByType(batch, keyCol).as("bk")).distinct()
       .select(dvHash(Seq(col("bk"))).as("hub_hk"), lit(loadTs).as("load_ts"), col("bk"))
     val novel =
       try {
@@ -120,10 +134,12 @@ object Streams {
     novel.write.mode("append").parquet(hubPath)
   }
 
-  /** #41: watermarked stream-stream join — purchases enriched with the
-    * same user's most recent prior signup-side event within 1 hour. Both
-    * sides carry watermarks so state is bounded; the time-range predicate
-    * makes the join eligible for streaming execution.
+  /** #41: watermarked stream-stream join — each purchase enriched with
+    * ALL of the same user's prior signup-side events within 1 hour (a
+    * purchase with several in-window signups emits one row per signup;
+    * most-recent selection is a downstream aggregation). Both sides carry
+    * watermarks so state is bounded; the time-range predicate makes the
+    * join eligible for streaming execution.
     */
   def purchaseEnrich(purchases: DataFrame, signups: DataFrame): DataFrame = {
     val p = purchases.withColumn("p_ts", timestamp_millis(col("tms")))
@@ -145,10 +161,10 @@ object Streams {
   def satLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, descCols: Seq[String],
                    satPath: String, loadTs: String): Unit = {
     val keyed = batch
-      .select((col(keyCol).cast("string").as("bk") +: descCols.map(col)): _*)
+      .select((canonByType(batch, keyCol).as("bk") +: descCols.map(col)): _*)
       .distinct()
       .select((dvHash(Seq(col("bk"))).as("hub_hk") +:
-        dvHash(descCols.map(c => col(c).cast("string"))).as("sat_hd") +:
+        dvHash(descCols.map(c => canonByType(batch, c))).as("sat_hd") +:
         lit(loadTs).as("load_ts") +: col("bk") +: descCols.map(col)): _*)
     val novel =
       try {
@@ -177,7 +193,7 @@ object Streams {
     */
   def linkLoadBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
                     linkPath: String, loadTs: String): Unit = {
-    val bks = keyCols.map(c => col(c).cast("string").as(s"${c}_bk"))
+    val bks = keyCols.map(c => canonByType(batch, c).as(s"${c}_bk"))
     val keyed = batch.select(bks: _*).distinct()
       .select((dvHash(keyCols.map(c => col(s"${c}_bk"))).as("link_hk") +:
         lit(loadTs).as("load_ts") +:
@@ -211,7 +227,7 @@ object Streams {
     * is three longs per event type — bounded by type cardinality.
     */
   final case class DayCount(event_type: String, day: String, cnt: Long)
-  final case class TypeStats(n: Long, s: Long, q: Long)
+  final case class TypeStats(n: Long, s: Long, qStr: String)
   final case class AnomalyFlag(event_type: String, day: String, cnt: Long, anomaly: Boolean)
 
   def anomalyStream(dailyCounts: Dataset[DayCount]): Dataset[AnomalyFlag] = {
@@ -220,17 +236,18 @@ object Streams {
       .flatMapGroupsWithState[TypeStats, AnomalyFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, days, state: GroupState[TypeStats]) =>
-          var st = state.getOption.getOrElse(TypeStats(0L, 0L, 0L))
+          var st = state.getOption.getOrElse(TypeStats(0L, 0L, "0"))
+          var q = BigInt(st.qStr) // Q=Σc² overflows int64 near c~1e9, so the
+          // state carries it as a BigInt string (the batch twin widens to
+          // DECIMAL(38,0)/HUGEINT for the same reason); n and S=Σc stay
+          // comfortably inside int64
           val out = days.toSeq.sortBy(_.day).map { d =>
             val flagged = st.n >= 2 && {
-              // BigInt: S² and n·Q overflow int64 once daily counts reach
-              // ~1e9 on a long-lived stream; the squared compare must not
-              // wrap (the batch twin widens to DECIMAL(38,0) for the same
-              // reason)
               val dev = BigInt(st.n) * d.cnt - st.s
-              dev * dev > 4 * (BigInt(st.n) * st.q - BigInt(st.s) * st.s)
+              dev * dev > 4 * (BigInt(st.n) * q - BigInt(st.s) * st.s)
             }
-            st = TypeStats(st.n + 1, st.s + d.cnt, st.q + d.cnt * d.cnt)
+            q += BigInt(d.cnt) * BigInt(d.cnt)
+            st = TypeStats(st.n + 1, st.s + d.cnt, q.toString)
             AnomalyFlag(d.event_type, d.day, d.cnt, flagged)
           }
           state.update(st)

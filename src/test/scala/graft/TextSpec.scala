@@ -24,6 +24,13 @@ class TextSpec extends SparkSpec {
     assert(df.count() == Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("corpus is single-byte text (the multimodal oracle's encoding assumption)") {
+    // the DuckDB twins index text by CHARACTER while the Spark side works
+    // on payload BYTES — Multimodal's scaladoc pins this to an ASCII corpus
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(docs.filter(length(col("text")) =!= octet_length(col("text"))).count() == 0)
+  }
+
   test("multimodal: resize stub preserves aspect, frame sampling covers payload") {
     import graft.queries.Multimodal._
     val m = BlobMeta(1, 1000, "41424344", 600, 400, "stub")
