@@ -52,7 +52,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass"}""")
+    val singlePassTotal = pass1.values.sum
+    // Per-query detail first, compact totals-only line LAST: the driver's
+    // artifact keeps the tail of the output, so the headline totals must be
+    // on the final (short) line to survive truncation. Both statistics are
+    // emitted so gate comparisons can use whichever matches the baseline's
+    // methodology (single-pass vs best-of).
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","single_pass_total":$singlePassTotal,"best_of_total":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,6 +85,14 @@ object DvGo {
     * `dv_builds` parquet — the reference's auto_dw.build_call insert
     * (lib.rs:29-35 insert_into_build_call; the dv_repo keyed by build_id,
     * model/dv_schema.rs:84). Returns the result plus the assigned sequence.
+    *
+    * PRECONDITION: single writer per `historyPath`. `build_seq` is assigned
+    * read-max-then-append, which is not atomic — the reference relies on a
+    * database sequence here, and a parquet directory has no equivalent.
+    * Concurrent builds against one history would race the sequence; the
+    * globally-unique `build_id` (also stored) disambiguates rows if that
+    * contract is ever violated, but sequences are only meaningful under a
+    * single writer.
     */
   def goWithHistory(s: SparkSession, dir: String, outDir: String, historyPath: String,
                     loadTs: String = DvDefaults.LoadTs,

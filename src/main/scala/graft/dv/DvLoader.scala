@@ -116,10 +116,16 @@ object DvLoader {
     }
   }
 
-  /** True only for "the stored object does not exist yet" failures. */
+  /** True only for "the stored object does not exist yet" failures.
+    * Primary match is the stable error condition (PATH_NOT_FOUND) rather
+    * than message text — a Spark upgrade rewording the message must not
+    * turn every fresh repo's first micro-batch into a crash. The message
+    * check stays as a fallback for exceptions raised without a condition.
+    */
   private[graft] def isPathMissing(e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val cond = Option(e.getCondition).getOrElse("")
     val m = Option(e.getMessage).getOrElse("")
-    m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+    cond == "PATH_NOT_FOUND" || m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
   }
 
   /** Wire the continuous load onto a streaming source of `tableName` rows. */

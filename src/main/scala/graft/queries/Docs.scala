@@ -34,14 +34,33 @@ object Docs {
   * shingles, bigrams, frames, cluster labels). Keyed by the session OBJECT
   * — identity-hash string keys could collide with a GC'd session and hand
   * back a DataFrame bound to a stopped context. Entries live for the
-  * session (they ARE the session's materialized derived corpus); a
-  * process cycling many sessions should call clear().
+  * session (they ARE the session's materialized derived corpus) and are
+  * dropped automatically when the session's SparkContext ends, so a
+  * process cycling sessions leaks neither heap nor storage memory.
   */
 private[queries] object SessionCache {
   import org.apache.spark.sql.SparkSession
   private val entries =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-  def memo(s: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame =
+  private val hooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
+
+  def memo(s: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame = {
+    // One end-of-application listener per session: when the underlying
+    // context stops, every entry for that session is dropped (no unpersist —
+    // the context's storage is gone with it; this releases the heap refs).
+    hooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          entries.keys.filter(_._1 eq s).foreach(entries.remove)
+          hooked.remove(s)
+        }
+      })
+      true
+    })
     entries.getOrElseUpdate((s, tag, dir), build.cache())
+  }
+
   def clear(): Unit = { entries.values.foreach(_.unpersist()); entries.clear() }
 }
