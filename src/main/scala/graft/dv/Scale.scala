@@ -44,10 +44,14 @@ object Scale {
     * placed explicitly (graft_bloom_agg / graft_might_contain).
     */
   def incrementBloomPruned(batch: DataFrame, stored: DataFrame, hkCol: String): DataFrame = {
-    // The batch side is consumed twice (bloom build + anti-join); cache it
-    // so a derived batch plan is not recomputed — by construction it is
-    // the small side.
-    val b = batch.cache()
+    // The batch side is consumed twice (bloom build + anti-join). It is NOT
+    // cached here: a per-invocation cache is never safely unpersistable
+    // (the returned plan still references it lazily), so it would leak a
+    // storage block per call. The batch is the small side by construction —
+    // recomputing it once costs less than an orphaned cache; callers with
+    // an expensive batch plan should pass a DataFrame they cache and
+    // release themselves.
+    val b = batch
     // One aggregate job builds the filter (might_contain requires a
     // constant/scalar-subquery bloom, so the 1 MB binary rides the plan as
     // a literal — the same payload a broadcast runtime filter ships).

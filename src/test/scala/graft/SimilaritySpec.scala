@@ -67,7 +67,7 @@ class SimilaritySpec extends SparkSpec {
   test("ann_cosine_lsh top-1 is the exact best neighbor within the query's bucket") {
     import graft.functions.GraftColumns.graftCosine
     val vecs = Similarity.lshBuckets(spark, sfDir).cache()
-    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val queries = vecs.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
     // independent formulation: max_by over the bucket join, no window/rank
     val best = vecs.join(queries,
@@ -126,5 +126,32 @@ class SimilaritySpec extends SparkSpec {
     val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
     assert(ann.count() > 0)
     assert(ann.filter(col("rank") > 3).count() == 0)
+  }
+
+  test("ann_cosine_lsh query set is constant and its hits recall the exact top-5") {
+    // Scale contract (VERDICT r2 #2): the query side must not grow with the
+    // corpus — a constant 50 queries, same cap as knn_cosine.
+    val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir).cache()
+    val queryIds = ann.select("query_id").distinct().collect().map(_.getLong(0))
+    assert(queryIds.length <= 50 && queryIds.forall(_ < 50))
+    // Recall pinned against the exact kNN over the SAME query set: on this
+    // near-orthogonal corpus a 64-bucket LSH holds a given true top-5
+    // neighbor with p ~ 1/64 per bucket, so global recall is structurally
+    // low (see the comment above the best-in-bucket test) — what must hold
+    // is that a nontrivial fraction of returned neighbors ARE true top-5
+    // hits, i.e. the buckets are not noise.
+    val exact = Similarity.defs.find(_.name == "knn_cosine").get.run(spark, sfDir)
+      .select("query_id", "neighbor_id")
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val hitRate = hits.toDouble / ann.count()
+    // Noise baseline: a uniformly random neighbor is a true top-5 with
+    // p = 5/(n-1) ≈ 1% on the 500-vector corpus. The buckets must beat
+    // that by a wide margin (measured 6% at sf0.001 — 6× noise; pinned at
+    // 3× so SF/tie jitter cannot flake the suite).
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val noise = 5.0 / (n - 1)
+    assert(hitRate >= 3 * noise,
+      s"bucket hit rate $hitRate (${hits} of ${ann.count()}) vs noise $noise")
   }
 }
