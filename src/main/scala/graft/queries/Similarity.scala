@@ -92,15 +92,23 @@ object Similarity extends QueryModule {
     s"CAST('0x'||substr(md5('plane_' || CAST($p AS VARCHAR) || '_' || CAST($d AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
 
   /** Deterministic hyperplane coefficient in [-1000, 1000]:
-    * md5-long64('plane_<p>_<d>') % 2001 - 1000, precomputed driver-side
-    * (same md5 arithmetic as the SQL twin, so values are identical) and
-    * baked into the plan as literals — no per-row md5 at scan time.
+    * md5-long64(name) % 2001 - 1000, precomputed driver-side (same md5
+    * arithmetic as the SQL twin, so values are identical) and baked into
+    * the plan as literals — no per-row md5 at scan time.
     */
-  private def coefScala(p: Int, d: Int): Long = {
+  private def md5Coef(name: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"plane_${p}_$d".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val hex = md.digest(name.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
   }
+
+  private def coefScala(p: Int, d: Int): Long = md5Coef(s"plane_${p}_$d")
+
+  /** A distinct hyperplane family for the production-constant dedup op, so
+    * its bands are independent of the 6-plane ANN buckets and the 2-plane
+    * exhaustiveness bands.
+    */
+  private def prodCoef(p: Int, d: Int): Long = md5Coef(s"prodplane_${p}_$d")
 
   /** 6-bit LSH bucket: per-plane index-ordered dot against literal
     * coefficient arrays, summed into a bit bucket. All built-in exprs.
@@ -272,6 +280,125 @@ object Similarity extends QueryModule {
        |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
        |WHERE ${dotDuck("a.embedding", "b.embedding")} / (sqrt(a.nrm) * sqrt(b.nrm)) >= $NearDupCosine
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------- dedup_embed_cosine_prod
+  // The PRODUCTION-constant variant of embedding near-dup detection
+  // (VERDICT r2 #1): 10 bands × 10 hyperplanes per band at τ = 0.8. Where
+  // the τ=0.4 op above keeps 2-plane bands so the exact all-pairs oracle
+  // can prove recall 1.0 on this near-orthogonal corpus, THIS op runs the
+  // constants a 100 TB near-dup pipeline actually ships, and its oracle is
+  // the SAME banded candidate generation expressed in DuckDB — the
+  // hash-match proves the sub-quadratic candidate set itself, band by band.
+  //
+  // Volume math: two non-dup vectors agree on a 10-plane band with
+  // p ≈ 2^-10, so expected candidates ≈ Bands·n²/2^11 ≈ n²/205 — ~1% of
+  // all pairs, through 10·1024 distinct (band, sig) join keys (no reducer
+  // skew). Recall at production thresholds: a pair at cosine c agrees per
+  // plane with p = 1-acos(c)/π, per band p^10, and survives banding with
+  // 1-(1-p^10)^10 — 0.985 at c=0.95, 0.91 at c=0.9, falling to 0.26 at
+  // the τ=0.8 boundary (more bands is the recall lever when the target
+  // threshold drops; planes per band is the precision lever).
+  //
+  // Output = per-band (first-match) candidate count + verified-dup count:
+  // the corpus has no pairs at τ=0.8 (max pairwise cosine ≈ 0.51), so the
+  // checkable artifact is the banding itself — every candidate pair and
+  // its verification outcome must match the oracle exactly. The
+  // first-match dedup here is a groupBy(min band) over the CANDIDATE set —
+  // affordable precisely because the production constants make that set
+  // sub-quadratic (the τ=0.4 op needs its packed-word bit trick because
+  // its corpus-tuned candidates are dense).
+  private val ProdBands = 10
+  private val ProdRows = 10 // hyperplanes per band
+  private val ProdTau = 0.8
+
+  /** (vec_id, sigs array<long>) — all 100 plane signs in one scan-local
+    * pass against a single 2-D coefficient literal (one Literal node, not
+    * 6400 expression children), folded into 10 band signatures.
+    */
+  private def prodSigs(s: SparkSession, dir: String): DataFrame = {
+    val coefs: Seq[Seq[Double]] =
+      (0 until ProdBands * ProdRows).map(p => (1 to Dim).map(d => prodCoef(p, d).toDouble))
+    val coefCol = typedlit(coefs)
+    val bits = transform(sequence(lit(0), lit(ProdBands * ProdRows - 1)), p =>
+      when(aggregate(sequence(lit(1), lit(Dim)), lit(0.0d),
+        (acc, d) => acc + element_at(col("embedding"), d).cast("double")
+          * element_at(element_at(coefCol, p + 1), d)) > 0, 1L).otherwise(0L))
+    // sig = Σ bit_r·2^r, folded high→low so the accumulator is acc·2+bit
+    // (no Column-typed shift amounts needed)
+    val sigs = transform(sequence(lit(0), lit(ProdBands - 1)), b =>
+      aggregate(sequence(lit(ProdRows - 1), lit(0), lit(-1)), lit(0L),
+        (acc, r) => acc * 2 + element_at(col("_bits"), b * lit(ProdRows) + r + 1)))
+    SessionCache.memo(s, "embed_dedup_prod_sigs", dir) {
+      emb(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("_bits", bits)
+        .select(col("vec_id"), sigs.as("sigs"))
+    }
+  }
+
+  private def embedDedupProd(s: SparkSession, dir: String): DataFrame = {
+    val exploded = prodSigs(s, dir)
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.band").as("band"))
+      .groupBy("vec_a", "vec_b")
+      .agg(min("band").as("first_band"))
+    // verification re-attaches embeddings to the (sub-quadratic) candidate
+    // set only — broadcast at oracle geometry, bucketed hash join at scale
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+    cand
+      .join(broadcast(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), Seq("vec_a"))
+      .join(broadcast(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), Seq("vec_b"))
+      .select(col("first_band"), graftCosine(col("ea"), col("eb")).as("cosine"))
+      .groupBy(col("first_band").as("band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("cosine") >= ProdTau, 1L).otherwise(0L)).as("n_dups"))
+      .orderBy("band")
+  }
+
+  /** SQL twin: the identical banded candidate generation (NOT all-pairs) —
+    * same coefficient literals, same first-match-band grouping, same
+    * verification threshold.
+    */
+  private def embedDedupProdSql: String = {
+    val coefsDuck = (0 until ProdBands * ProdRows)
+      .map(p => (1 to Dim).map(d => prodCoef(p, d)).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val nPlanes = ProdBands * ProdRows
+    s"""WITH coefs AS (SELECT $coefsDuck AS cc),
+       |vecs AS (
+       |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, list_transform(generate_series(0, ${nPlanes - 1}), p ->
+       |    CASE WHEN list_sum(list_transform(generate_series(1, $Dim),
+       |                 d -> CAST(embedding[d] AS DOUBLE) * cc[p+1][d])) > 0
+       |         THEN 1 ELSE 0 END) AS bits
+       |  FROM vecs CROSS JOIN coefs),
+       |sigs AS (
+       |  SELECT vec_id, list_transform(generate_series(0, ${ProdBands - 1}), b ->
+       |    list_sum(list_transform(generate_series(0, ${ProdRows - 1}),
+       |      r -> bits[b*$ProdRows+r+1] * (1 << r)))) AS sigs
+       |  FROM bits),
+       |exploded AS (
+       |  SELECT vec_id, CAST(bb.band AS INT) AS band, sigs[bb.band+1] AS sig
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${ProdBands - 1})) AS band) bb),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, min(a.band) AS first_band
+       |  FROM exploded a JOIN exploded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |withcos AS (
+       |  SELECT c.first_band,
+       |         ${dotDuck("va.embedding", "vb.embedding")} / (sqrt(va.nrm) * sqrt(vb.nrm)) AS cosine
+       |  FROM cand c
+       |  JOIN vecs va ON va.vec_id = c.vec_a
+       |  JOIN vecs vb ON vb.vec_id = c.vec_b)
+       |SELECT first_band AS band, count(*) AS n_candidates,
+       |       CAST(sum(CASE WHEN cosine >= $ProdTau THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+       |FROM withcos GROUP BY first_band ORDER BY band""".stripMargin
+  }
 
   // -------------------------------------------------- ann_cosine_ivf
   // IVF (inverted-file) ANN with a TRAINED coarse quantizer: k-means over
@@ -609,6 +736,7 @@ object Similarity extends QueryModule {
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
     QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
+    QueryDef("dedup_embed_cosine_prod", embedDedupProd, Some(embedDedupProdSql)),
     QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql)),
     QueryDef("emb_quantize", embQuantize, Some(embQuantizeSql))
   )

@@ -44,6 +44,26 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.exceptAll(banded).count() == 0)
   }
 
+  test("dedup_embed_cosine_prod candidates are sub-quadratic and its dup count is exact") {
+    val res = Similarity.defs.find(_.name == "dedup_embed_cosine_prod").get
+      .run(spark, sfDir).cache()
+    val nCand = res.agg(sum("n_candidates")).collect()(0).getLong(0)
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val allPairs = n * (n - 1) / 2
+    assert(nCand > 0)
+    // the production constants (10 bands x 10 planes) must keep candidate
+    // volume far below quadratic — expected ~Bands/2^(Rows+1) ~ 1%
+    assert(nCand.toDouble / allPairs < 0.05,
+      s"candidates $nCand of $allPairs pairs = ${100.0 * nCand / allPairs}%")
+    // verified dups among candidates == the exact all-pairs answer at the
+    // production threshold (0 on this near-orthogonal corpus — the assert
+    // becomes a probabilistic recall check if the corpus ever gains dups)
+    val nDups = res.agg(sum("n_dups")).collect()(0).getLong(0)
+    val exactDups = Similarity.embedDedupAllPairs(spark, sfDir)
+      .filter(col("cosine") >= 0.8).count()
+    assert(nDups == exactDups, s"banded dups $nDups vs exact $exactDups")
+  }
+
   test("dedup_embed_cosine executes a bucket equi-join, not a cartesian product") {
     val plan = Similarity.defs.find(_.name == "dedup_embed_cosine").get
       .run(spark, sfDir).queryExecution.executedPlan.toString
