@@ -18,8 +18,39 @@ object DvGo {
 
   final case class BuildResult(buildId: String, outDir: String, objects: Seq[(String, Long)])
 
+  /** Bucket keys per vault object: hubs and links anti-join on their hash
+    * key; satellites anti-join on (hash key, hash diff), so they bucket on
+    * both — a sat bucketed on hk alone would still shuffle for the
+    * (hk, hd) join.
+    */
+  private[dv] def bucketKeys(obj: String): Seq[String] = {
+    val hub = hubs.find(h => s"hub_${h.name}" == obj).map(h => Seq(h.hkName))
+    val sat = Seq(satCustomer, satCustomerSensitive).find(t => s"sat_${t.name}" == obj)
+      .map(t => Seq(t.hkName, t.hdName))
+    val link = Seq(linkOrders, linkLineitem).find(l => s"link_${l.name}" == obj)
+      .map(l => Seq(l.hkName))
+    hub.orElse(sat).orElse(link)
+      .getOrElse(sys.error(s"no bucket keys for unknown vault object $obj"))
+  }
+
+  /** Catalog table prefix for a bucketed build: derived from the output dir
+    * so two builds into different dirs never collide in the session
+    * catalog, and a re-build into the same dir overwrites its own tables.
+    */
+  private[dv] def tablePrefix(outDir: String): String =
+    "graft_dv_" + java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString
+      .replace("-", "").take(12) + "_"
+
+  /** One-click build. With `bucketed = true` every vault object is written
+    * bucketed+sorted by its anti-join keys (Scale.writeBucketed's layout,
+    * registered as external tables over `outDir`) — the layout that makes
+    * every subsequent incremental load shuffle-free on the stored side,
+    * the Spark analogue of the reference's insert-into-indexed-table loads
+    * (controller/dv_loader.rs:166-199).
+    */
   def go(s: SparkSession, dir: String, outDir: String, loadTs: String = DvDefaults.LoadTs,
-         include: String => Boolean = _ => true): BuildResult = {
+         include: String => Boolean = _ => true,
+         bucketed: Boolean = false, buckets: Int = 64): BuildResult = {
     val buildId = java.util.UUID.nameUUIDFromBytes(s"graft:$dir:$loadTs".getBytes).toString
     val builds: Seq[(String, DataFrame)] =
       (hubs.map(h => s"hub_${h.name}" -> DvBuild.hub(s, dir, h, loadTs)) ++ Seq(
@@ -35,15 +66,26 @@ object DvGo {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val prefix = tablePrefix(outDir)
     val counts = Await.result(Future.sequence(builds.map { case (name, df) =>
       Future {
         val obs = org.apache.spark.sql.Observation(s"go_${name}_${System.nanoTime()}")
-        df.observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$outDir/$name")
+        val observed = df.observe(obs, count(lit(1)).as("n"))
+        if (bucketed) {
+          val keys = bucketKeys(name)
+          observed.write.mode("overwrite").format("parquet")
+            .bucketBy(buckets, keys.head, keys.tail: _*)
+            .sortBy(keys.head, keys.tail: _*)
+            .option("path", s"$outDir/$name")
+            .saveAsTable(s"$prefix$name")
+        } else {
+          observed.write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         name -> obs.get("n").asInstanceOf[Long]
       }
     }), Duration.Inf)
-    val schemaJson = planJson(buildId, include)
+    val schemaJson = planJson(buildId, include,
+      bucketing = if (bucketed) Some((prefix, buckets)) else None)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
     // DDL scoped to what this build wrote (sat_orders_link, for example, is
@@ -60,7 +102,8 @@ object DvGo {
     * advertises objects it never wrote (the schema-driven loader trusts
     * the repo and would crash on the missing paths).
     */
-  def planJson(buildId: String, include: String => Boolean = _ => true): String = {
+  def planJson(buildId: String, include: String => Boolean = _ => true,
+               bucketing: Option[(String, Int)] = None): String = {
     def q(x: String) = "\"" + x + "\""
     def colJ(c: Col) = s"""{"name": ${q(c.name)}, "type": ${q(c.typeName)}}"""
     val hubsJ = hubs.filter(h => include(s"hub_${h.name}")).map(h =>
@@ -72,10 +115,13 @@ object DvGo {
         s"""{"hub": ${q(m.hubName)}, "parts": [${m.parts.map(colJ).mkString(", ")}]}""")
       s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${membersJ.mkString(", ")}], "degenerate": [${l.degenerate.map(colJ).mkString(", ")}]}"""
     }
+    val bucketJ = bucketing.map { case (prefix, n) =>
+      s"""  "bucketing": {"table_prefix": ${q(prefix)}, "buckets": $n},\n"""
+    }.getOrElse("")
     s"""{
        |  "build_id": ${q(buildId)},
        |  "dw_schema": "graft_dv",
-       |  "hubs": [${hubsJ.mkString(",\n    ")}],
+       |$bucketJ  "hubs": [${hubsJ.mkString(",\n    ")}],
        |  "satellites": [${satsJ.mkString(",\n    ")}],
        |  "links": [${linksJ.mkString(",\n    ")}]
        |}""".stripMargin

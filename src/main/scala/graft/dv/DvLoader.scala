@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object DvLoader {
 
-  final case class DvSchemaRef(hubs: Seq[HubSpec], sats: Seq[SatSpec], links: Seq[LinkSpec])
+  /** Bucketed-layout marker a bucketed go() writes into the repo: vault
+    * objects live as catalog tables `<tablePrefix><object>` bucketed by
+    * their anti-join keys, so loads must read (and append) through the
+    * catalog — reading the parquet path directly would drop the bucket
+    * metadata and reintroduce the stored-side shuffle.
+    */
+  final case class Bucketing(tablePrefix: String, buckets: Int)
+
+  final case class DvSchemaRef(hubs: Seq[HubSpec], sats: Seq[SatSpec], links: Seq[LinkSpec],
+                               bucketing: Option[Bucketing] = None)
 
   private def cols(rows: scala.collection.Seq[Row]): Seq[Col] =
     rows.map(r => Col(r.getAs[String]("name"), r.getAs[String]("type"))).toSeq
@@ -26,6 +35,12 @@ object DvLoader {
     val row = s.read.option("multiLine", true).json(s"$repoDir/dv_schema.json").collect()(0)
     def arr(r: Row, field: String): scala.collection.Seq[Row] =
       r.getAs[scala.collection.Seq[Row]](field)
+    val bucketing =
+      if (!row.schema.fieldNames.contains("bucketing") || row.isNullAt(row.fieldIndex("bucketing"))) None
+      else {
+        val b = row.getAs[Row]("bucketing")
+        Some(Bucketing(b.getAs[String]("table_prefix"), b.getAs[Long]("buckets").toInt))
+      }
     val hubs = arr(row, "hubs").map { h =>
       HubSpec(h.getAs[String]("name"), h.getAs[String]("source"), cols(arr(h, "bk_parts")))
     }.toSeq
@@ -39,7 +54,7 @@ object DvLoader {
           LinkMember(m.getAs[String]("hub"), cols(arr(m, "parts")))).toSeq,
         cols(arr(l, "degenerate")))
     }.toSeq
-    DvSchemaRef(hubs, sats, links)
+    DvSchemaRef(hubs, sats, links, bucketing)
   }
 
   /** One incremental load pass over every schema object in `scope`: batch
@@ -50,29 +65,45 @@ object DvLoader {
                       loadTs: String = DvDefaults.LoadTs,
                       scope: String => Boolean = _ => true): Seq[(String, Long)] = {
     val schema = readSchema(s, repoDir)
+    // Bucketed repos read and append through the catalog table: the table
+    // read carries the bucket spec (stored side needs no Exchange for its
+    // anti-join), and the append writes new files under the same spec so
+    // the layout survives every load. Plain repos stay on parquet paths.
+    def stored(obj: String): DataFrame = schema.bucketing match {
+      case Some(b) => s.table(s"${b.tablePrefix}$obj")
+      case None => s.read.parquet(s"$repoDir/$obj")
+    }
     // count-of-appended rides on the write pass via an Observation — one
     // action per object, no cache (the same pattern as DvGo.go).
     def append(novel: DataFrame, obj: String): (String, Long) = {
       val obs = org.apache.spark.sql.Observation(s"load_${obj}_${System.nanoTime()}")
-      novel.observe(obs, count(lit(1)).as("n"))
-        .write.mode("append").parquet(s"$repoDir/$obj")
+      val observed = novel.observe(obs, count(lit(1)).as("n"))
+      schema.bucketing match {
+        case Some(b) =>
+          val keys = DvGo.bucketKeys(obj)
+          observed.write.mode("append").format("parquet")
+            .bucketBy(b.buckets, keys.head, keys.tail: _*)
+            .sortBy(keys.head, keys.tail: _*)
+            .saveAsTable(s"${b.tablePrefix}$obj")
+        case None =>
+          observed.write.mode("append").parquet(s"$repoDir/$obj")
+      }
       obj -> obs.get("n").asInstanceOf[Long]
     }
     val hubLoads = schema.hubs.filter(h => scope(s"hub_${h.name}")).map { h =>
-      val stored = s.read.parquet(s"$repoDir/hub_${h.name}")
       val batch = DvBuild.hub(s, dir, h, loadTs)
-      append(DvBuild.hubIncrement(stored.select(h.hkName), batch, h.hkName), s"hub_${h.name}")
+      append(DvBuild.hubIncrement(stored(s"hub_${h.name}").select(h.hkName), batch, h.hkName),
+        s"hub_${h.name}")
     }
     val satLoads = schema.sats.filter(t => scope(s"sat_${t.name}")).map { t =>
-      val stored = s.read.parquet(s"$repoDir/sat_${t.name}")
       val batch = DvBuild.sat(s, dir, t, loadTs)
-      append(DvBuild.satIncrement(stored.select(t.hkName, t.hdName), batch, t.hkName, t.hdName),
-        s"sat_${t.name}")
+      append(DvBuild.satIncrement(stored(s"sat_${t.name}").select(t.hkName, t.hdName),
+        batch, t.hkName, t.hdName), s"sat_${t.name}")
     }
     val linkLoads = schema.links.filter(l => scope(s"link_${l.name}")).map { l =>
-      val stored = s.read.parquet(s"$repoDir/link_${l.name}")
       val batch = DvBuild.link(s, dir, l, loadTs)
-      append(DvBuild.hubIncrement(stored.select(l.hkName), batch, l.hkName), s"link_${l.name}")
+      append(DvBuild.hubIncrement(stored(s"link_${l.name}").select(l.hkName), batch, l.hkName),
+        s"link_${l.name}")
     }
     hubLoads ++ satLoads ++ linkLoads
   }
@@ -167,7 +198,7 @@ object DvLoader {
   /** Depth-first recursive delete; the Files.walk stream is closed (it
     * holds open directory descriptors until then).
     */
-  private[dv] def deletePath(p: java.nio.file.Path): Unit = {
+  private[graft] def deletePath(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { walk =>

@@ -85,6 +85,43 @@ class GoSpec extends SparkSpec {
     assert(again.values.forall(_ == 0L), s"second load not idempotent: $again")
   }
 
+  test("bucketed go(): repo-driven increment runs shuffle-free on the stored side") {
+    val out = Files.createTempDirectory("graft_go_bucketed").toString
+    val scope = Set("hub_customer", "sat_customer")
+    val res = DvGo.go(spark, sfDir, out, include = scope, bucketed = true, buckets = 8)
+    assert(res.objects.size == 2)
+    val schema = DvLoader.readSchema(spark, out)
+    assert(schema.bucketing.nonEmpty && schema.bucketing.get.buckets == 8)
+    val prefix = schema.bucketing.get.tablePrefix
+    try {
+      // end-to-end plan audit: the loader's own anti-join against the
+      // stored side must have no Exchange there (only the batch side may
+      // shuffle into the bucketing) — the reference's indexed insert-only
+      // load shape (dv_loader.rs:166-199)
+      val stored = spark.table(s"${prefix}hub_customer")
+      val batch = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+      val inc = DvBuild.hubIncrement(stored.select("hub_customer_hk"), batch, "hub_customer_hk")
+      val physical = inc.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).size
+      assert(exchanges <= 1, s"stored side shuffled:\n$physical")
+      // the sat side buckets on BOTH anti-join keys
+      val satInc = DvBuild.satIncrement(
+        spark.table(s"${prefix}sat_customer").select("hub_customer_hk", "sat_customer_hd"),
+        DvBuild.sat(spark, sfDir, DvPlanner.satCustomer), "hub_customer_hk", "sat_customer_hd")
+      val satExchanges = "Exchange hashpartitioning".r
+        .findAllIn(satInc.queryExecution.executedPlan.toString).size
+      assert(satExchanges <= 1, "sat stored side shuffled")
+      // a full loader round trip over the same source appends nothing and
+      // keeps the bucketed layout (append goes through the catalog table)
+      val counts = DvLoader.incrementalLoad(spark, sfDir, out, scope = scope).toMap
+      assert(counts.values.forall(_ == 0L), s"bucketed load not idempotent: $counts")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}hub_customer")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}sat_customer")
+      DvLoader.deletePath(Paths.get(out))
+    }
+  }
+
   test("streaming continuous load converges to the batch build (bgw loop)") {
     val tmp = Files.createTempDirectory("graft_stream_repo").toString
     val repo = s"$tmp/repo"
