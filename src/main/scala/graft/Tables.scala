@@ -18,6 +18,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** Format-dispatching loader for landing-zone data — the reference's
+    * catalog is storage-agnostic (pg_catalog lists every table however it
+    * is stored, model/queries.rs:65-321); graft's equivalent is one loader
+    * covering the common landing formats. CSV reads header + schema
+    * inference; JSON is JSON-lines with inference (inferred fields come
+    * back alphabetically ordered — Spark's JSON contract).
+    */
+  def loadAs(spark: SparkSession, path: String, format: String): DataFrame = format match {
+    case "parquet" => spark.read.parquet(path)
+    case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    case "json" => spark.read.json(path)
+    case other => throw new IllegalArgumentException(s"unsupported landing format: $other")
+  }
+
   /** Session defaults applied by every entrypoint (Verify/Bench/tests).
     * nanosAsLong: events.ts is parquet TIMESTAMP(NANOS) which Spark's
     * vectorized reader rejects; read it as epoch-nanos LONG instead and

@@ -212,7 +212,7 @@ object Classify {
   // ------------------------------------------------------------------
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private def statsSql(overrides: Overrides): String =
+  private[dv] def statsSql(overrides: Overrides): String =
     signals.map { g =>
       val (nd, nn) =
         if (g.complexT) ("CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
@@ -250,7 +250,7 @@ object Classify {
     }
   }
 
-  private def classifiedRulesSql: String = {
+  private[dv] def classifiedRulesSql: String = {
     val uniq = "CAST(n_distinct AS DOUBLE)/n_rows"
     s"""SELECT *,
        |  COALESCE(ov_category,

@@ -70,6 +70,62 @@ object Catalog {
        |ORDER BY table_name, ordinal""".stripMargin
   }
 
+  /** Multi-format landing-zone catalog: CSV/JSON mirrors introspected with
+    * the same catalog row shape as the parquet path. The reference's
+    * catalog walks pg_catalog (queries.rs:65-321), which is storage-
+    * agnostic — any table in the database is cataloged whatever its
+    * storage; graft's equivalent is schema inference through the
+    * format-dispatching loader (Tables.loadAs). The mirrors are written
+    * from the parquet source into a temp landing dir, introspected, and
+    * deleted (schema inference is eager, so nothing lazy survives the
+    * cleanup). JSON ordinals follow Spark's alphabetical JSON field
+    * order; CSV ordinals follow the header.
+    */
+  def introspectLanding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_landing_").toString
+    try {
+      Tables.load(s, dir, "customer").write.mode("overwrite")
+        .option("header", "true").csv(s"$tmp/customer_csv")
+      Tables.load(s, dir, "nation").write.mode("overwrite").json(s"$tmp/nation_json")
+      val mirrors = Seq(
+        ("customer_csv", "csv"), ("nation_json", "json"))
+      val rows = mirrors.flatMap { case (t, fmt) =>
+        Tables.loadAs(s, s"$tmp/$t", fmt).schema.fields.zipWithIndex.map { case (f, i) =>
+          ("landing", t, fmt, f.name, i + 1, typeName(f.dataType),
+            if (f.name.matches(".*(key|id)$")) 1 else 0)
+        }
+      }
+      rows.toDF("schema_name", "table_name", "format", "column_name", "ordinal",
+        "data_type", "name_bk_ind")
+        .orderBy("table_name", "ordinal")
+    } finally DvLoader.deletePath(java.nio.file.Paths.get(tmp))
+  }
+
+  /** Oracle twin of introspectLanding: the expected inference result as
+    * constants — CSV narrows integral columns to the smallest fitting type
+    * (int) and re-infers doubles; JSON infers integrals as bigint and
+    * orders fields alphabetically.
+    */
+  def landingSql: String = {
+    val expected = Seq(
+      ("landing", "customer_csv", "csv", "c_custkey", 1, "int", 1),
+      ("landing", "customer_csv", "csv", "c_name", 2, "varchar", 0),
+      ("landing", "customer_csv", "csv", "c_nationkey", 3, "int", 1),
+      ("landing", "customer_csv", "csv", "c_acctbal", 4, "double", 0),
+      ("landing", "customer_csv", "csv", "c_mktsegment", 5, "varchar", 0),
+      ("landing", "nation_json", "json", "n_name", 1, "varchar", 0),
+      ("landing", "nation_json", "json", "n_nationkey", 2, "bigint", 1),
+      ("landing", "nation_json", "json", "n_regionkey", 3, "bigint", 1))
+    val rows = expected.map { case (sc, t, fmt, c, o, dt, bk) =>
+      s"('$sc', '$t', '$fmt', '$c', $o, '$dt', $bk)"
+    }
+    s"""SELECT * FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) AS t(schema_name, table_name, format, column_name, ordinal, data_type, name_bk_ind)
+       |ORDER BY table_name, ordinal""".stripMargin
+  }
+
   /** Live introspection of every source table's parquet schema. */
   def introspect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

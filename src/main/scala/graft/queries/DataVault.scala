@@ -208,9 +208,20 @@ object DataVault extends QueryModule {
       Some(Classify.sourceTableStatusSql(Map.empty, queuedPredSql = Some("ordinal <= 2")))),
     // Multi-schema catalog selection (reference source_include(schema,
     // table, column), lib.rs:40-46): only the staging schema.
+    // Multi-format catalog: CSV/JSON landing mirrors introspected with the
+    // same catalog shape as parquet (the reference's storage-agnostic
+    // pg_catalog walk, queries.rs:65-321).
+    QueryDef("dv_source_catalog_csv",
+      (s, d) => Catalog.introspectLanding(s, d), Some(Catalog.landingSql)),
     QueryDef("dv_source_select_schema",
       (s, d) => Catalog.select(s, d, ".*", ".*", "^$", "^$", schemaInclude = "^staging$"),
       Some(Catalog.selectSql(".*", ".*", "^$", "^$", schemaInclude = "^staging$"))),
+    // Drift → re-classify loop: a re-scan that finds one re-typed column
+    // sends only that column back through the classifier; every other
+    // response is carried forward (the reference's bgw re-scan,
+    // bgw_source_objects.rs + queries.rs:220-319).
+    QueryDef("dv_reclassify_drift",
+      (s, d) => Reclassify.reclassifyDrift(s, d), Some(Reclassify.reclassifyDriftSql)),
     QueryDef("dv_sat_link_orders",
       (s, d) => DvBuild.sat(s, d, satLinkOrders), Some(DvSqlGen.satSql(satLinkOrders))),
     QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),

@@ -39,4 +39,26 @@ class CatalogScd2Spec extends SparkSpec {
     val acct2 = state2.filter(col("column_name") === "c_acctbal" && col("current_flag") === "Y").collect()
     assert(acct2.length == 1 && acct2(0).getAs[String]("data_type") == "double")
   }
+
+  test("drift re-scan re-classifies ONLY the drifted column, preserving the rest") {
+    import graft.dv.Reclassify
+    val out = Reclassify.reclassifyDrift(spark, sfDir).collect()
+    val drifted = out.filter(_.getAs[String]("classified_at") == Reclassify.T2)
+    assert(drifted.length == 1)
+    assert(drifted(0).getAs[String]("table_name") == "customer")
+    assert(drifted(0).getAs[String]("column_name") == "c_acctbal")
+    assert(drifted(0).getAs[String]("data_type") == "varchar") // the new version
+    // every other column keeps its first-scan response and original type
+    val kept = out.filter(_.getAs[String]("classified_at") == Reclassify.T1)
+    assert(kept.length == out.length - 1)
+    assert(kept.forall(_.getAs[Double]("confidence") > 0.0))
+    // the carried-forward rows equal the first-scan classification verbatim
+    val v1 = graft.dv.RulesClassifier.respond(graft.dv.Classify.catalogProfile(spark, sfDir))
+      .select("table_name", "column_name", "category", "confidence").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    kept.foreach { r =>
+      val k = (r.getAs[String]("table_name"), r.getAs[String]("column_name"))
+      assert(v1(k) == ((r.getAs[String]("category"), r.getAs[Double]("confidence"))), s"$k changed")
+    }
+  }
 }
