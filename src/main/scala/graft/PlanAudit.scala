@@ -20,7 +20,9 @@ object PlanAudit {
         "dedup_minhash_lsh", "dedup_embed_cosine", "ann_cosine_ivf",
         "q6_forecast_revenue", "q10_returned_item", "text_tfidf", "events_retention",
         "dedup_cluster", "decontaminate", "text_lm_score", "mm_dedup",
-        "q21_waiting_supplier", "events_anomaly")
+        "q21_waiting_supplier", "events_anomaly",
+        "dedup_embed_cosine_prod", "ann_cosine_lsh", "events_approx_stats",
+        "dv_reclassify_drift")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(

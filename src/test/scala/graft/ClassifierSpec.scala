@@ -70,6 +70,39 @@ class ClassifierSpec extends SparkSpec {
       default.filter(col("status") === "Requires Attention").count())
   }
 
+  test("session conf selects classifier, model name, and threshold in one place") {
+    // defaults: rules engine at 0.80
+    assert(DvConfig.threshold(spark) == 0.80)
+    assert(DvConfig.classifier(spark) == RulesClassifier)
+    try {
+      // threshold GUC flips statuses exactly like the explicit parameter
+      spark.conf.set(DvConfig.ThresholdKey, "0.90")
+      val viaConf = DvConfig.sourceColumnStatus(spark, sfDir)
+      val viaParam = Classify.sourceColumnStatus(spark, sfDir, threshold = 0.90)
+      assert(viaConf.exceptAll(viaParam).count() == 0)
+      assert(viaParam.exceptAll(viaConf).count() == 0)
+      // classifier GUC swaps in the JSON-responses client from a path
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_resp").toString
+      Seq(("customer", "c_custkey",
+        """{"Category": "Business Key Part", "Confidence Value": 0.92, "Reason": "Primary identifier."}"""))
+        .toDF("table_name", "column_name", "response_json")
+        .write.mode("overwrite").json(s"$tmp/responses")
+      spark.conf.set(DvConfig.ClassifierKey, s"json:$tmp/responses")
+      spark.conf.set(DvConfig.ModelKey, "recorded-run-7")
+      val df = DvConfig.sourceColumnStatus(spark, sfDir).cache()
+      val answered = df.filter(col("column_name") === "c_custkey" && col("table_name") === "customer")
+      assert(answered.collect()(0).getAs[Double]("confidence") == 0.92)
+      assert(answered.collect()(0).getAs[String]("status_response").contains("recorded-run-7"))
+      assert(df.filter(col("status") === "Queued for Processing").count() == df.count() - 1)
+      DvLoader.deletePath(java.nio.file.Paths.get(tmp))
+    } finally {
+      spark.conf.unset(DvConfig.ThresholdKey)
+      spark.conf.unset(DvConfig.ClassifierKey)
+      spark.conf.unset(DvConfig.ModelKey)
+    }
+  }
+
   test("multi-schema catalog: schema patterns filter the selection") {
     val staging = Catalog.select(spark, sfDir, ".*", ".*", "^$", "^$", schemaInclude = "^staging$")
     assert(staging.select("table_name").distinct().count() == 3)
