@@ -37,9 +37,14 @@ object DvGo {
     * so two builds into different dirs never collide in the session
     * catalog, and a re-build into the same dir overwrites its own tables.
     */
-  private[dv] def tablePrefix(outDir: String): String =
-    "graft_dv_" + java.util.UUID.nameUUIDFromBytes(outDir.getBytes).toString
+  private[dv] def tablePrefix(outDir: String): String = {
+    // normalize before hashing: "/x/v", "/x/v/" and a relative spelling of
+    // the same directory must yield ONE prefix, or a re-build would
+    // register a second table set over the first build's files
+    val canonical = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize.toString
+    "graft_dv_" + java.util.UUID.nameUUIDFromBytes(canonical.getBytes).toString
       .replace("-", "").take(12) + "_"
+  }
 
   /** One-click build. With `bucketed = true` every vault object is written
     * bucketed+sorted by its anti-join keys (Scale.writeBucketed's layout,
@@ -153,7 +158,8 @@ object DvGo {
   def goWithHistory(s: SparkSession, dir: String, outDir: String, historyPath: String,
                     loadTs: String = DvDefaults.LoadTs,
                     include: String => Boolean = _ => true,
-                    threshold: Double = Classify.Threshold): (BuildResult, Long) = {
+                    threshold: Option[Double] = None,
+                    classifier: Option[Classifier] = None): (BuildResult, Long) = {
     import s.implicits._
     val res = go(s, dir, outDir, loadTs, include)
     val prevSeq =
@@ -164,14 +170,19 @@ object DvGo {
     // build_flag/build_status per response, model/queries.rs:325-333):
     // an object's acceptance confidence is the weakest classification among
     // its source table's columns, judged against the threshold in force.
+    // Defaults resolve through DvConfig so the recorded build_status agrees
+    // with whatever classifier/threshold the session's status views run —
+    // a history that contradicts source_column() would be worse than none.
     // Tiny driver-side map — one row per source table.
-    val minConf = RulesClassifier.respond(Classify.catalogProfile(s, dir))
+    val g = threshold.getOrElse(DvConfig.threshold(s))
+    val cl = classifier.getOrElse(DvConfig.classifier(s))
+    val minConf = cl.respond(Classify.catalogProfile(s, dir))
       .groupBy("table_name").agg(min("confidence").as("min_conf")).collect()
       .map(r => r.getAs[String]("table_name") -> r.getAs[Double]("min_conf")).toMap
     res.objects.map { case (o, n) =>
       val mc = minConf(objectSourceTable(o))
-      (seq, res.buildId, loadTs, o, n, mc, threshold,
-        if (mc >= threshold) "Deployed" else "Held")
+      (seq, res.buildId, loadTs, o, n, mc, g,
+        if (mc >= g) "Deployed" else "Held")
     }.toDF("build_seq", "build_id", "load_ts", "object", "row_count",
       "min_confidence", "threshold", "build_status")
       .write.mode("append").parquet(historyPath)

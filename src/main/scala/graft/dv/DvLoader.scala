@@ -21,6 +21,12 @@ object DvLoader {
     * their anti-join keys, so loads must read (and append) through the
     * catalog — reading the parquet path directly would drop the bucket
     * metadata and reintroduce the stored-side shuffle.
+    *
+    * The bucket spec lives in the catalog, not in the parquet files: on a
+    * cluster that is a shared metastore; in a fresh in-memory-catalog
+    * session the loader re-registers each table from the repo path + this
+    * marker (CREATE TABLE ... CLUSTERED BY ... LOCATION) before reading,
+    * so a bucketed repo is loadable from any session.
     */
   final case class Bucketing(tablePrefix: String, buckets: Int)
 
@@ -61,35 +67,65 @@ object DvLoader {
     * frames from the current source, anti-join against the stored parquet,
     * append only novel rows. Returns (object, n_appended).
     */
+  /** Anti-join keys per schema object, derived from the PARSED schema (not
+    * the static plan registry — a hand-authored dv_schema.json must load
+    * with its own keys): hash key for hubs/links, (hash key, hash diff)
+    * for satellites.
+    */
+  private def schemaKeys(schema: DvSchemaRef, obj: String): Seq[String] =
+    schema.hubs.find(h => s"hub_${h.name}" == obj).map(h => Seq(h.hkName))
+      .orElse(schema.sats.find(t => s"sat_${t.name}" == obj).map(t => Seq(t.hkName, t.hdName)))
+      .orElse(schema.links.find(l => s"link_${l.name}" == obj).map(l => Seq(l.hkName)))
+      .getOrElse(sys.error(s"object $obj not in the repo schema"))
+
+  /** Bucketed-aware stored-side read: the catalog table (re-registered if
+    * this session lacks the entry) when the repo is bucketed — the table
+    * read carries the bucket spec, so the anti-join needs no Exchange on
+    * this side — or the parquet path for a plain repo.
+    */
+  private def storedSide(s: SparkSession, repoDir: String, schema: DvSchemaRef,
+                         obj: String): DataFrame =
+    schema.bucketing match {
+      case Some(b) =>
+        val table = s"${b.tablePrefix}$obj"
+        if (!s.catalog.tableExists(table))
+          registerBucketed(s, repoDir, obj, schemaKeys(schema, obj), b)
+        s.table(table)
+      case None => s.read.parquet(s"$repoDir/$obj")
+    }
+
+  /** Bucketed-aware append: through the catalog under the same bucket spec
+    * (creating the external table over the repo path on the first write)
+    * so the layout survives every load — appending plain parquet files
+    * into a bucketed table's directory would corrupt its layout. Plain
+    * repos append parquet directly.
+    */
+  private def appendSide(s: SparkSession, repoDir: String, schema: DvSchemaRef,
+                         obj: String, novel: DataFrame): Unit =
+    schema.bucketing match {
+      case Some(b) =>
+        val table = s"${b.tablePrefix}$obj"
+        val keys = schemaKeys(schema, obj)
+        val w = novel.write.mode("append").format("parquet")
+          .bucketBy(b.buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+        (if (s.catalog.tableExists(table)) w
+         else w.option("path", s"$repoDir/$obj")).saveAsTable(table)
+      case None => novel.write.mode("append").parquet(s"$repoDir/$obj")
+    }
+
   def incrementalLoad(s: SparkSession, dir: String, repoDir: String,
                       loadTs: String = DvDefaults.LoadTs,
                       scope: String => Boolean = _ => true): Seq[(String, Long)] = {
     val schema = readSchema(s, repoDir)
-    // Bucketed repos read and append through the catalog table: the table
-    // read carries the bucket spec (stored side needs no Exchange for its
-    // anti-join), and the append writes new files under the same spec so
-    // the layout survives every load. Plain repos stay on parquet paths.
-    def stored(obj: String): DataFrame = schema.bucketing match {
-      case Some(b) => s.table(s"${b.tablePrefix}$obj")
-      case None => s.read.parquet(s"$repoDir/$obj")
-    }
     // count-of-appended rides on the write pass via an Observation — one
     // action per object, no cache (the same pattern as DvGo.go).
     def append(novel: DataFrame, obj: String): (String, Long) = {
       val obs = org.apache.spark.sql.Observation(s"load_${obj}_${System.nanoTime()}")
-      val observed = novel.observe(obs, count(lit(1)).as("n"))
-      schema.bucketing match {
-        case Some(b) =>
-          val keys = DvGo.bucketKeys(obj)
-          observed.write.mode("append").format("parquet")
-            .bucketBy(b.buckets, keys.head, keys.tail: _*)
-            .sortBy(keys.head, keys.tail: _*)
-            .saveAsTable(s"${b.tablePrefix}$obj")
-        case None =>
-          observed.write.mode("append").parquet(s"$repoDir/$obj")
-      }
+      appendSide(s, repoDir, schema, obj, novel.observe(obs, count(lit(1)).as("n")))
       obj -> obs.get("n").asInstanceOf[Long]
     }
+    def stored(obj: String): DataFrame = storedSide(s, repoDir, schema, obj)
     val hubLoads = schema.hubs.filter(h => scope(s"hub_${h.name}")).map { h =>
       val batch = DvBuild.hub(s, dir, h, loadTs)
       append(DvBuild.hubIncrement(stored(s"hub_${h.name}").select(h.hkName), batch, h.hkName),
@@ -122,29 +158,44 @@ object DvLoader {
     // ONLY a missing path means "fresh" — any other analysis failure
     // (schema drift, renamed hash-key column) must fail the batch loudly,
     // or every micro-batch would silently degrade to a full duplicate
-    // insert.
-    def novelAgainst(path: String, keys: Seq[String], b: DataFrame): DataFrame =
+    // insert. Reads and appends route through the bucketed-aware helpers:
+    // a streaming load into a bucketed repo keeps the bucket layout (an
+    // unrouted plain-parquet append would corrupt it for every later read).
+    def novelAgainst(obj: String, keys: Seq[String], b: DataFrame): DataFrame =
       try {
-        val stored = s.read.parquet(path).select(keys.head, keys.tail: _*)
-        b.join(stored, keys, "left_anti")
+        b.join(storedSide(s, repoDir, schema, obj).select(keys.head, keys.tail: _*),
+          keys, "left_anti")
       } catch {
         case e: org.apache.spark.sql.AnalysisException if isPathMissing(e) => b
       }
     schema.hubs.filter(_.sourceTable == tableName).foreach { h =>
-      novelAgainst(s"$repoDir/hub_${h.name}", Seq(h.hkName),
-        DvBuild.hubFrom(s, batch, h, loadTs))
-        .write.mode("append").parquet(s"$repoDir/hub_${h.name}")
+      appendSide(s, repoDir, schema, s"hub_${h.name}",
+        novelAgainst(s"hub_${h.name}", Seq(h.hkName), DvBuild.hubFrom(s, batch, h, loadTs)))
     }
     schema.sats.filter(_.sourceTable == tableName).foreach { t =>
-      novelAgainst(s"$repoDir/sat_${t.name}", Seq(t.hkName, t.hdName),
-        DvBuild.satFrom(batch, t, loadTs))
-        .write.mode("append").parquet(s"$repoDir/sat_${t.name}")
+      appendSide(s, repoDir, schema, s"sat_${t.name}",
+        novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs)))
     }
     schema.links.filter(_.sourceTable == tableName).foreach { l =>
-      novelAgainst(s"$repoDir/link_${l.name}", Seq(l.hkName),
-        DvBuild.linkFrom(batch, l, loadTs))
-        .write.mode("append").parquet(s"$repoDir/link_${l.name}")
+      appendSide(s, repoDir, schema, s"link_${l.name}",
+        novelAgainst(s"link_${l.name}", Seq(l.hkName), DvBuild.linkFrom(batch, l, loadTs)))
     }
+  }
+
+  /** Re-register a bucketed vault table over its existing repo files —
+    * the fresh-session path: the files carry Spark's bucketed naming, so
+    * an external CLUSTERED BY table with the identical spec reads them
+    * shuffle-free exactly like the building session's catalog entry did.
+    */
+  private def registerBucketed(s: SparkSession, repoDir: String, obj: String,
+                               keys: Seq[String], b: Bucketing): Unit = {
+    val ddlSchema = s.read.parquet(s"$repoDir/$obj").schema.toDDL
+    val keyList = keys.mkString(", ")
+    // IF NOT EXISTS: two sessions racing the re-registration on a shared
+    // metastore must both proceed, not crash the loser's load
+    s.sql(s"""CREATE TABLE IF NOT EXISTS ${b.tablePrefix}$obj ($ddlSchema) USING parquet
+             |CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO ${b.buckets} BUCKETS
+             |LOCATION '$repoDir/$obj'""".stripMargin)
   }
 
   /** True only for "the stored object does not exist yet" failures.

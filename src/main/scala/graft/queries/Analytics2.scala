@@ -520,7 +520,11 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   // the exact columns and asserts every flag is 1: if a sketch ever drifts
   // out of band, the Spark flag flips to 0 and the hash check fails —
   // a real cross-engine gate on sketch quality without comparing sketch
-  // internals.
+  // internals. NOTE: this is deliberately the AUDIT form — it pays for
+  // the exact aggregates alongside the sketches so the oracle can check
+  // them. A production deployment runs the sketch-only aggregation on the
+  // full corpus and this audit on a sampled slice; the sketch plan shape
+  // (mergeable partials, map-side combine) is identical either way.
   private def approxStats(s: SparkSession, dir: String): DataFrame = {
     ev(s, dir)
       .groupBy(col("day").cast("string").as("day"))

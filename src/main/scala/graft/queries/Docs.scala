@@ -35,31 +35,51 @@ object Docs {
   * — identity-hash string keys could collide with a GC'd session and hand
   * back a DataFrame bound to a stopped context. Entries live for the
   * session (they ARE the session's materialized derived corpus) and are
-  * dropped automatically when the session's SparkContext ends, so a
-  * process cycling sessions leaks neither heap nor storage memory.
+  * dropped automatically when the session's SparkContext ends. The
+  * listener fires on CONTEXT stop, not session close: a process cycling
+  * many SparkSessions over one long-lived context still accumulates
+  * per-session entries and should call clear() between sessions — only
+  * the common one-context-per-process lifecycle is fully automatic.
   */
 private[queries] object SessionCache {
   import org.apache.spark.sql.SparkSession
   private val entries =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cleanups =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), () => Unit]
   private val hooked =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Boolean]
 
-  def memo(s: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame = {
-    // One end-of-application listener per session: when the underlying
-    // context stops, every entry for that session is dropped (no unpersist —
-    // the context's storage is gone with it; this releases the heap refs).
+  // One end-of-application listener per session: when the underlying
+  // context stops, every entry for that session is dropped (no unpersist —
+  // the context's storage is gone with it; this releases the heap refs)
+  // and registered companion cleanups run.
+  private def hook(s: SparkSession): Unit =
     hooked.getOrElseUpdate(s, {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           entries.keys.filter(_._1 eq s).foreach(entries.remove)
+          cleanups.keys.filter(_._1 eq s).toSeq
+            .foreach(k => cleanups.remove(k).foreach(f => f()))
           hooked.remove(s)
         }
       })
       true
     })
+
+  def memo(s: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame = {
+    hook(s)
     entries.getOrElseUpdate((s, tag, dir), build.cache())
+  }
+
+  /** Run `f` when this session's context ends — lets sibling driver-side
+    * memos (e.g. trained centroids) share the same lifecycle instead of
+    * re-growing their own never-evicted maps.
+    */
+  def onSessionEnd(s: SparkSession, tag: String)(f: => Unit): Unit = {
+    hook(s)
+    cleanups.putIfAbsent((s, tag), () => f)
   }
 
   def clear(): Unit = { entries.values.foreach(_.unpersist()); entries.clear() }

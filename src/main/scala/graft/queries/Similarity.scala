@@ -482,8 +482,14 @@ object Similarity extends QueryModule {
   private val centroidMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Long])]]
 
-  def ivfCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+  def ivfCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+    // same lifecycle as the DataFrame memos: entries drop when the
+    // session's context ends instead of pinning stopped sessions forever
+    SessionCache.onSessionEnd(s, "ivf_centroids") {
+      centroidMemo.keys.filter(_._1 eq s).toSeq.foreach(centroidMemo.remove)
+    }
     centroidMemo.getOrElseUpdate((s, dir), trainCentroids(s, dir))
+  }
 
   private def trainCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
     val vecs = qVecs(s, dir)

@@ -61,7 +61,7 @@ class GoSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Double]("min_confidence") >= 0.80))
     // a stricter threshold flips the status to Held for the same build
     val (_, seq3) = DvGo.goWithHistory(spark, sfDir, s"$tmp/b3", hist,
-      "2024-01-03 00:00:00", scope, threshold = 0.90)
+      "2024-01-03 00:00:00", scope, threshold = Some(0.90))
     val held = spark.read.parquet(hist).filter(col("build_seq") === seq3).collect()
     assert(held.nonEmpty && held.forall(_.getAs[String]("build_status") == "Held"))
   }
@@ -127,9 +127,46 @@ class GoSpec extends SparkSpec {
       // keeps the bucketed layout (append goes through the catalog table)
       val counts = DvLoader.incrementalLoad(spark, sfDir, out, scope = scope).toMap
       assert(counts.values.forall(_ == 0L), s"bucketed load not idempotent: $counts")
+      // fresh-session path: drop the catalog entries (the files stay — the
+      // tables are external) and load again; the loader must re-register
+      // the bucketed tables from the repo marker and stay idempotent
+      spark.sql(s"DROP TABLE ${prefix}hub_customer")
+      spark.sql(s"DROP TABLE ${prefix}sat_customer")
+      val again = DvLoader.incrementalLoad(spark, sfDir, out, scope = scope).toMap
+      assert(again.values.forall(_ == 0L), s"re-registered load not idempotent: $again")
+      val reReg = spark.table(s"${prefix}hub_customer")
+      val incReReg = DvBuild.hubIncrement(reReg.select("hub_customer_hk"), batch, "hub_customer_hk")
+      val reExchanges = "Exchange hashpartitioning".r
+        .findAllIn(incReReg.queryExecution.executedPlan.toString).size
+      assert(reExchanges <= 1, "re-registered stored side shuffled")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}hub_customer")
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}sat_customer")
+      DvLoader.deletePath(Paths.get(out))
+    }
+  }
+
+  test("streaming load into a bucketed repo preserves the bucket layout") {
+    val out = Files.createTempDirectory("graft_stream_bucketed").toString
+    val scope = Set("hub_customer")
+    DvGo.go(spark, sfDir, out, include = scope, bucketed = true, buckets = 8)
+    val prefix = DvLoader.readSchema(spark, out).bucketing.get.tablePrefix
+    try {
+      val cust = Tables.load(spark, sfDir, "customer")
+      val base = spark.table(s"${prefix}hub_customer").count()
+      // novel rows arrive on the stream: appended THROUGH the catalog so
+      // the bucketed layout survives (a plain parquet append would leave
+      // files the bucketed reader rejects)
+      val novel = cust.withColumn("c_custkey", col("c_custkey") + 1000000L)
+      DvLoader.streamTableLoadBatch(spark, novel, "customer", out, "batch_1")
+      val grown = spark.table(s"${prefix}hub_customer").count()
+      assert(grown == base + cust.select("c_custkey").distinct().count())
+      // redelivery of the same batch must anti-join against the GROWN
+      // bucketed table (mixed original + streamed files) and append nothing
+      DvLoader.streamTableLoadBatch(spark, novel, "customer", out, "batch_1_redelivered")
+      assert(spark.table(s"${prefix}hub_customer").count() == grown)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}hub_customer")
       DvLoader.deletePath(Paths.get(out))
     }
   }
