@@ -662,7 +662,63 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     GROUP BY o_custkey
     ORDER BY o_custkey"""
 
+  // ------------------------------------------------ range_join_events
+  // Big-big INTERVAL join with NO equality key: for every purchase event,
+  // aggregate the view events (any user) in the strictly-preceding
+  // 10-minute window — the trending-signal join. Naively this is a range
+  // predicate between two large tables, which Spark can only plan as a
+  // BroadcastNestedLoopJoin (quadratic, and broadcast-bound). The scale
+  // shape is TIME BINNING (Flink's interval join / the range-join-hint
+  // rewrite): bin both sides by the window width W, so a [t-W, t) window
+  // spans at most TWO bins — the probe side explodes into ≤2 (bin) rows,
+  // candidates come from a bin equi-join, and the exact window predicate
+  // filters candidates. Shuffle keys = time bins (plentiful, skew bounded
+  // by events-per-window); candidate volume = O(events in window) per
+  // probe, independent of corpus span. Aggregates are exact integers
+  // (count + floor(value·1000) sum), so no double-sum ordering can
+  // diverge between engines.
+  private val RangeWindowMs = 600000L // 10 minutes
+
+  private def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("tms").as("vt"),
+        expr("cast(floor(value * 1000) as bigint)").as("vmilli"))
+      .withColumn("bin", expr(s"vt div $RangeWindowMs"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("tms").as("pt"))
+    // array_distinct: when the window lies inside one bin, a duplicate bin
+    // probe would double-count every candidate
+    val probes = purchases.withColumn("bin",
+      explode(array_distinct(array(
+        expr(s"(pt - $RangeWindowMs) div $RangeWindowMs"),
+        expr(s"pt div $RangeWindowMs")))))
+    val agg = probes.join(views, Seq("bin"))
+      .filter(col("vt") >= col("pt") - RangeWindowMs && col("vt") < col("pt"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_views"), sum("vmilli").as("view_value_milli"))
+    purchases.select("event_id")
+      .join(agg, Seq("event_id"), "left_outer")
+      .select(col("event_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("view_value_milli"), lit(0L)).as("view_value_milli"))
+      .orderBy("event_id")
+  }
+
+  private val rangeJoinEventsSql = s"""
+    WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS tms, value FROM events),
+    v AS (SELECT tms AS vt, CAST(floor(value * 1000) AS BIGINT) AS vmilli
+          FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id, tms AS pt FROM e WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           CAST(count(v.vt) AS BIGINT) AS n_views,
+           CAST(coalesce(sum(v.vmilli), 0) AS BIGINT) AS view_value_milli
+    FROM p LEFT JOIN v ON v.vt >= p.pt - $RangeWindowMs AND v.vt < p.pt
+    GROUP BY p.event_id
+    ORDER BY p.event_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("range_join_events", rangeJoinEvents, Some(rangeJoinEventsSql)),
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
     QueryDef("q8_market_share", q8, Some(q8Sql)),
     QueryDef("q9_product_profit", q9, Some(q9Sql)),

@@ -75,6 +75,26 @@ class Analytics2Spec extends SparkSpec {
     }
   }
 
+  test("range_join_events binned interval join equals the direct range join") {
+    val binned = Analytics2.defs.find(_.name == "range_join_events").get.run(spark, sfDir).cache()
+    // the op must not be hollow: some purchases have preceding views
+    assert(binned.filter(col("n_views") > 0).count() > 0)
+    // direct formulation (range-predicate join — quadratic, test-SF only)
+    val e = Tables.load(spark, sfDir, "events").withColumn("tms", expr("ts div 1000000"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("tms").as("vt"), expr("cast(floor(value * 1000) as bigint)").as("vmilli"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("tms").as("pt"))
+    val direct = purchases
+      .join(views, col("vt") >= col("pt") - 600000L && col("vt") < col("pt"), "left_outer")
+      .groupBy("event_id")
+      .agg(count(col("vt")).as("n_views"),
+        coalesce(sum("vmilli"), lit(0L)).as("view_value_milli"))
+      .select("event_id", "n_views", "view_value_milli")
+    assert(binned.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(binned).count() == 0)
+  }
+
   test("q8 market shares are fractions; q9 covers every nation") {
     val shares = Analytics2.defs.find(_.name == "q8_market_share").get.run(spark, sfDir)
       .collect().map(_.getAs[Double]("mkt_share"))
