@@ -20,6 +20,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_min"),
       new ExpressionInfo(classOf[RollingHashMin].getName, "graft_rolling_min"),
       (children: Seq[Expression]) => RollingHashMin(children.head)))
+    // Hyperplane band signatures: the coefficient matrix and band width
+    // arrive as foldable literals and are extracted ONCE at plan build —
+    // the expression carries them as a reference object, not as thousands
+    // of literal children.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "graft_hyperplane_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 && children(1).foldable && children(2).foldable,
+          "graft_hyperplane_sigs(embedding, coefs, rows): coefs and rows must be literals")
+        val arr = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val coefs = (0 until arr.numElements())
+          .map(i => arr.getArray(i).toDoubleArray()).toArray
+        val rows = children(2).eval().asInstanceOf[Int]
+        HyperplaneSigs(children(0), coefs, rows)
+      }))
     // Bloom-filter build/probe for join pre-filtering (Scale.bloomPruned):
     // the same Catalyst pair Spark's own InjectRuntimeFilter plans, exposed
     // as session functions so load paths can place the filter explicitly.
@@ -71,4 +87,12 @@ object GraftColumns {
   /** Rabin-Karp rolling min-hash fingerprint (native expression). */
   def graftRollingMin(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_rolling_min", c)
+
+  /** Native hyperplane band signatures: sigs[b] has bit r set iff the dot
+    * against hyperplane (b*rows + r) in `coefs` is positive.
+    */
+  def graftHyperplaneSigs(e: Column, coefs: Seq[Seq[Double]], rows: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hyperplane_sigs", e,
+      org.apache.spark.sql.functions.typedlit(coefs),
+      org.apache.spark.sql.functions.lit(rows))
 }

@@ -110,18 +110,14 @@ object Similarity extends QueryModule {
     */
   private def prodCoef(p: Int, d: Int): Long = md5Coef(s"prodplane_${p}_$d")
 
-  /** 6-bit LSH bucket: per-plane index-ordered dot against literal
-    * coefficient arrays, summed into a bit bucket. All built-in exprs.
+  /** 6-bit LSH bucket = the single-band signature of the `plane_` family
+    * (bit p set iff the dot against hyperplane p is positive) — computed by
+    * the native codegen kernel [[graft.functions.HyperplaneSigs]].
     */
-  private def bucketExpr(e: String): String = {
-    val planeDots = (0 until Planes).map { p =>
-      val arr = (1 to Dim).map(d => s"cast(${coefScala(p, d)} as double)").mkString(", ")
-      s"""aggregate(sequence(1, $Dim), cast(0 as double),
-         |  (a2, d) -> a2 + cast(element_at($e, d) as double) * element_at(array($arr), d))""".stripMargin
-    }
-    planeDots.zipWithIndex.map { case (dot, p) =>
-      s"(case when ($dot) > 0 then cast(${1L << p} as bigint) else cast(0 as bigint) end)"
-    }.mkString(" + ")
+  private def bucketCol: Column = {
+    val coefs = (0 until Planes).map(p => (1 to Dim).map(d => coefScala(p, d).toDouble))
+    element_at(
+      graft.functions.GraftColumns.graftHyperplaneSigs(col("embedding"), coefs, Planes), 1)
   }
 
   private def bucketDuck(e: String): String =
@@ -132,8 +128,7 @@ object Similarity extends QueryModule {
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val vecs = SessionCache.memo(s, "lsh_buckets", dir) {
-      emb(s, dir).select(col("vec_id"), col("embedding"),
-        expr(bucketExpr("embedding")).as("bucket"))
+      emb(s, dir).select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
     }
     val queries = vecs.filter(col("vec_id") < KnnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket").as("qb"))
@@ -197,31 +192,26 @@ object Similarity extends QueryModule {
   private val DedupBands = 16
   private val DedupRows = 2 // hyperplanes per band
 
-  /** Band signature in [0,4): bit r set iff the dot product against
-    * deterministic hyperplane (band*DedupRows + r) is positive. Same
-    * md5-derived coefficient family as annLsh, baked in as plan literals.
-    */
-  private def bandSigExpr(e: String, band: Int): String =
-    (0 until DedupRows).map { r =>
-      val p = band * DedupRows + r
-      val arr = (1 to Dim).map(d => s"cast(${coefScala(p, d)} as double)").mkString(", ")
-      s"""(case when aggregate(sequence(1, $Dim), cast(0 as double),
-         |  (a2, d) -> a2 + cast(element_at($e, d) as double) * element_at(array($arr), d)) > 0
-         |  then ${1 << r} else 0 end)""".stripMargin
-    }.mkString(" + ")
-
   private def embedDedup(s: SparkSession, dir: String): DataFrame = {
     // All 16 band signatures packed into one BIGINT (2 bits per band): the
     // candidate join carries only (vec_id, sigword) — the 64-float
     // embeddings stay out of the (band, sig) shuffle and are re-attached
     // to surviving pairs against the slim vector table (broadcast here; at
-    // warehouse scale a bucketed hash join).
-    val wordExpr = (0 until DedupBands)
-      .map(b => s"(cast(${bandSigExpr("embedding", b)} as bigint) << ${2 * b})")
-      .mkString("(", " + ", ")")
+    // warehouse scale a bucketed hash join). The 32 plane dots run in the
+    // native codegen kernel (bands in [0,4): bit r of sigs[b] set iff the
+    // dot against hyperplane band*DedupRows + r is positive — the same
+    // md5-derived `plane_` family as annLsh); only the 16-step packing
+    // fold is a HOF.
+    val dedupCoefs = (0 until DedupBands * DedupRows)
+      .map(p => (1 to Dim).map(d => coefScala(p, d).toDouble))
+    val wordCol = aggregate(sequence(lit(DedupBands - 1), lit(0), lit(-1)), lit(0L),
+      (acc, b) => acc * 4 + element_at(col("_sigs"), b + 1))
     val sigs = SessionCache.memo(s, "embed_dedup_sigs", dir) {
       emb(s, dir)
-        .select(col("vec_id"), col("embedding"), expr(wordExpr).as("word"))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.GraftColumns.graftHyperplaneSigs(col("embedding"), dedupCoefs, DedupRows)
+            .as("_sigs"))
+        .select(col("vec_id"), col("embedding"), wordCol.as("word"))
     }
     val exploded = sigs
       .select(col("vec_id"), col("word"), explode(sequence(lit(0), lit(DedupBands - 1))).as("band"))
@@ -256,8 +246,7 @@ object Similarity extends QueryModule {
     * join/window machinery.
     */
   def lshBuckets(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"), col("embedding"),
-      expr(bucketExpr("embedding")).as("bucket"))
+    emb(s, dir).select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
 
   /** The exact all-pairs form — the oracle twin of embedDedup and the
     * ground truth SimilaritySpec measures banding recall against. Test-only
@@ -315,7 +304,24 @@ object Similarity extends QueryModule {
     * pass against a single 2-D coefficient literal (one Literal node, not
     * 6400 expression children), folded into 10 band signatures.
     */
-  private def prodSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def prodSigs(s: SparkSession, dir: String): DataFrame = {
+    val coefs: Seq[Seq[Double]] =
+      (0 until ProdBands * ProdRows).map(p => (1 to Dim).map(d => prodCoef(p, d).toDouble))
+    // native codegen kernel: all 100 plane dots + band packing inside
+    // WholeStageCodegen (the HOF formulation would run interpreted lambdas
+    // on the scan's hot path — SimilaritySpec pins bit-parity between the
+    // two forms)
+    SessionCache.memo(s, "embed_dedup_prod_sigs", dir) {
+      emb(s, dir).select(col("vec_id"),
+        graft.functions.GraftColumns.graftHyperplaneSigs(col("embedding"), coefs, ProdRows)
+          .as("sigs"))
+    }
+  }
+
+  /** The interpreted HOF twin of prodSigs' native kernel — test-only, for
+    * the bit-parity assertion in SimilaritySpec.
+    */
+  def prodSigsHof(s: SparkSession, dir: String): DataFrame = {
     val coefs: Seq[Seq[Double]] =
       (0 until ProdBands * ProdRows).map(p => (1 to Dim).map(d => prodCoef(p, d).toDouble))
     val coefCol = typedlit(coefs)
@@ -324,15 +330,12 @@ object Similarity extends QueryModule {
         (acc, d) => acc + element_at(col("embedding"), d).cast("double")
           * element_at(element_at(coefCol, p + 1), d)) > 0, 1L).otherwise(0L))
     // sig = Σ bit_r·2^r, folded high→low so the accumulator is acc·2+bit
-    // (no Column-typed shift amounts needed)
     val sigs = transform(sequence(lit(0), lit(ProdBands - 1)), b =>
       aggregate(sequence(lit(ProdRows - 1), lit(0), lit(-1)), lit(0L),
         (acc, r) => acc * 2 + element_at(col("_bits"), b * lit(ProdRows) + r + 1)))
-    SessionCache.memo(s, "embed_dedup_prod_sigs", dir) {
-      emb(s, dir).select(col("vec_id"), col("embedding"))
-        .withColumn("_bits", bits)
-        .select(col("vec_id"), sigs.as("sigs"))
-    }
+    emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("_bits", bits)
+      .select(col("vec_id"), sigs.as("sigs"))
   }
 
   private def embedDedupProd(s: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,36 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.exceptAll(banded).count() == 0)
   }
 
+  test("hyperplane-sig kernel compiles under codegen and matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val coefs = Array.tabulate(6, 8)((p, d) => ((p * 8 + d) % 7).toDouble - 3)
+    val e = graft.functions.HyperplaneSigs(
+      BoundReference(0, ArrayType(FloatType), nullable = true), coefs, 2)
+    // GenerateMutableProjection compiles the generated Java with Janino and
+    // THROWS on failure — no silent interpreted fallback
+    val proj = GenerateMutableProjection.generate(Seq(e))
+    val row = InternalRow(new GenericArrayData(
+      Array(1.0f, -2.0f, 3.5f, -0.25f, 4.0f, -6.0f, 0.125f, 9.0f)))
+    val compiled = proj(row).getArray(0).toLongArray.toSeq
+    val interpreted = e.eval(row).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(compiled == interpreted && compiled.length == 3)
+  }
+
+  test("native hyperplane-sig kernel is bit-identical to the HOF formulation") {
+    // prodSigs (executed, native codegen) vs prodSigsHof (interpreted
+    // higher-order functions): every band signature must agree exactly —
+    // the double accumulation is index-ordered in both
+    val hof = Similarity.prodSigsHof(spark, sfDir)
+    val native = Similarity.prodSigs(spark, sfDir)
+    assert(native.count() == hof.count())
+    assert(native.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(native).count() == 0)
+  }
+
   test("dedup_embed_cosine_prod candidates are sub-quadratic and its dup count is exact") {
     val res = Similarity.defs.find(_.name == "dedup_embed_cosine_prod").get
       .run(spark, sfDir).cache()
