@@ -72,7 +72,7 @@ object DvLoader {
     * with its own keys): hash key for hubs/links, (hash key, hash diff)
     * for satellites.
     */
-  private def schemaKeys(schema: DvSchemaRef, obj: String): Seq[String] =
+  private[dv] def schemaKeys(schema: DvSchemaRef, obj: String): Seq[String] =
     schema.hubs.find(h => s"hub_${h.name}" == obj).map(h => Seq(h.hkName))
       .orElse(schema.sats.find(t => s"sat_${t.name}" == obj).map(t => Seq(t.hkName, t.hdName)))
       .orElse(schema.links.find(l => s"link_${l.name}" == obj).map(l => Seq(l.hkName)))
@@ -187,8 +187,8 @@ object DvLoader {
     * an external CLUSTERED BY table with the identical spec reads them
     * shuffle-free exactly like the building session's catalog entry did.
     */
-  private def registerBucketed(s: SparkSession, repoDir: String, obj: String,
-                               keys: Seq[String], b: Bucketing): Unit = {
+  private[dv] def registerBucketed(s: SparkSession, repoDir: String, obj: String,
+                                   keys: Seq[String], b: Bucketing): Unit = {
     val ddlSchema = s.read.parquet(s"$repoDir/$obj").schema.toDDL
     val keyList = keys.mkString(", ")
     // IF NOT EXISTS: two sessions racing the re-registration on a shared

@@ -1,0 +1,71 @@
+package graft.dv
+
+import org.apache.spark.sql.SparkSession
+
+/** Vault maintenance — the autovacuum/OPTIMIZE analogue graft must provide
+  * itself (the reference's vault lives in Postgres tables, so compaction
+  * comes for free from the database; a parquet vault does not get it).
+  *
+  * Insert-only incremental loading writes one file set per micro-batch:
+  * after N loads every bucket of a vault object holds N small files, and
+  * scan fan-in (open cost, footer reads, row-group fragmentation) degrades
+  * even though the bucketed layout is still correct. Compaction rewrites
+  * the object to exactly one file per bucket: the rewrite repartitions by
+  * the bucket keys — Spark's repartition hash IS the bucket-id hash
+  * (both are HashPartitioning over the same columns), so partition i
+  * holds exactly bucket i and the bucketed writer emits one file per
+  * bucket. That one co-partitioned exchange is the minimum any
+  * defragmentation pays; every subsequent incremental load is
+  * shuffle-free again.
+  */
+object DvMaintenance {
+
+  /** Rewrite a bucketed vault object to one file per bucket. Returns the
+    * (files_before, files_after) pair. PRECONDITION: single maintenance
+    * writer per object, no concurrent loads during the swap (the same
+    * single-writer window any table-rewriting OPTIMIZE needs).
+    */
+  def compactBucketed(s: SparkSession, repoDir: String, obj: String): (Long, Long) = {
+    val schema = DvLoader.readSchema(s, repoDir)
+    val b = schema.bucketing.getOrElse(
+      sys.error(s"compactBucketed: repo at $repoDir is not bucketed"))
+    val keys = DvLoader.schemaKeys(schema, obj)
+    val table = s"${b.tablePrefix}$obj"
+    if (!s.catalog.tableExists(table))
+      DvLoader.registerBucketed(s, repoDir, obj, keys, b)
+    val objPath = java.nio.file.Paths.get(s"$repoDir/$obj")
+    val stagePath = java.nio.file.Paths.get(s"$repoDir/${obj}__compact")
+    def dataFiles(p: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.iterator().asScala.count(f => f.getFileName.toString.startsWith("part-")).toLong
+      }
+    }
+    val before = dataFiles(objPath)
+    // partition i == bucket i under repartition-by-keys (repartition and
+    // the bucketed writer share the same HashPartitioning), so the writer
+    // emits one file per bucket. The rewrite reads the PLAIN parquet path,
+    // not the catalog table: a bucketed-table read of an appended object
+    // advertises hash partitioning while actually splitting buckets per
+    // append file set, which lets the optimizer elide the repartition and
+    // defeats the consolidation. Stage beside the object, then swap.
+    val staging = s"${table}__compact"
+    s.read.parquet(objPath.toString)
+      .repartition(b.buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(b.buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", stagePath.toString)
+      .saveAsTable(staging)
+    // swap: drop both catalog entries (external — files stay), replace the
+    // object directory with the compacted one, re-register at the original
+    // path. The catalog round-trip keeps every other session's view
+    // consistent: the table name never changes, only its files.
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    DvLoader.deletePath(objPath)
+    java.nio.file.Files.move(stagePath, objPath)
+    DvLoader.registerBucketed(s, repoDir, obj, keys, b)
+    (before, dataFiles(objPath))
+  }
+}

@@ -171,6 +171,39 @@ class GoSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites a fragmented bucketed object to one file per bucket") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    val scope = Set("hub_customer")
+    DvGo.go(spark, sfDir, out, include = scope, bucketed = true, buckets = 4)
+    val prefix = DvLoader.readSchema(spark, out).bucketing.get.tablePrefix
+    try {
+      val cust = Tables.load(spark, sfDir, "customer")
+      // two micro-batches of novel rows fragment every bucket
+      DvLoader.streamTableLoadBatch(spark,
+        cust.withColumn("c_custkey", col("c_custkey") + 1000000L), "customer", out, "b1")
+      DvLoader.streamTableLoadBatch(spark,
+        cust.withColumn("c_custkey", col("c_custkey") + 2000000L), "customer", out, "b2")
+      val rowsBefore = spark.table(s"${prefix}hub_customer").count()
+      val (before, after) = DvMaintenance.compactBucketed(spark, out, "hub_customer")
+      assert(before > 4, s"expected a fragmented object, files=$before")
+      assert(after == 4, s"expected one file per bucket, files=$after")
+      // nothing lost, layout intact: same rows, stored side still
+      // shuffle-free, reload still idempotent
+      assert(spark.table(s"${prefix}hub_customer").count() == rowsBefore)
+      val batch = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+      val inc = DvBuild.hubIncrement(
+        spark.table(s"${prefix}hub_customer").select("hub_customer_hk"),
+        batch, "hub_customer_hk")
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(inc.queryExecution.executedPlan.toString).size
+      assert(exchanges <= 1, "compacted stored side shuffled")
+      assert(inc.count() == 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}hub_customer")
+      DvLoader.deletePath(Paths.get(out))
+    }
+  }
+
   test("streaming continuous load converges to the batch build (bgw loop)") {
     val tmp = Files.createTempDirectory("graft_stream_repo").toString
     val repo = s"$tmp/repo"
