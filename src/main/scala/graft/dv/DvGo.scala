@@ -199,8 +199,14 @@ object DvGo {
     val tmp = java.nio.file.Files.createTempDirectory("graft_go_hist_").toString
     val hist = s"$tmp/dv_builds"
     val scope = Set("hub_customer", "sat_customer")
-    goWithHistory(s, dir, s"$tmp/b1", hist, "2024-01-01 00:00:00", scope)
-    goWithHistory(s, dir, s"$tmp/b2", hist, "2024-01-02 00:00:00", scope)
+    // the oracle (buildHistorySql) is STATIC rules-at-default-threshold
+    // SQL, so this checked op pins those explicitly — resolving them from
+    // session conf would silently diverge from the oracle whenever a
+    // non-default DvConfig is set
+    goWithHistory(s, dir, s"$tmp/b1", hist, "2024-01-01 00:00:00", scope,
+      threshold = Some(Classify.Threshold), classifier = Some(RulesClassifier))
+    goWithHistory(s, dir, s"$tmp/b2", hist, "2024-01-02 00:00:00", scope,
+      threshold = Some(Classify.Threshold), classifier = Some(RulesClassifier))
     val stored = s.read.parquet(hist)
       .select(col("build_seq"), col("load_ts"), col("object"), col("row_count"),
         col("min_confidence"), col("threshold"), col("build_status"))

@@ -191,11 +191,14 @@ object DvLoader {
                                    keys: Seq[String], b: Bucketing): Unit = {
     val ddlSchema = s.read.parquet(s"$repoDir/$obj").schema.toDDL
     val keyList = keys.mkString(", ")
+    // single quotes in the path are legal POSIX — escape them or the
+    // generated LOCATION literal breaks for such repos
+    val loc = s"$repoDir/$obj".replace("'", "''")
     // IF NOT EXISTS: two sessions racing the re-registration on a shared
     // metastore must both proceed, not crash the loser's load
     s.sql(s"""CREATE TABLE IF NOT EXISTS ${b.tablePrefix}$obj ($ddlSchema) USING parquet
              |CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO ${b.buckets} BUCKETS
-             |LOCATION '$repoDir/$obj'""".stripMargin)
+             |LOCATION '$loc'""".stripMargin)
   }
 
   /** True only for "the stored object does not exist yet" failures.

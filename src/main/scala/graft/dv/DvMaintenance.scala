@@ -24,6 +24,13 @@ object DvMaintenance {
     * (files_before, files_after) pair. PRECONDITION: single maintenance
     * writer per object, no concurrent loads during the swap (the same
     * single-writer window any table-rewriting OPTIMIZE needs).
+    *
+    * Crash safety: the run PRE-CLEANS leftovers from any earlier crashed
+    * attempt (staging dir, set-aside dir, staging catalog entry), so a
+    * retry always proceeds; the swap renames the live object aside before
+    * moving the staged replacement in, so the only unrecoverable-by-retry
+    * window is between the two renames (a retry then finds the data intact
+    * under `<obj>__old`).
     */
   def compactBucketed(s: SparkSession, repoDir: String, obj: String): (Long, Long) = {
     val schema = DvLoader.readSchema(s, repoDir)
@@ -35,12 +42,19 @@ object DvMaintenance {
       DvLoader.registerBucketed(s, repoDir, obj, keys, b)
     val objPath = java.nio.file.Paths.get(s"$repoDir/$obj")
     val stagePath = java.nio.file.Paths.get(s"$repoDir/${obj}__compact")
+    val asidePath = java.nio.file.Paths.get(s"$repoDir/${obj}__old")
     def dataFiles(p: java.nio.file.Path): Long = {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
         w.iterator().asScala.count(f => f.getFileName.toString.startsWith("part-")).toLong
       }
     }
+    val staging = s"${table}__compact"
+    // pre-clean debris from a crashed earlier run — a retry must not fail
+    // on a non-empty staging location or a stale set-aside copy
+    s.sql(s"DROP TABLE IF EXISTS $staging")
+    DvLoader.deletePath(stagePath)
+    DvLoader.deletePath(asidePath)
     val before = dataFiles(objPath)
     // partition i == bucket i under repartition-by-keys (repartition and
     // the bucketed writer share the same HashPartitioning), so the writer
@@ -49,7 +63,6 @@ object DvMaintenance {
     // advertises hash partitioning while actually splitting buckets per
     // append file set, which lets the optimizer elide the repartition and
     // defeats the consolidation. Stage beside the object, then swap.
-    val staging = s"${table}__compact"
     s.read.parquet(objPath.toString)
       .repartition(b.buckets, keys.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").format("parquet")
@@ -57,14 +70,15 @@ object DvMaintenance {
       .sortBy(keys.head, keys.tail: _*)
       .option("path", stagePath.toString)
       .saveAsTable(staging)
-    // swap: drop both catalog entries (external — files stay), replace the
-    // object directory with the compacted one, re-register at the original
-    // path. The catalog round-trip keeps every other session's view
-    // consistent: the table name never changes, only its files.
+    // swap: drop both catalog entries (external — files stay), rename the
+    // live object aside, move the compacted directory in, then delete the
+    // old copy and re-register. The table name never changes, only its
+    // files; the old data survives on disk until the new copy is in place.
     s.sql(s"DROP TABLE IF EXISTS $staging")
     s.sql(s"DROP TABLE IF EXISTS $table")
-    DvLoader.deletePath(objPath)
+    java.nio.file.Files.move(objPath, asidePath)
     java.nio.file.Files.move(stagePath, objPath)
+    DvLoader.deletePath(asidePath)
     DvLoader.registerBucketed(s, repoDir, obj, keys, b)
     (before, dataFiles(objPath))
   }

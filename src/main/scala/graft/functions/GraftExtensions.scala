@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hyperplane_sigs(embedding, coefs, rows): coefs and rows must be literals")
         val arr = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val coefs = (0 until arr.numElements())
-          .map(i => arr.getArray(i).toDoubleArray()).toArray
+          .map(i => arr.getArray(i).toDoubleArray().toSeq)
         val rows = children(2).eval().asInstanceOf[Int]
         HyperplaneSigs(children(0), coefs, rows)
       }))

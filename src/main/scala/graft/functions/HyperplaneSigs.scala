@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native codegen'd random-hyperplane band signatures over an Array[Float]
   * embedding: for each band b, bit r of sigs[b] is set iff the dot product
@@ -22,10 +23,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `list_sum(list_transform(...))`, so swapping it into an oracle-checked
   * query changes nothing observable.
   */
-case class HyperplaneSigs(child: Expression, coefs: Array[Array[Double]], rows: Int)
+case class HyperplaneSigs(child: Expression, coefs: Seq[Seq[Double]], rows: Int)
     extends UnaryExpression {
 
+  // Seq field => structural case-class equality, so two separately built
+  // but identical kernels canonicalize/semanticEqual and Catalyst can
+  // reuse subexpressions and exchanges; the primitive matrix below is what
+  // eval/codegen actually index.
+  private lazy val coefArr: Array[Array[Double]] = coefs.map(_.toArray).toArray
+
   private val bands = coefs.length / rows
+
+  // Reject non-float-array inputs at analysis: reading a double array
+  // through getFloat would silently produce garbage signatures.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_sigs"
@@ -38,7 +53,7 @@ case class HyperplaneSigs(child: Expression, coefs: Array[Array[Double]], rows: 
       var sig = 0L
       var r = 0
       while (r < rows) {
-        val c = coefs(b * rows + r)
+        val c = coefArr(b * rows + r)
         val n = math.min(e.numElements(), c.length)
         var dot = 0.0
         var d = 0
@@ -54,7 +69,7 @@ case class HyperplaneSigs(child: Expression, coefs: Array[Array[Double]], rows: 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cf = ctx.addReferenceObj("hyperplaneCoefs", coefs, "double[][]")
+      val cf = ctx.addReferenceObj("hyperplaneCoefs", coefArr, "double[][]")
       val sigs = ctx.freshName("sigs")
       val b = ctx.freshName("b")
       val r = ctx.freshName("r")

@@ -82,5 +82,13 @@ private[queries] object SessionCache {
     cleanups.putIfAbsent((s, tag), () => f)
   }
 
-  def clear(): Unit = { entries.values.foreach(_.unpersist()); entries.clear() }
+  /** Manual eviction for the many-sessions-per-context lifecycle: drops the
+    * cached frames AND runs every registered companion cleanup (e.g. the
+    * IVF centroid memo), so nothing session-pinned survives.
+    */
+  def clear(): Unit = {
+    entries.values.foreach(_.unpersist())
+    entries.clear()
+    cleanups.keys.toSeq.foreach(k => cleanups.remove(k).foreach(f => f()))
+  }
 }

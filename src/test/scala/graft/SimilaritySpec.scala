@@ -50,7 +50,7 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val coefs = Array.tabulate(6, 8)((p, d) => ((p * 8 + d) % 7).toDouble - 3)
+    val coefs = Seq.tabulate(6, 8)((p, d) => ((p * 8 + d) % 7).toDouble - 3)
     val e = graft.functions.HyperplaneSigs(
       BoundReference(0, ArrayType(FloatType), nullable = true), coefs, 2)
     // GenerateMutableProjection compiles the generated Java with Janino and
