@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the third tier of the vector-storage stack
+  * (fp32 → int8 [emb_quantize] → PQ codes), SURVEY §2.C extension.
+  *
+  * emb_pq_codes: each vector is split into M subvectors; a per-subspace
+  * codebook (K centroids, one deterministic Lloyd iteration seeded by the
+  * first K vectors) encodes every subvector as a code in [0,K) — 64 floats
+  * become M bytes. Training is one scan-local literal-argmin assignment +
+  * one groupBy per subspace (K·Dsub integer partials to the driver, the
+  * same shape as IVF); encoding is a single scan-local pass.
+  *
+  * ann_l2_pq: asymmetric-distance search (ADC) over the codes — each query
+  * precomputes a (M×K) table of exact integer L2 distances from its
+  * subvectors to every codebook centroid; a vector's approximate distance
+  * is the sum of M table lookups selected by its codes. The scan touches
+  * only the codes (M small ints per vector), never the floats — the
+  * memory-bound trick PQ exists for. Search cost is linear in n by design
+  * (ADC is a full scan); IVF covers the pruned regime.
+  *
+  * Determinism (Spark ↔ DuckDB): the same floor(e·2^12) fixed-point as
+  * IVF; centroids are floor(sum/n) per dimension — sums stay below 2^40,
+  * so the double division is exact and floor matches in both engines; all
+  * distances are exact BIGINT sums of squared integer differences; ties
+  * break on code / vec_id. The oracle unrolls the same single Lloyd
+  * iteration as SQL CTEs per subspace.
+  */
+object Pq extends QueryModule {
+
+  private val Dim = 64
+  private val M = 4 // subspaces
+  private val Dsub = Dim / M
+  private val K = 8 // codes per subspace
+  private val Scale = 4096L
+  private val PqQueries = 50
+  private val PqTopK = 5
+
+  private val qExpr =
+    s"transform(embedding, e -> cast(floor(cast(e as double) * $Scale) as bigint))"
+
+  private def qVecs(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "pq_qvecs", dir) {
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), expr(qExpr).as("q"))
+    }
+
+  // ---------------------------------------------------------- training
+  /** Squared L2 between subvector m of `qCol` and a literal centroid. */
+  private def d2Expr(qCol: String, m: Int, c: Seq[Long]): String = {
+    val arr = c.map(v => s"${v}L").mkString(", ")
+    s"""aggregate(sequence(1, $Dsub), cast(0 as bigint),
+       |  (acc, d) -> acc + (element_at($qCol, ${m * Dsub} + d) - element_at(array($arr), d))
+       |                  * (element_at($qCol, ${m * Dsub} + d) - element_at(array($arr), d)))""".stripMargin
+  }
+
+  /** Argmin code for subspace m against literal centroids (ties → lowest
+    * code), via the same sorted-struct trick as IVF.
+    */
+  private def codeExpr(qCol: String, m: Int, cents: Seq[Seq[Long]]): String = {
+    val entries = cents.zipWithIndex.map { case (c, k) =>
+      s"named_struct('d2', ${d2Expr(qCol, m, c)}, 'k', $k)"
+    }.mkString("array(", ", ", ")")
+    s"element_at(array_sort($entries, (l, r) -> " +
+      "case when l.d2 < r.d2 then -1 when l.d2 > r.d2 then 1 " +
+      "when l.k < r.k then -1 when l.k > r.k then 1 else 0 end), 1).k"
+  }
+
+  private val codebookMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
+
+  /** Per-subspace codebooks `[m][k][d]` after one Lloyd iteration. */
+  def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+    SessionCache.onSessionEnd(s, "pq_codebooks") {
+      codebookMemo.keys.filter(_._1 eq s).toSeq.foreach(codebookMemo.remove)
+    }
+    codebookMemo.getOrElseUpdate((s, dir), trainCodebooks(s, dir))
+  }
+
+  private def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+    val vecs = qVecs(s, dir)
+    // seeds: subvectors of the first K vectors
+    val seedRows = vecs.filter(col("vec_id") < K).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Long](0).toSeq)
+    (0 until M).map { m =>
+      val seeds: Seq[Seq[Long]] = seedRows.map(q => q.slice(m * Dsub, (m + 1) * Dsub)).toSeq
+      // one assignment pass + per-cell integer sums (K·Dsub partials)
+      val assigned = vecs.select(col("q"), expr(codeExpr("q", m, seeds)).as("cell"))
+      val dimSums = (1 to Dsub).map(d =>
+        sum(expr(s"element_at(q, ${m * Dsub} + $d)")).as(s"s$d"))
+      val rows = assigned.groupBy("cell")
+        .agg(dimSums.head, (dimSums.tail :+ count(lit(1)).as("n")): _*)
+        .collect()
+      val updated = rows.map { r =>
+        val n = r.getAs[Long]("n")
+        r.getAs[Int]("cell") ->
+          (1 to Dsub).map(d => math.floor(r.getAs[Long](s"s$d").toDouble / n).toLong)
+      }.toMap
+      // a seed cell that captured no vectors keeps its seed centroid
+      (0 until K).map(k => updated.getOrElse(k, seeds(k)))
+    }
+  }
+
+  // ---------------------------------------------------------- encoding
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(s, dir)
+    val codeCols = (0 until M).map(m => expr(codeExpr("q", m, books(m))).cast("int"))
+    qVecs(s, dir)
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .orderBy("vec_id", "m")
+  }
+
+  // ------------------------------------------------------------ oracle
+  private def dotList(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $Dsub), d -> ($a[d] - $b[d]) * ($a[d] - $b[d])))"
+
+  /** Per-subspace training + encode CTEs (the Spark training unrolled). */
+  private def subspaceCtes(m: Int): String = {
+    val sub = s"list_transform(generate_series(1, $Dsub), d -> q[${m * Dsub} + d])"
+    s"""s$m AS (
+       |  SELECT vec_id AS k, $sub AS c FROM qv WHERE vec_id < $K),
+       |a$m AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT v.vec_id, v.sub, c.k AS cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dotList("v.sub", "c.c")}, c.k) AS rk
+       |    FROM (SELECT vec_id, $sub AS sub FROM qv) v CROSS JOIN s$m c) t WHERE rk = 1),
+       |c$m AS (
+       |  SELECT s.k,
+       |         coalesce(u.c, s.c) AS c
+       |  FROM s$m s LEFT JOIN (
+       |    SELECT cell AS k, list(cv ORDER BY d) AS c FROM (
+       |      SELECT a.cell, dd.d,
+       |             CAST(floor(CAST(CAST(sum(a.sub[dd.d]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |      FROM a$m a CROSS JOIN (SELECT unnest(generate_series(1, $Dsub)) AS d) dd
+       |      GROUP BY a.cell, dd.d) g GROUP BY cell) u ON u.k = s.k),
+       |e$m AS (
+       |  SELECT vec_id, $m AS m, CAST(cell AS INT) AS code FROM (
+       |    SELECT v.vec_id, c.k AS cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dotList("v.sub", "c.c")}, c.k) AS rk
+       |    FROM (SELECT vec_id, $sub AS sub FROM qv) v CROSS JOIN c$m c) t WHERE rk = 1)""".stripMargin
+  }
+
+  private def pqCodesSql: String = {
+    val ctes = (0 until M).map(subspaceCtes).mkString(",\n")
+    val unions = (0 until M).map(m => s"SELECT * FROM e$m").mkString("\nUNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ctes
+       |SELECT vec_id, m, code FROM (
+       |$unions
+       |) u
+       |ORDER BY vec_id, m""".stripMargin
+  }
+
+  // ----------------------------------------------------------- ADC search
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(s, dir)
+    // query side: a constant-size set, each row exploded into its M×K
+    // distance-table entries (exact integer d2 to every centroid)
+    val tableEntries = (0 until M).flatMap { m =>
+      (0 until K).map { k =>
+        struct(lit(m).as("m"), lit(k).as("code"),
+          expr(d2Expr("q", m, books(m)(k))).as("d2"))
+      }
+    }
+    val queries = qVecs(s, dir).filter(col("vec_id") < PqQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(array(tableEntries: _*)).as("t"))
+      .select(col("query_id"), col("t.m").as("m"), col("t.code").as("code"), col("t.d2").as("d2"))
+    // scan side: only the codes — the approximate distance is the sum of M
+    // table lookups (an equi-join on (m, code) against the broadcast table)
+    val codes = pqCodes(s, dir)
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d2"), col("neighbor_id"))
+    codes.join(broadcast(queries), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("d2"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d2").as("approx_d2")) // exactly M rows per pair by construction
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select("query_id", "rank", "neighbor_id", "approx_d2")
+      .orderBy("query_id", "rank")
+  }
+
+  private def annPqSql: String = {
+    val ctes = (0 until M).map(subspaceCtes).mkString(",\n")
+    val unions = (0 until M).map(m => s"SELECT * FROM e$m").mkString("\nUNION ALL\n")
+    val tblUnions = (0 until M).map { m =>
+      s"""SELECT query_id, $m AS m, c.k AS code, ${dotList("sub", "c.c")} AS d2
+         |FROM (SELECT vec_id AS query_id,
+         |             list_transform(generate_series(1, $Dsub), d -> q[${m * Dsub} + d]) AS sub
+         |      FROM qv WHERE vec_id < $PqQueries) v CROSS JOIN c$m c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ctes,
+       |codes AS (
+       |$unions
+       |),
+       |dtable AS (
+       |$tblUnions
+       |),
+       |dist AS (
+       |  SELECT t.query_id, c.vec_id AS neighbor_id, CAST(sum(t.d2) AS BIGINT) AS approx_d2
+       |  FROM codes c JOIN dtable t ON t.m = c.m AND t.code = c.code
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY t.query_id, c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, approx_d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_d2, neighbor_id) AS rank
+       |  FROM dist)
+       |SELECT query_id, rank, neighbor_id, approx_d2
+       |FROM ranked WHERE rank <= $PqTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_pq_codes", pqCodes, Some(pqCodesSql)),
+    QueryDef("ann_l2_pq", annPq, Some(annPqSql))
+  )
+}
