@@ -33,21 +33,17 @@ import org.apache.spark.sql.functions._
 object Pq extends QueryModule {
 
   private val Dim = 64
-  private val M = 4 // subspaces
+  private[graft] val M = 4 // subspaces
   private val Dsub = Dim / M
-  private val K = 8 // codes per subspace
-  private val Scale = 4096L
-  private val PqQueries = 50
-  private val PqTopK = 5
+  private[graft] val K = 8 // codes per subspace
+  private[graft] val Scale = 4096L
+  private[graft] val PqQueries = 50
+  private[graft] val PqTopK = 5
 
-  private val qExpr =
-    s"transform(embedding, e -> cast(floor(cast(e as double) * $Scale) as bigint))"
-
-  private def qVecs(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, "pq_qvecs", dir) {
-      Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), expr(qExpr).as("q"))
-    }
+  // ONE quantized-vector cache for IVF and PQ: the fixed-point definition
+  // (floor(e·2^12) bigint) is shared with Similarity, so both op families
+  // pin a single materialization instead of two identical copies.
+  private def qVecs(s: SparkSession, dir: String): DataFrame = Similarity.qVecs(s, dir)
 
   // ---------------------------------------------------------- training
   /** Squared L2 between subvector m of `qCol` and a literal centroid. */
@@ -59,11 +55,15 @@ object Pq extends QueryModule {
   }
 
   /** Argmin code for subspace m against literal centroids (ties → lowest
-    * code), via the same sorted-struct trick as IVF.
+    * cell id), via the same sorted-struct trick as IVF. Cells are labeled
+    * by the seed vector's ACTUAL vec_id — the same labeling the oracle's
+    * `vec_id AS k` uses — so the two engines agree by construction, not by
+    * the accident of dense 0-based ids (and a corpus with fewer than K
+    * low ids just trains fewer cells on both sides instead of crashing).
     */
-  private def codeExpr(qCol: String, m: Int, cents: Seq[Seq[Long]]): String = {
-    val entries = cents.zipWithIndex.map { case (c, k) =>
-      s"named_struct('d2', ${d2Expr(qCol, m, c)}, 'k', $k)"
+  private def codeExpr(qCol: String, m: Int, cents: Seq[(Long, Seq[Long])]): String = {
+    val entries = cents.map { case (cid, c) =>
+      s"named_struct('d2', ${d2Expr(qCol, m, c)}, 'k', ${cid}L)"
     }.mkString("array(", ", ", ")")
     s"element_at(array_sort($entries, (l, r) -> " +
       "case when l.d2 < r.d2 then -1 when l.d2 > r.d2 then 1 " +
@@ -71,23 +71,26 @@ object Pq extends QueryModule {
   }
 
   private val codebookMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[(Long, Seq[Long])]]]
 
-  /** Per-subspace codebooks `[m][k][d]` after one Lloyd iteration. */
-  def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+  /** Per-subspace codebooks `[m] -> (cell_id, centroid)` after one Lloyd
+    * iteration.
+    */
+  def pqCodebooks(s: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long])]] = {
     SessionCache.onSessionEnd(s, "pq_codebooks") {
       codebookMemo.keys.filter(_._1 eq s).toSeq.foreach(codebookMemo.remove)
     }
     codebookMemo.getOrElseUpdate((s, dir), trainCodebooks(s, dir))
   }
 
-  private def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] = {
+  private def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[(Long, Seq[Long])]] = {
     val vecs = qVecs(s, dir)
-    // seeds: subvectors of the first K vectors
-    val seedRows = vecs.filter(col("vec_id") < K).orderBy("vec_id")
-      .select("q").collect().map(_.getSeq[Long](0).toSeq)
+    // seeds: subvectors of the vectors with vec_id < K, labeled by vec_id
+    val seedRows: Seq[(Long, Seq[Long])] = vecs.filter(col("vec_id") < K).orderBy("vec_id")
+      .select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     (0 until M).map { m =>
-      val seeds: Seq[Seq[Long]] = seedRows.map(q => q.slice(m * Dsub, (m + 1) * Dsub)).toSeq
+      val seeds = seedRows.map { case (cid, q) => (cid, q.slice(m * Dsub, (m + 1) * Dsub)) }
       // one assignment pass + per-cell integer sums (K·Dsub partials)
       val assigned = vecs.select(col("q"), expr(codeExpr("q", m, seeds)).as("cell"))
       val dimSums = (1 to Dsub).map(d =>
@@ -97,11 +100,11 @@ object Pq extends QueryModule {
         .collect()
       val updated = rows.map { r =>
         val n = r.getAs[Long]("n")
-        r.getAs[Int]("cell") ->
+        r.getAs[Long]("cell") ->
           (1 to Dsub).map(d => math.floor(r.getAs[Long](s"s$d").toDouble / n).toLong)
       }.toMap
       // a seed cell that captured no vectors keeps its seed centroid
-      (0 until K).map(k => updated.getOrElse(k, seeds(k)))
+      seeds.map { case (cid, sc) => (cid, updated.getOrElse(cid, sc)) }
     }
   }
 
@@ -167,9 +170,9 @@ object Pq extends QueryModule {
     // query side: a constant-size set, each row exploded into its M×K
     // distance-table entries (exact integer d2 to every centroid)
     val tableEntries = (0 until M).flatMap { m =>
-      (0 until K).map { k =>
-        struct(lit(m).as("m"), lit(k).as("code"),
-          expr(d2Expr("q", m, books(m)(k))).as("d2"))
+      books(m).map { case (cid, c) =>
+        struct(lit(m).as("m"), lit(cid.toInt).as("code"),
+          expr(d2Expr("q", m, c)).as("d2"))
       }
     }
     val queries = qVecs(s, dir).filter(col("vec_id") < PqQueries)

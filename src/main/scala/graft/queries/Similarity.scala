@@ -437,7 +437,7 @@ object Similarity extends QueryModule {
     * per (session, corpus) so repeated invocations share one materialized
     * cache instead of leaking a new one each call.
     */
-  private def qVecs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def qVecs(s: SparkSession, dir: String): DataFrame =
     SessionCache.memo(s, "ivf_qvecs", dir) {
       emb(s, dir).select(col("vec_id"), col("embedding"), expr(qExpr).as("q"))
     }
