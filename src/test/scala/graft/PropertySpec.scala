@@ -51,6 +51,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interval-join time binning finds exactly the direct window pairs") {
+    // the range_join_events decomposition: a [t-W, t) window spans at most
+    // two W-wide bins, so binned candidates ⊇ window pairs, and the exact
+    // filter recovers equality — checked on arbitrary timestamps, not just
+    // the events corpus
+    import spark.implicits._
+    val W = 600000L
+    val ts = Gen.chooseNum(0L, 10L * W)
+    val probes = sampleOf(Gen.listOfN(60, ts)).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val events = sampleOf(Gen.listOfN(200, ts)).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = probes.toDF("pid", "pt")
+      .withColumn("bin", explode(array_distinct(array(
+        expr(s"(pt - $W) div $W"), expr(s"pt div $W")))))
+    val e = events.toDF("eid", "vt").withColumn("bin", expr(s"vt div $W"))
+    val binned = p.join(e, Seq("bin"))
+      .filter(col("vt") >= col("pt") - W && col("vt") < col("pt"))
+      .select("pid", "eid").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = (for {
+      (pid, pt) <- probes
+      (eid, vt) <- events
+      if vt >= pt - W && vt < pt
+    } yield (pid, eid)).toSet
+    assert(binned == direct, s"binned ${binned.size} vs direct ${direct.size}")
+  }
+
   test("fkForm strips only short prefixes") {
     val pairs = sampleOf(Gen.listOfN(500, Gen.zip(token, token)))
     pairs.foreach { case (p, rest) =>
