@@ -259,14 +259,23 @@ object Dedup extends QueryModule {
     * loop per invocation would redo the whole candidate pipeline.
     */
   private def ccLabels(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, "cc_labels", dir) {
+    ccLabelsOver(s, dir, "cc_labels", minhashLsh(s, dir).select("doc_a", "doc_b"))
+
+  /** Converged (id, lbl) component labels over an arbitrary 2-column pair
+    * frame — the survivorship kernel shared by the text (minhash) and
+    * embedding near-dup clusterers. Memoized per (session, tag, corpus).
+    */
+  private[queries] def ccLabelsOver(s: SparkSession, dir: String, tag: String,
+                                    pairs: DataFrame): DataFrame =
+    SessionCache.memo(s, tag, dir) {
+      val Seq(aCol, bCol) = pairs.columns.toSeq
       // Symmetrize with one explode instead of a self-union: a union would
-      // evaluate the whole minhash candidate pipeline twice (Spark does
-      // not dedup common subtrees across union branches).
-      val edges = minhashLsh(s, dir).select("doc_a", "doc_b")
+      // evaluate the whole candidate pipeline twice (Spark does not dedup
+      // common subtrees across union branches).
+      val edges = pairs
         .select(explode(array(
-          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .cache()
       var labels = edges.select(col("src").as("id")).distinct()

@@ -241,6 +241,50 @@ object Similarity extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  // --------------------------------------------- dedup_cluster_embed
+  // Survivorship over the EMBEDDING near-dup graph: the same min-label
+  // connected-components kernel the text dedup uses (Dedup.ccLabelsOver),
+  // fed by the banded embed pairs — one canonical vector per semantic-dup
+  // cluster. Oracle = WITH RECURSIVE closure over the exact all-pairs
+  // form, so the clustering is checked end to end.
+  private def embedCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.ccLabelsOver(s, dir, "cc_labels_embed",
+      embedDedup(s, dir).select("vec_a", "vec_b"))
+    val assign = emb(s, dir).select("vec_id")
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("canon_id"))
+    val sizes = assign.groupBy("canon_id").agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "canon_id")
+      .select(col("vec_id"), col("canon_id"), col("cluster_size"),
+        when(col("vec_id") === col("canon_id"), 1L).otherwise(0L).as("is_canonical"))
+      .orderBy("vec_id")
+  }
+
+  private def embedClusterSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT vec_a, vec_b FROM ($embedDedupSql)
+       |), edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+       |), labels AS (
+       |  SELECT id, min(r) AS canon FROM reach GROUP BY id
+       |), assign AS (
+       |  SELECT v.vec_id, coalesce(l.canon, v.vec_id) AS canon_id
+       |  FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+       |), sizes AS (
+       |  SELECT canon_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM assign GROUP BY canon_id
+       |)
+       |SELECT a.vec_id, a.canon_id, s.cluster_size,
+       |  CASE WHEN a.vec_id = a.canon_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
+       |FROM assign a JOIN sizes s ON s.canon_id = a.canon_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** LSH bucket assignment (vec_id, bucket) — SimilaritySpec uses it to
     * recompute the exact best-in-bucket neighbor independently of annLsh's
     * join/window machinery.
@@ -746,6 +790,7 @@ object Similarity extends QueryModule {
     QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
     QueryDef("dedup_embed_cosine_prod", embedDedupProd, Some(embedDedupProdSql)),
+    QueryDef("dedup_cluster_embed", embedCluster, Some(embedClusterSql)),
     QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql)),
     QueryDef("emb_quantize", embQuantize, Some(embQuantizeSql))
   )

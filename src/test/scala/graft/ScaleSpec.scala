@@ -40,7 +40,7 @@ class ScaleSpec extends SparkSpec {
     // must never degrade to CartesianProduct or BroadcastNestedLoopJoin
     Seq("dedup_cluster", "decontaminate", "mm_dedup", "text_lm_score",
       "pipeline_curate", "q21_waiting_supplier", "events_anomaly",
-      "dedup_embed_cosine_prod", "range_join_events").foreach { name =>
+      "dedup_embed_cosine_prod", "range_join_events", "dedup_cluster_embed").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")

@@ -101,6 +101,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_cluster_embed canonicalizes every near-dup pair consistently") {
+    val canon = Similarity.defs.find(_.name == "dedup_cluster_embed").get.run(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canon_id")).toMap
+    val pairs = Similarity.defs.find(_.name == "dedup_embed_cosine").get.run(spark, sfDir)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // both endpoints of every near-dup pair share a canonical id, and the
+    // canonical id is the minimum member of its cluster
+    pairs.foreach { case (a, b) => assert(canon(a) == canon(b), s"($a,$b) split") }
+    canon.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c not labeled by its minimum")
+    }
+  }
+
   test("trained IVF cells are balanced (max cell <= 4x mean)") {
     val cells = Similarity.ivfAssignments(spark, sfDir)
       .groupBy("cell").count().collect().map(_.getLong(1))
