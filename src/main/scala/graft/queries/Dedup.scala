@@ -266,7 +266,7 @@ object Dedup extends QueryModule {
     * embedding near-dup clusterers. Memoized per (session, tag, corpus).
     */
   private[queries] def ccLabelsOver(s: SparkSession, dir: String, tag: String,
-                                    pairs: DataFrame): DataFrame =
+                                    pairs: => DataFrame): DataFrame =
     SessionCache.memo(s, tag, dir) {
       val Seq(aCol, bCol) = pairs.columns.toSeq
       // Symmetrize with one explode instead of a self-union: a union would
@@ -302,7 +302,7 @@ object Dedup extends QueryModule {
       // surface as an undiagnosable hash mismatch. Near-dup clusters have
       // tiny diameters; hitting the cap means the pair graph is
       // pathological (fix: pointer-jumping / large-star rounds, O(log n)).
-      require(converged, s"dedup_cluster: min-label propagation did not converge in $MaxCcIters rounds")
+      require(converged, s"$tag: min-label propagation did not converge in $MaxCcIters rounds")
       // materialize the labels so the edge cache can be released now
       labels.count()
       edges.unpersist()

@@ -36,7 +36,10 @@ object Pq extends QueryModule {
   private[graft] val M = 4 // subspaces
   private val Dsub = Dim / M
   private[graft] val K = 8 // codes per subspace
-  private[graft] val Scale = 4096L
+  // ALIAS of the IVF fixed-point scale, not an independent constant: the
+  // Spark side quantizes through Similarity.qVecs, so the oracle SQL and
+  // the spec ground truth must follow that definition by construction.
+  private[graft] val Scale: Long = Similarity.IvfScale
   private[graft] val PqQueries = 50
   private[graft] val PqTopK = 5
 

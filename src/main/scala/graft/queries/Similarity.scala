@@ -471,7 +471,7 @@ object Similarity extends QueryModule {
   private val IvfK = 16
   private val NProbe = 2
   private val IvfTopK = 3
-  private val IvfScale = 4096L
+  private[queries] val IvfScale = 4096L
   private val IvfIters = 2
 
   private val qExpr =

@@ -7,17 +7,23 @@ class PqSpec extends SparkSpec {
 
   private def run(name: String) = Pq.defs.find(_.name == name).get.run(spark, sfDir)
 
-  test("pq codes: M codes per vector, all within [0, K)") {
+  test("pq codes: M codes per vector, each a trained cell label") {
     val codes = run("emb_pq_codes").cache()
     val n = Tables.load(spark, sfDir, "embeddings").count()
     assert(codes.count() == n * Pq.M)
-    assert(codes.filter(col("code") < 0 || col("code") >= Pq.K).count() == 0)
     assert(codes.groupBy("vec_id").count().filter(col("count") =!= Pq.M).count() == 0)
+    // codes are the TRAINED CELL LABELS (seed vec_ids), not assumed-dense
+    // [0, K) indices — the contract the vec_id-labeled cells establish
+    val cells = Pq.pqCodebooks(spark, sfDir).head.map(_._1.toInt).toSet
+    assert(cells.nonEmpty && cells.size <= Pq.K)
+    assert(codes.filter(!col("code").isin(cells.toSeq: _*)).count() == 0)
     // non-degenerate codebooks: every subspace actually spreads vectors
-    // over multiple cells (an all-one-cell codebook is a hollow quantizer)
+    // over multiple of its trained cells (an all-one-cell codebook is a
+    // hollow quantizer)
     val spread = codes.groupBy("m").agg(countDistinct("code").as("k_used"))
       .collect().map(r => r.getAs[Int]("m") -> r.getAs[Long]("k_used")).toMap
-    assert(spread.size == Pq.M && spread.values.forall(_ >= Pq.K / 2), s"code spread: $spread")
+    assert(spread.size == Pq.M && spread.values.forall(_ >= cells.size / 2),
+      s"code spread: $spread of ${cells.size} cells")
   }
 
   test("ADC search recalls a meaningful share of the exact L2 top-5") {
