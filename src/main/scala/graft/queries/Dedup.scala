@@ -288,8 +288,16 @@ object Dedup extends QueryModule {
       while (!converged && iters < MaxCcIters) {
         val viaNbr = edges.join(labels, edges("dst") === labels("id"))
           .select(edges("src").as("id"), labels("lbl"))
+        // localCheckpoint, NOT cache: `next` references `labels` twice
+        // (union + join), so a cache-only loop DOUBLES the logical plan
+        // every round — execution stays fast through the cache, but the
+        // driver's plan objects/strings grow 2^rounds and OOM once the
+        // graph needs more than a handful of rounds (hit at sf0.1 on the
+        // embedding pair graph). Checkpointing truncates the lineage to
+        // the materialized result each round, the standard shape for
+        // iterative algorithms on Spark.
         val next = labels.select("id", "lbl").union(viaNbr)
-          .groupBy("id").agg(min("lbl").as("lbl")).cache()
+          .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
         val cur = lblSum(next) // labels only ever decrease: equal sum = fixpoint
         labels.unpersist()
         labels = next

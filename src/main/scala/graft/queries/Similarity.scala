@@ -192,6 +192,26 @@ object Similarity extends QueryModule {
   private val DedupBands = 16
   private val DedupRows = 2 // hyperplanes per band
 
+  /** The verified near-dup pair set MATERIALIZED to parquet once per
+    * session, for consumers that post-process the pairs (the clustering
+    * survivorship): re-deriving the pairs would re-run the full banded
+    * candidate join, and wrapping that join's lineage in a storage cache
+    * is exactly the plan shape that blows up (cache materialization runs
+    * with AQE restricted — measured OOM at sf0.1 where the uncached join
+    * finishes in seconds). Materialize-then-read is also the production
+    * shape: the dedup op writes its pair table; survivorship scans it.
+    */
+  private def embedPairsTable(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "embed_pairs_table", dir) {
+      val path = java.nio.file.Files.createTempDirectory("graft_embed_pairs_").toString
+      SessionCache.onSessionEnd(s, s"embed_pairs_dir_$path") {
+        graft.dv.DvLoader.deletePath(java.nio.file.Paths.get(path))
+      }
+      embedDedup(s, dir).select("vec_a", "vec_b")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    }
+
   private def embedDedup(s: SparkSession, dir: String): DataFrame = {
     // All 16 band signatures packed into one BIGINT (2 bits per band): the
     // candidate join carries only (vec_id, sigword) — the 64-float
@@ -249,7 +269,7 @@ object Similarity extends QueryModule {
   // form, so the clustering is checked end to end.
   private def embedCluster(s: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.ccLabelsOver(s, dir, "cc_labels_embed",
-      embedDedup(s, dir).select("vec_a", "vec_b"))
+      embedPairsTable(s, dir))
     val assign = emb(s, dir).select("vec_id")
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("canon_id"))
