@@ -52,6 +52,41 @@ object DvBuild {
     ghostRows(s, spec).unionByName(main).orderBy(spec.hkName)
   }
 
+  /** Multi-source (consolidated) hub load: every carrying table inserts the
+    * keys earlier sources have not already delivered, each with its own
+    * record_source — the reference's per-source hub INSERTs against one
+    * `hub_<bk_name>` (dv_loader.rs:166-199, WHERE hub_hk IS NULL). Source
+    * order is load order: the home table's column names define the `_bk`
+    * columns, later sources map their parts positionally. Each cross-source
+    * anti-join shuffles both sides on the hash key (AQE broadcasts the
+    * accumulated side while it is small).
+    */
+  def hubMultiFrom(s: SparkSession, spec: HubSpec,
+                   sources: Seq[(String, DataFrame, Seq[Col])],
+                   loadTs: String = LoadTs): DataFrame = {
+    require(sources.nonEmpty, s"hub ${spec.name} has no load sources")
+    val perSource = sources.map { case (table, src, parts) =>
+      require(parts.size == spec.bkParts.size,
+        s"source $table delivers ${parts.size} key parts to ${spec.bkParts.size}-part hub ${spec.name}")
+      val keys = src.select(parts.zip(spec.bkParts).map { case (p, b) =>
+        canonAs(p, s"${b.name}_bk")
+      }: _*).distinct()
+      val hk = dvHash(spec.bkParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)
+      keys.select(
+        (hk +: lit(loadTs).as("load_ts") +: lit(recordSource(table)).as("record_source") +:
+          spec.bkParts.map(p => col(s"${p.name}_bk"))): _*)
+    }
+    val folded = perSource.reduceLeft { (acc, next) =>
+      acc.unionByName(next.join(acc.select(spec.hkName), Seq(spec.hkName), "left_anti"))
+    }
+    ghostRows(s, spec).unionByName(folded).orderBy(spec.hkName)
+  }
+
+  /** Consolidated hub from a DerivedHub's cataloged sources. */
+  def hubMulti(s: SparkSession, dir: String, hub: DerivedHub, loadTs: String = LoadTs): DataFrame =
+    hubMultiFrom(s, hub.spec,
+      hub.sources.map(src => (src.table, Tables.load(s, dir, src.table), src.parts)), loadTs)
+
   /** Satellite load: hash key + hash-diff over canonical descriptors, with
     * raw descriptor columns carried (dv_loader.rs:325-357). Insert-only
     * SCD2: one row per distinct (hk, hd).

@@ -18,17 +18,27 @@ object DvGo {
 
   final case class BuildResult(buildId: String, outDir: String, objects: Seq[(String, Long)])
 
+  /** The derived plan go() builds by default: classification over the demo
+    * scope with the dependent-child user context (the reference's
+    * RTD-responses → dv_builder pipeline). Memoized per (session, dir) —
+    * plan derivation is metadata-scale but rides on the profiling pass.
+    */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DvPlan]
+
+  def derivedPlan(s: SparkSession, dir: String): DvPlan =
+    planCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      DvPlanner.planFromClassification(s, dir, GoScope, goContext))
+
   /** Bucket keys per vault object: hubs and links anti-join on their hash
     * key; satellites anti-join on (hash key, hash diff), so they bucket on
     * both — a sat bucketed on hk alone would still shuffle for the
     * (hk, hd) join.
     */
-  private[dv] def bucketKeys(obj: String): Seq[String] = {
-    val hub = hubs.find(h => s"hub_${h.name}" == obj).map(h => Seq(h.hkName))
-    val sat = Seq(satCustomer, satCustomerSensitive).find(t => s"sat_${t.name}" == obj)
-      .map(t => Seq(t.hkName, t.hdName))
-    val link = Seq(linkOrders, linkLineitem).find(l => s"link_${l.name}" == obj)
-      .map(l => Seq(l.hkName))
+  private[dv] def bucketKeys(plan: DvPlan, obj: String): Seq[String] = {
+    val hub = plan.hubs.find(h => s"hub_${h.spec.name}" == obj).map(h => Seq(h.spec.hkName))
+    val sat = plan.sats.find(t => s"sat_${t.name}" == obj).map(t => Seq(t.hkName, t.hdName))
+    val link = plan.links.find(l => s"link_${l.name}" == obj).map(l => Seq(l.hkName))
     hub.orElse(sat).orElse(link)
       .getOrElse(sys.error(s"no bucket keys for unknown vault object $obj"))
   }
@@ -55,14 +65,14 @@ object DvGo {
     */
   def go(s: SparkSession, dir: String, outDir: String, loadTs: String = DvDefaults.LoadTs,
          include: String => Boolean = _ => true,
-         bucketed: Boolean = false, buckets: Int = 64): BuildResult = {
+         bucketed: Boolean = false, buckets: Int = 64,
+         plan: Option[DvPlan] = None): BuildResult = {
     val buildId = java.util.UUID.nameUUIDFromBytes(s"graft:$dir:$loadTs".getBytes).toString
+    val p = plan.getOrElse(derivedPlan(s, dir))
     val builds: Seq[(String, DataFrame)] =
-      (hubs.map(h => s"hub_${h.name}" -> DvBuild.hub(s, dir, h, loadTs)) ++ Seq(
-        "sat_customer" -> DvBuild.sat(s, dir, satCustomer, loadTs),
-        "sat_customer_sensitive" -> DvBuild.sat(s, dir, satCustomerSensitive, loadTs),
-        "link_orders" -> DvBuild.link(s, dir, linkOrders, loadTs),
-        "link_lineitem" -> DvBuild.link(s, dir, linkLineitem, loadTs)))
+      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMulti(s, dir, h, loadTs)) ++
+        p.sats.map(t => s"sat_${t.name}" -> DvBuild.sat(s, dir, t, loadTs)) ++
+        p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l, loadTs)))
         .filter { case (name, _) => include(name) }
     // The eight objects are independent — submit their jobs concurrently
     // (Spark's scheduler interleaves them; order of the summary is
@@ -77,7 +87,7 @@ object DvGo {
         val obs = org.apache.spark.sql.Observation(s"go_${name}_${System.nanoTime()}")
         val observed = df.observe(obs, count(lit(1)).as("n"))
         if (bucketed) {
-          val keys = bucketKeys(name)
+          val keys = bucketKeys(p, name)
           observed.write.mode("overwrite").format("parquet")
             .bucketBy(buckets, keys.head, keys.tail: _*)
             .sortBy(keys.head, keys.tail: _*)
@@ -89,7 +99,7 @@ object DvGo {
         name -> obs.get("n").asInstanceOf[Long]
       }
     }), Duration.Inf)
-    val schemaJson = planJson(buildId, include,
+    val schemaJson = planJson(p, buildId, include,
       bucketing = if (bucketed) Some((prefix, buckets)) else None)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/dv_schema.json"), schemaJson)
@@ -97,7 +107,7 @@ object DvGo {
     // a standalone operator, not a go() object — it must not be advertised)
     val built = builds.map(_._1).toSet
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/dv_schema.sql"), DvSqlGen.allDdl(built))
+      java.nio.file.Paths.get(s"$outDir/dv_schema.sql"), DvSqlGen.allDdl(p, built))
     BuildResult(buildId, outDir, counts)
   }
 
@@ -107,15 +117,18 @@ object DvGo {
     * advertises objects it never wrote (the schema-driven loader trusts
     * the repo and would crash on the missing paths).
     */
-  def planJson(buildId: String, include: String => Boolean = _ => true,
+  def planJson(plan: DvPlan, buildId: String, include: String => Boolean = _ => true,
                bucketing: Option[(String, Int)] = None): String = {
     def q(x: String) = "\"" + x + "\""
     def colJ(c: Col) = s"""{"name": ${q(c.name)}, "type": ${q(c.typeName)}}"""
-    val hubsJ = hubs.filter(h => include(s"hub_${h.name}")).map(h =>
+    // hub "source" stays the home table (sources.head) — the schema-driven
+    // loader's per-table increments key off it; consolidation sources are
+    // a build-time behavior of go() itself
+    val hubsJ = plan.hubs.map(_.spec).filter(h => include(s"hub_${h.name}")).map(h =>
       s"""{"name": ${q(h.name)}, "source": ${q(h.sourceTable)}, "bk_parts": [${h.bkParts.map(colJ).mkString(", ")}]}""")
-    val satsJ = Seq(satCustomer, satCustomerSensitive).filter(t => include(s"sat_${t.name}")).map(t =>
+    val satsJ = plan.sats.filter(t => include(s"sat_${t.name}")).map(t =>
       s"""{"name": ${q(t.name)}, "source": ${q(t.sourceTable)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "bk_parts": [${t.bkParts.map(colJ).mkString(", ")}], "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
-    val linksJ = Seq(linkOrders, linkLineitem).filter(l => include(s"link_${l.name}")).map { l =>
+    val linksJ = plan.links.filter(l => include(s"link_${l.name}")).map { l =>
       val membersJ = l.members.map(m =>
         s"""{"hub": ${q(m.hubName)}, "parts": [${m.parts.map(colJ).mkString(", ")}]}""")
       s"""{"name": ${q(l.name)}, "source": ${q(l.sourceTable)}, "members": [${membersJ.mkString(", ")}], "degenerate": [${l.degenerate.map(colJ).mkString(", ")}]}"""
@@ -149,10 +162,10 @@ object DvGo {
     * status: the object's acceptance derives from its source columns'
     * classification confidence).
     */
-  private[dv] def objectSourceTable(obj: String): String =
-    hubs.find(h => s"hub_${h.name}" == obj).map(_.sourceTable)
-      .orElse(Seq(satCustomer, satCustomerSensitive).find(t => s"sat_${t.name}" == obj).map(_.sourceTable))
-      .orElse(Seq(linkOrders, linkLineitem).find(l => s"link_${l.name}" == obj).map(_.sourceTable))
+  private[dv] def objectSourceTable(plan: DvPlan, obj: String): String =
+    plan.hubs.find(h => s"hub_${h.spec.name}" == obj).map(_.spec.sourceTable)
+      .orElse(plan.sats.find(t => s"sat_${t.name}" == obj).map(_.sourceTable))
+      .orElse(plan.links.find(l => s"link_${l.name}" == obj).map(_.sourceTable))
       .getOrElse(sys.error(s"no source table for unknown vault object $obj"))
 
   def goWithHistory(s: SparkSession, dir: String, outDir: String, historyPath: String,
@@ -179,8 +192,9 @@ object DvGo {
     val minConf = cl.respond(Classify.catalogProfile(s, dir))
       .groupBy("table_name").agg(min("confidence").as("min_conf")).collect()
       .map(r => r.getAs[String]("table_name") -> r.getAs[Double]("min_conf")).toMap
+    val plan = derivedPlan(s, dir)
     res.objects.map { case (o, n) =>
-      val mc = minConf(objectSourceTable(o))
+      val mc = minConf(objectSourceTable(plan, o))
       (seq, res.buildId, loadTs, o, n, mc, g,
         if (mc >= g) "Deployed" else "Held")
     }.toDF("build_seq", "build_id", "load_ts", "object", "row_count",
@@ -266,6 +280,44 @@ object DvGo {
        |ORDER BY build_seq, object""".stripMargin
   }
 
+  /** dv_go_derived: the derivation-parity probe. Builds every object of the
+    * literal (hand-written) plan AND its derived-plan twin, and emits one
+    * row per object with the derived row count and a `matches_literal` flag
+    * computed by ACTUAL DataFrame comparison (schema + both exceptAll
+    * directions) — the oracle pins the flag TRUE and recomputes the counts
+    * from source cardinality, so any derivation drift fails the hash check
+    * (the events_approx_stats in-band-flag pattern).
+    */
+  def goDerivedParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val derived = derivedPlan(s, dir)
+    def frames(p: DvPlan): Map[String, DataFrame] =
+      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMulti(s, dir, h)) ++
+        p.sats.map(t => s"sat_${t.name}" -> DvBuild.sat(s, dir, t)) ++
+        p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l))).toMap
+    val derivedFrames = frames(derived)
+    val literalFrames = frames(DvPlanner.literalPlan)
+    val rows = literalFrames.toSeq.sortBy(_._1).map { case (name, lit) =>
+      val drv = derivedFrames(name)
+      val parity = drv.schema == lit.schema &&
+        drv.exceptAll(lit).isEmpty && lit.exceptAll(drv).isEmpty
+      (name, drv.count(), parity)
+    }
+    rows.toDF("object", "row_count", "matches_literal").orderBy("object")
+  }
+
+  /** Oracle twin of goDerivedParity: literal-object counts from source
+    * cardinality, parity flags pinned TRUE.
+    */
+  def goDerivedSql: String = {
+    val counts = (hubs.map(hubCountSql) ++
+      Seq(satCountSql(satCustomer), satCountSql(satCustomerSensitive),
+        linkCountSql(linkOrders), linkCountSql(linkLineitem))).mkString("\nUNION ALL\n")
+    s"""SELECT object, row_count, TRUE AS matches_literal FROM (
+       |$counts
+       |) ORDER BY object""".stripMargin
+  }
+
   /** Query-shaped wrapper: runs the full build into a temp dir and returns
     * the (object, row_count) summary — the driver-checkable face of go().
     */
@@ -280,9 +332,13 @@ object DvGo {
     res.objects.toDF("object", "row_count").orderBy("object")
   }
 
-  /** Oracle twin of goSummary: row counts straight from source cardinality. */
+  /** Oracle twin of goSummary: row counts straight from source cardinality
+    * for every object the DERIVED plan builds (the static sat expectation
+    * constants mirror the derivation — DeriveSpec pins the equality).
+    */
   def goSummarySql: String =
-    (hubs.map(hubCountSql) ++ Seq(satCountSql(satCustomer), satCountSql(satCustomerSensitive),
-      linkCountSql(linkOrders), linkCountSql(linkLineitem))).mkString("\nUNION ALL\n") +
+    (hubs.map(hubCountSql) ++
+      Seq(satCustomer, satCustomerSensitive, satPart, satOrders, satLineitem).map(satCountSql) ++
+      Seq(linkCountSql(linkOrders), linkCountSql(linkLineitem))).mkString("\nUNION ALL\n") +
       "\nORDER BY object"
 }

@@ -239,7 +239,7 @@ object DvLoader {
       .write.mode("overwrite").parquet(s"$repo/sat_customer")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$repo/dv_schema.json"),
-      DvGo.planJson("repo-load-demo", Set("hub_customer", "sat_customer")))
+      DvGo.planJson(DvPlanner.literalPlan, "repo-load-demo", Set("hub_customer", "sat_customer")))
     val scope = Set("hub_customer", "sat_customer")
     val counts = incrementalLoad(s, dir, repo, scope = scope)
     // counts are materialized; the seeded repo is no longer needed

@@ -24,6 +24,31 @@ final case class SatSpec(
   def hkName: String = hkColumn.getOrElse(s"hub_${hubName}_hk")
 }
 
+/** One table that loads a hub: the carrying table plus the columns that
+  * form the hub's business key there (positionally matching the hub spec's
+  * bkParts). The reference loads `hub_<bk_name>` from every source table
+  * whose transformer response carries that business-key name
+  * (controller/dv_builder.rs:130-148 names the key,
+  * controller/dv_loader.rs:166-199 loads per source) — consolidation means
+  * `customer.c_custkey` and `orders.o_custkey` feed ONE hub_customer.
+  */
+final case class HubSource(table: String, parts: Seq[Col])
+
+/** A hub together with every source table that loads it (home table first —
+  * its column names define the hub's `_bk` columns).
+  */
+final case class DerivedHub(spec: HubSpec, sources: Seq[HubSource])
+
+/** A complete derived vault plan — what `planFromClassification` returns
+  * and `go()` builds (the reference's Vec<BusinessKey> → DDL+DML pipeline,
+  * controller/dv_builder.rs:74-201).
+  */
+final case class DvPlan(hubs: Seq[DerivedHub], sats: Seq[SatSpec], links: Seq[LinkSpec]) {
+  def objectNames: Seq[String] =
+    hubs.map(h => s"hub_${h.spec.name}") ++ sats.map(t => s"sat_${t.name}") ++
+      links.map(l => s"link_${l.name}")
+}
+
 /** A link member: the hub it points at plus the source columns forming
   * that hub's business key in this source table.
   */

@@ -164,6 +164,235 @@ object DvPlanner {
       case (t, cols) if cols.headOption.exists(c => fkForm(c.name) == fkForm(column)) => t
     }
 
+  // ------------------------------------------------------------------
+  // Plan derivation from the classified catalog — the reference's
+  // dv_builder.rs:19-201 (accepted transformer responses → BusinessKey
+  // tree → DDL/DML for ANY source table), re-expressed deterministically.
+  // ------------------------------------------------------------------
+
+  /** Singular entity form of a table name ("orders" → "order") — the
+    * deterministic stand-in for the naming judgment the reference's BKName
+    * model pass applies ("avoid unnecessary suffixes", prompt_template
+    * .rs:202).
+    */
+  def singular(name: String): String =
+    if (name.length > 3 && name.endsWith("s") && !name.endsWith("ss")) name.dropRight(1)
+    else name
+
+  /** Business-key name for a key column — the deterministic twin of the
+    * reference's BusinessKeyName transformer pass
+    * (bgw_transformer_client.rs:117-164 + prompt_template.rs:193-263):
+    * prefer the attribute stem ("o_custkey" → "cust"), resolve it against
+    * the cataloged table names ("cust" → customer → "customer") so the
+    * same key carried by two tables gets ONE name and consolidates into
+    * one hub; a stem no table claims names itself ("user_id" → "user");
+    * a fully generic attribute ("id") falls back to the table name —
+    * exactly the prompt's stated preference order.
+    */
+  def bkName(column: String, table: String, catalogTables: Seq[String]): String = {
+    val stem = fkForm(column).replaceAll("_?(key|id)$", "")
+    if (stem.isEmpty) singular(table)
+    else catalogTables.sorted.find(_.startsWith(stem)).map(singular).getOrElse(stem)
+  }
+
+  /** One classified catalog row as the planner consumes it (bounded
+    * metadata — one row per source COLUMN, the reference's
+    * transformer_responses join, model/queries.rs:325-372).
+    */
+  final case class ClassifiedCol(table: String, column: String, ordinal: Int,
+                                 dataType: String, category: String,
+                                 confidence: Option[Double], overridden: Boolean,
+                                 uniqueness: Double) {
+    def col: Col = Col(column, dataType)
+  }
+
+  /** Derive the full vault plan from classified columns (pure function —
+    * `planFromClassification` feeds it the live classifier output).
+    *
+    * Rules (each mapped to its reference analogue):
+    *  - Only tables whose every column is accepted at `threshold` deploy
+    *    (the table-level RTD/SKIP gate, model/queries.rs:441-532).
+    *  - A business-key part's HOME is the catalog table where that key
+    *    form is the first column and near-unique (the identity it
+    *    resolves to). Parts homed here are the table's own identity;
+    *    parts homed elsewhere are foreign keys; unresolved parts are
+    *    either user-context dependent children (update_context made them
+    *    key parts) or standalone entities (e.g. `user_id` — a hub with no
+    *    home table, loaded from its carrying tables).
+    *  - Hubs: own parts (+ dependent children) form `hub_<bk_name>`; a
+    *    composite key names the hub after the table (the BKName prompt's
+    *    table-name fallback). A dependent child without own identity
+    *    borrows the first relationship part as its parent key (the DV
+    *    dependent-child pattern: a line exists only within its order).
+    *  - Consolidation: hubs group by bk_name; every relationship part
+    *    naming an in-plan hub adds its table as a load source
+    *    (dv_builder.rs:130-148 — one BusinessKey per name; the loader
+    *    inserts from each carrier with its own record_source).
+    *  - Links: a table with ≥2 foreign keys IS a relationship — all its
+    *    foreign keys are members (even ones whose hub deploys later: the
+    *    reference's 'Awaiting Link Implementation' status anticipates
+    *    exactly that), dependent children ride as degenerate columns. A
+    *    single foreign key links the table's own hub to its target only
+    *    when the target deploys in this build; otherwise the lone key is
+    *    DEMOTED to a descriptive attribute (a reference to an entity
+    *    outside the warehouse is context, not a modelable relationship).
+    *  - Satellites: accepted descriptors (+ demoted keys) in ordinal
+    *    order, sensitive ones split into `sat_<table>_sensitive`
+    *    (dv_builder.rs:403-439), orbiting the table's own hub — or the
+    *    table's link when it has no hub of its own.
+    */
+  def planFrom(allCols: Seq[ClassifiedCol], scope: Seq[String],
+               threshold: Double = Classify.Threshold): DvPlan = {
+    import Classify.{CatBk, CatDesc, CatSens}
+    def accepted(c: ClassifiedCol): Boolean = c.confidence.exists(_ >= threshold)
+    val byTable = allCols.groupBy(_.table)
+    val catalogTables = allCols.map(_.table).distinct.sorted
+    val homes: Map[String, String] = allCols
+      .filter(c => c.ordinal == 1 && c.category == CatBk && accepted(c) && c.uniqueness >= 0.999)
+      .groupBy(c => fkForm(c.column))
+      .map { case (form, cs) => form -> cs.map(_.table).min }
+    def name(c: ClassifiedCol): String = bkName(c.column, c.table, catalogTables)
+
+    val rtd = scope.filter(t => byTable.get(t).exists(cs => cs.nonEmpty && cs.forall(accepted)))
+
+    final case class TablePlan(ownHub: Option[(String, Seq[ClassifiedCol])],
+                               standalone: Seq[ClassifiedCol],
+                               rel: Seq[ClassifiedCol],
+                               link: Option[LinkSpec],
+                               sats: Seq[SatSpec])
+
+    val perTable: Seq[(String, TablePlan)] = rtd.map { t =>
+      val rows = byTable(t).sortBy(_.ordinal)
+      val bk = rows.filter(_.category == CatBk)
+      val own = bk.filter(c => homes.get(fkForm(c.column)).contains(t))
+      val fk = bk.filter(c => homes.get(fkForm(c.column)).exists(_ != t))
+      val unresolved = bk.filter(c => !homes.contains(fkForm(c.column)))
+      val dep = unresolved.filter(_.overridden)
+      val standalone = unresolved.filterNot(_.overridden)
+      val fkInScope = fk.filter(c => rtd.contains(homes(fkForm(c.column))))
+      val rel = if (fk.size >= 2) fk else fkInScope
+      val demoted = fk.filterNot(rel.contains)
+
+      val ownHub: Option[(String, Seq[ClassifiedCol])] =
+        if (own.nonEmpty) {
+          val parts = (own ++ dep).sortBy(_.ordinal)
+          Some((if (parts.size > 1) singular(t) else name(parts.head), parts))
+        } else if (dep.nonEmpty && rel.nonEmpty) {
+          Some((singular(t), (rel.head +: dep).sortBy(_.ordinal)))
+        } else None
+
+      val link: Option[LinkSpec] =
+        if (rel.size >= 2) {
+          val members = (if (own.nonEmpty) ownHub.map { case (n, ps) =>
+            LinkMember(n, ps.map(_.col)) }.toSeq else Nil) ++
+            rel.map(c => LinkMember(name(c), Seq(c.col)))
+          Some(LinkSpec(t, t, members, degenerate = dep.map(_.col)))
+        } else {
+          val others = rel ++ standalone
+          if (others.nonEmpty && own.nonEmpty)
+            Some(LinkSpec(t, t,
+              ownHub.map { case (n, ps) => LinkMember(n, ps.map(_.col)) }.toSeq ++
+                others.map(c => LinkMember(name(c), Seq(c.col)))))
+          else None
+        }
+
+      val desc = (rows.filter(c => c.category == CatDesc || c.category == CatSens) ++ demoted)
+        .sortBy(_.ordinal)
+      def satOf(cs: Seq[ClassifiedCol], sensitive: Boolean): Option[SatSpec] =
+        if (cs.isEmpty) None
+        else ownHub.map { case (hubName, parts) =>
+          SatSpec(if (sensitive) s"${t}_sensitive" else t, t, hubName,
+            parts.map(_.col), cs.map(_.col), sensitive)
+        }.orElse(link.map { l =>
+          SatSpec(if (sensitive) s"${t}_sensitive" else t, t, l.name,
+            l.members.flatMap(_.parts) ++ l.degenerate, cs.map(_.col), sensitive,
+            hkColumn = Some(l.hkName))
+        })
+      val sats = satOf(desc.filter(_.category != CatSens), sensitive = false).toSeq ++
+        satOf(desc.filter(_.category == CatSens), sensitive = true).toSeq
+
+      t -> TablePlan(ownHub, standalone, rel, link, sats)
+    }
+
+    // Hub consolidation by bk_name: home hubs first (their column names
+    // define the hub's _bk columns), then standalone carriers, then every
+    // relationship part naming the hub adds its table as a load source.
+    final case class HubAcc(spec: HubSpec, sources: Seq[HubSource])
+    val ordered = scala.collection.mutable.LinkedHashMap.empty[String, HubAcc]
+    perTable.foreach { case (t, tp) =>
+      tp.ownHub.foreach { case (n, parts) =>
+        val src = HubSource(t, parts.map(_.col))
+        ordered.get(n) match {
+          case None => ordered(n) = HubAcc(HubSpec(n, t, parts.map(_.col)), Seq(src))
+          case Some(acc) => ordered(n) = acc.copy(sources = acc.sources :+ src)
+        }
+      }
+    }
+    perTable.foreach { case (t, tp) =>
+      tp.standalone.foreach { c =>
+        val n = name(c)
+        val src = HubSource(t, Seq(c.col))
+        ordered.get(n) match {
+          case None => ordered(n) = HubAcc(HubSpec(n, t, Seq(c.col)), Seq(src))
+          case Some(acc) if acc.spec.bkParts.size == 1 =>
+            ordered(n) = acc.copy(sources = acc.sources :+ src)
+          case Some(_) => () // positional mismatch — cannot feed a composite hub
+        }
+      }
+    }
+    perTable.foreach { case (t, tp) =>
+      tp.rel.foreach { c =>
+        val n = name(c)
+        ordered.get(n).foreach { acc =>
+          if (acc.spec.bkParts.size == 1 && !acc.sources.exists(_.table == t))
+            ordered(n) = acc.copy(sources = acc.sources :+ HubSource(t, Seq(c.col)))
+        }
+      }
+    }
+
+    DvPlan(
+      hubs = ordered.values.map(a => DerivedHub(a.spec, a.sources)).toSeq,
+      sats = perTable.flatMap(_._2.sats),
+      links = perTable.flatMap(_._2.link))
+  }
+
+  /** Derive the plan from the LIVE classifier output — collect is bounded
+    * by the catalog's column count (metadata, not data; the same scale as
+    * the reference's transformer_responses table).
+    */
+  def planFromClassification(s: SparkSession, dir: String, scope: Seq[String],
+                             overrides: Classify.Overrides = Map.empty,
+                             threshold: Double = Classify.Threshold,
+                             classifier: Classifier = RulesClassifier): DvPlan = {
+    val classified = classifier.respond(Classify.catalogProfile(s, dir, overrides))
+      .select(col("table_name"), col("column_name"), col("ordinal"), col("data_type"),
+        col("category"), col("confidence"), col("ov_category").isNotNull.as("overridden"),
+        (col("n_distinct").cast("double") / col("n_rows")).as("uniqueness"))
+    val rows = classified.collect().toSeq.map { r =>
+      ClassifiedCol(
+        r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+        r.getAs[Int]("ordinal"), r.getAs[String]("data_type"),
+        r.getAs[String]("category"),
+        Option(r.getAs[java.lang.Double]("confidence")).map(_.doubleValue),
+        r.getAs[Boolean]("overridden"),
+        Option(r.getAs[java.lang.Double]("uniqueness")).map(_.doubleValue).getOrElse(0.0))
+    }
+    planFrom(rows, scope, threshold)
+  }
+
+  /** The dependent-child user context go() derives with: l_linenumber has
+    * no identity outside its parent order — update_context makes it a key
+    * part (the reference's update_context walkthrough,
+    * docs/sql_functions/update_context.md), and the planner's
+    * dependent-child rule folds it into the composite lineitem hub.
+    */
+  val goContext: Classify.Overrides = Map(
+    ("lineitem", "l_linenumber") -> ((Classify.CatBk, 0.85,
+      "User context: dependent-child line number - identifies a line only with its parent order key.")))
+
+  /** The demo build scope (the reference Act's included tables). */
+  val GoScope: Seq[String] = Seq("customer", "part", "orders", "lineitem")
+
   val hubCustomer = HubSpec("customer", "customer", Seq(Col("c_custkey", "bigint")))
   val hubPart = HubSpec("part", "part", Seq(Col("p_partkey", "bigint")))
   val hubOrder = HubSpec("order", "orders", Seq(Col("o_orderkey", "bigint")))
@@ -191,6 +420,30 @@ object DvPlanner {
       LinkMember("supplier", Seq(Col("l_suppkey", "bigint")))),
     degenerate = Seq(Col("l_linenumber", "int")))
 
+  // Oracle-expectation constants for the derived plan's remaining
+  // satellites — the production path DERIVES these from classification
+  // (planFromClassification); the constants exist so the DuckDB oracle can
+  // be generated without a live session, and DeriveSpec pins that the
+  // derivation reproduces them exactly.
+  val satPart = SatSpec("part", "part", "part",
+    bkParts = Seq(Col("p_partkey", "bigint")),
+    descriptors = Seq(Col("p_name", "varchar"), Col("p_brand", "varchar"),
+      Col("p_type", "varchar"), Col("p_size", "int"), Col("p_retailprice", "double")),
+    sensitive = false)
+
+  val satOrders = SatSpec("orders", "orders", "order",
+    bkParts = Seq(Col("o_orderkey", "bigint")),
+    descriptors = Seq(Col("o_orderstatus", "varchar"), Col("o_totalprice", "double"),
+      Col("o_orderdate", "timestamp"), Col("o_orderpriority", "varchar")),
+    sensitive = false)
+
+  val satLineitem = SatSpec("lineitem", "lineitem", "lineitem",
+    bkParts = Seq(Col("l_orderkey", "bigint"), Col("l_linenumber", "int")),
+    descriptors = Seq(Col("l_quantity", "double"), Col("l_extendedprice", "double"),
+      Col("l_discount", "double"), Col("l_tax", "double"), Col("l_returnflag", "varchar"),
+      Col("l_linestatus", "varchar"), Col("l_shipdate", "timestamp")),
+    sensitive = false)
+
   /** Link satellite: order attributes orbit the order-customer link. */
   val satLinkOrders = SatSpec("orders_link", "orders", "orders",
     bkParts = Seq(Col("o_orderkey", "bigint"), Col("o_custkey", "bigint")),
@@ -200,4 +453,14 @@ object DvPlanner {
     hkColumn = Some("link_orders_hk"))
 
   val hubs: Seq[HubSpec] = Seq(hubCustomer, hubPart, hubOrder, hubLineitem)
+
+  /** The hand-written specs above as a DvPlan (single-source hubs) — the
+    * PARITY REFERENCE the derived plan is checked against (dv_go_derived),
+    * and the seed plan for repo demos that build literal objects directly.
+    * The production path is planFromClassification.
+    */
+  val literalPlan: DvPlan = DvPlan(
+    hubs = hubs.map(h => DerivedHub(h, Seq(HubSource(h.sourceTable, h.bkParts)))),
+    sats = Seq(satCustomer, satCustomerSensitive),
+    links = Seq(linkOrders, linkLineitem))
 }

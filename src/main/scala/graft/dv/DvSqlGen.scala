@@ -31,6 +31,44 @@ object DvSqlGen {
        |ORDER BY ${spec.hkName}""".stripMargin
   }
 
+  /** Oracle twin of DvBuild.hubMultiFrom: the consolidated hub as chained
+    * per-source inserts — each later source keeps only keys no earlier
+    * source delivered (the reference's per-source WHERE hub_hk IS NULL
+    * loads against one hub, dv_loader.rs:166-199). `sources` mirror the
+    * Spark side: (table, key parts positionally matching the spec, WHERE).
+    */
+  def hubMultiSql(spec: HubSpec, sources: Seq[(String, Seq[Col], Option[String])],
+                  loadTs: String = LoadTs): String = {
+    val srcCtes = sources.zipWithIndex.map { case ((table, parts, where), i) =>
+      val sel = parts.zip(spec.bkParts).map { case (p, b) =>
+        s"${canonSql(p.name, p.typeName)} AS ${b.name}_bk"
+      }.mkString(", ")
+      val priorFilter =
+        if (i == 0) ""
+        else {
+          val bkCols = spec.bkParts.map(p => s"${p.name}_bk")
+          val prior = (0 until i).map(j => s"SELECT ${bkCols.mkString(", ")} FROM src$j").mkString(" UNION ALL ")
+          s"\n  WHERE (${bkCols.mkString(", ")}) NOT IN (SELECT * FROM ($prior))"
+        }
+      s"""src$i AS (
+         |  SELECT DISTINCT $sel, 'source.$table' AS record_source
+         |  FROM (SELECT * FROM $table${where.map(w => s" WHERE $w").getOrElse("")})$priorFilter
+         |)""".stripMargin
+    }
+    val hk = dvHashSql(spec.bkParts.map(p => s"${p.name}_bk"))
+    val bkList = spec.bkParts.map(p => s"${p.name}_bk").mkString(", ")
+    val union = sources.indices.map(i => s"SELECT * FROM src$i").mkString("\nUNION ALL\n")
+    s"""WITH ${srcCtes.mkString(",\n")},
+       |all_src AS ($union)
+       |${ghostSelect(spec, "-1")}
+       |UNION ALL
+       |${ghostSelect(spec, "-2")}
+       |UNION ALL
+       |SELECT $hk AS ${spec.hkName}, '$loadTs' AS load_ts, record_source, $bkList
+       |FROM all_src
+       |ORDER BY ${spec.hkName}""".stripMargin
+  }
+
   def satSql(spec: SatSpec, loadTs: String = LoadTs): String = {
     val hk = dvHashSql(spec.bkParts.map(p => canonSql(p.name, p.typeName)))
     val hd = dvHashSql(spec.descriptors.map(d => canonSql(d.name, d.typeName)))
@@ -242,17 +280,14 @@ object DvSqlGen {
        |);""".stripMargin
   }
 
-  /** All DDL for the standard plan — written by DvGo alongside the data. */
-  /** CREATE TABLE DDL for the vault, optionally scoped to the objects a
+  /** CREATE TABLE DDL for a vault plan, optionally scoped to the objects a
     * build actually materializes (go() passes its include filter so the
     * registered dv_schema.sql never advertises unbuilt objects).
     */
-  def allDdl(include: String => Boolean = _ => true): String =
-    (DvPlanner.hubs.filter(h => include(s"hub_${h.name}")).map(hubDdl) ++
-      Seq(DvPlanner.satCustomer, DvPlanner.satCustomerSensitive, DvPlanner.satLinkOrders)
-        .filter(t => include(s"sat_${t.name}")).map(satDdl) ++
-      Seq(DvPlanner.linkOrders, DvPlanner.linkLineitem)
-        .filter(l => include(s"link_${l.name}")).map(linkDdl)).mkString("\n\n")
+  def allDdl(plan: DvPlan, include: String => Boolean = _ => true): String =
+    (plan.hubs.map(_.spec).filter(h => include(s"hub_${h.name}")).map(hubDdl) ++
+      plan.sats.filter(t => include(s"sat_${t.name}")).map(satDdl) ++
+      plan.links.filter(l => include(s"link_${l.name}")).map(linkDdl)).mkString("\n\n")
 
   /** Source catalog oracle: constants from the static schema registry. */
   def catalogSql: String = {

@@ -134,6 +134,28 @@ object DataVault extends QueryModule {
        |FROM orders GROUP BY o_custkey
        |ORDER BY hub_customer_hk""".stripMargin
 
+  /** Consolidated hub load (the reference's bk_name hub consolidation,
+    * dv_builder.rs:130-148): orders transactions arrive BEFORE the customer
+    * master backfill, so one hub_customer carries keys from both sources —
+    * early-order customers with record_source 'source.orders', the
+    * remainder from 'source.customer'. The cutoff slices a real mix at
+    * every SF (~90% / ~10%).
+    */
+  private val ConsolidatedCutoff = "1996-07-01"
+
+  private def hubConsolidated(s: SparkSession, dir: String): DataFrame = {
+    val earlyOrders = Tables.load(s, dir, "orders")
+      .filter(to_date(col("o_orderdate")) < lit(ConsolidatedCutoff).cast("date"))
+    DvBuild.hubMultiFrom(s, hubCustomer, Seq(
+      ("orders", earlyOrders, Seq(Col("o_custkey", "bigint"))),
+      ("customer", Tables.load(s, dir, "customer"), Seq(Col("c_custkey", "bigint")))))
+  }
+
+  private val hubConsolidatedSql = DvSqlGen.hubMultiSql(hubCustomer, Seq(
+    ("orders", Seq(Col("o_custkey", "bigint")),
+      Some(s"CAST(o_orderdate AS DATE) < DATE '$ConsolidatedCutoff'")),
+    ("customer", Seq(Col("c_custkey", "bigint")), None)))
+
   private def hashProbe(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     cust.select(
@@ -228,6 +250,13 @@ object DataVault extends QueryModule {
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),
+    // Derived-plan parity: the plan go() builds comes from classification
+    // (planFromClassification), and this op PROVES it reproduces every
+    // hand-written object — DataFrame-compared flags hash-checked TRUE.
+    QueryDef("dv_go_derived", (s, d) => DvGo.goDerivedParity(s, d), Some(DvGo.goDerivedSql)),
+    // Business-key consolidation: two tables carrying the same bk_name load
+    // ONE hub, each with its own record_source.
+    QueryDef("dv_hub_consolidated", hubConsolidated, Some(hubConsolidatedSql)),
     // Build-history repo: two sequential go() calls, queryable per-build
     // rows (the reference's auto_dw.build_call, lib.rs:29-35).
     QueryDef("dv_build_history", (s, d) => DvGo.buildHistory(s, d), Some(DvGo.buildHistorySql)),

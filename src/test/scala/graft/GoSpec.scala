@@ -25,7 +25,9 @@ class GoSpec extends SparkSpec {
   test("go() materializes the vault and registers the schema") {
     val out = Files.createTempDirectory("graft_go_test").toString
     val res = DvGo.go(spark, sfDir, out)
-    assert(res.objects.size == 8)
+    // the default plan is DERIVED from classification: the 8 literal
+    // objects plus the sat_part / sat_orders / sat_lineitem satellites
+    assert(res.objects.size == 11)
     assert(Files.exists(Paths.get(s"$out/dv_schema.json")))
     val hub = spark.read.parquet(s"$out/hub_customer")
     assert(hub.filter(col("record_source") === "SYSTEM").count() == 2)
@@ -68,7 +70,7 @@ class GoSpec extends SparkSpec {
 
   test("dv_schema.json round-trips to the typed specs") {
     val out = Files.createTempDirectory("graft_schema_rt").toString
-    Files.writeString(Paths.get(s"$out/dv_schema.json"), DvGo.planJson("rt"))
+    Files.writeString(Paths.get(s"$out/dv_schema.json"), DvGo.planJson(DvPlanner.literalPlan, "rt"))
     val ref = DvLoader.readSchema(spark, out)
     assert(ref.hubs.toSet == DvPlanner.hubs.toSet)
     assert(ref.sats.map(t => (t.name, t.sourceTable, t.bkParts, t.descriptors)).toSet ==
@@ -90,7 +92,7 @@ class GoSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$repo/sat_customer")
     DvBuild.link(spark, sfDir, DvPlanner.linkOrders)
       .write.mode("overwrite").parquet(s"$repo/link_orders")
-    Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("idem"))
+    Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson(DvPlanner.literalPlan, "idem"))
     val again = DvLoader.incrementalLoad(spark, sfDir, repo,
       scope = Set("hub_customer", "sat_customer", "link_orders")).toMap
     assert(again.keySet == Set("hub_customer", "sat_customer", "link_orders"))
@@ -208,7 +210,7 @@ class GoSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft_stream_repo").toString
     val repo = s"$tmp/repo"
     Files.createDirectories(Paths.get(repo))
-    Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson("stream"))
+    Files.writeString(Paths.get(s"$repo/dv_schema.json"), DvGo.planJson(DvPlanner.literalPlan, "stream"))
     // customer rows arrive as two file chunks on a streaming source
     val cust = Tables.load(spark, sfDir, "customer")
     val src = s"$tmp/incoming"
