@@ -62,8 +62,19 @@ object Reclassify {
       .select(respCols.map(col): _*)
       .withColumn("classified_at", lit(T1))
     // fresh responses ONLY for drifted columns — the same classifier seam
-    // the background worker drives; prior responses stay untouched
-    val fresh = classifier.respond(Classify.catalogProfile(s, dir))
+    // the background worker drives; prior responses stay untouched. The
+    // re-scored profile carries the CURRENT catalog types (and the
+    // type-derived signals recomputed from them), so the classifier
+    // actually sees the drift it is re-scoring — with the name-signal
+    // rules the drifted c_acctbal still lands on Descriptor - Sensitive,
+    // which is what the static oracle pins.
+    val driftedProfile = Classify.catalogProfile(s, dir)
+      .drop("data_type")
+      .join(current.select("table_name", "column_name", "data_type"),
+        Seq("table_name", "column_name"))
+      .withColumn("complex_t", !col("data_type").isin(SourceSchemas.atomicTypes.toSeq: _*))
+      .withColumn("uniq_ok_type", col("data_type").isin("bigint", "int", "varchar"))
+    val fresh = classifier.respond(driftedProfile)
       .join(drifted, Seq("table_name", "column_name"), "left_semi")
       .select(respCols.map(col): _*)
       .withColumn("classified_at", lit(T2))

@@ -26,6 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class HyperplaneSigs(child: Expression, coefs: Seq[Seq[Double]], rows: Int)
     extends UnaryExpression {
 
+  // Fail at construction, not with garbage signatures: trailing hyperplanes
+  // would be silently dropped by the bands = coefs.length / rows integer
+  // division, and a rows > 64 signature cannot fit the Long sig word
+  // (1L << r wraps past 63).
+  require(rows > 0 && rows <= 64,
+    s"$prettyName: rows must be in [1, 64], got $rows")
+  require(coefs.nonEmpty && coefs.length % rows == 0,
+    s"$prettyName: ${coefs.length} hyperplanes do not divide into bands of $rows rows")
+
   // Seq field => structural case-class equality, so two separately built
   // but identical kernels canonicalize/semanticEqual and Catalyst can
   // reuse subexpressions and exchanges; the primitive matrix below is what

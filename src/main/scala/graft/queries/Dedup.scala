@@ -112,13 +112,29 @@ object Dedup extends QueryModule {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------- dedup_simhash
-  // 60-bit simhash over shingle hashes; 15-bit chunk blocking guarantees
-  // recall for hamming <= 3 (pigeonhole over 4 chunks).
+  // 60-bit simhash over shingle hashes; blocking key = a PAIR of 10-bit
+  // chunks (C(6,2) = 15 combos, 20-bit key each). Pigeonhole: hamming <= 3
+  // corrupts at most 3 of the 6 chunks, leaving >= 3 clean — so at least
+  // one clean PAIR exists and recall is guaranteed, exactly like the old
+  // single-chunk scheme. The win is the key space: 15 x 2^20 ≈ 15.7M keys
+  // vs the old 4 x 2^15 = 131k — at 10^9+ docs a fixed 131k-bucket space
+  // saturates (~30k docs/bucket -> O(n²/2^15) within-bucket pairs); the
+  // pair keys keep expected occupancy at n/2^20 per combo, 480x smaller,
+  // at the cost of 15 instead of 4 rows per doc in the blocking shuffle.
   private val SimBits = 60
-  private val ChunkBits = 15
+  private val ChunkBits = 10
+  private val NumChunks = SimBits / ChunkBits
+  private val ChunkMask = (1 << ChunkBits) - 1
   private val MaxHamming = 3
+  /** The 15 chunk pairs, as (combo id, lo chunk, hi chunk). */
+  private val ChunkCombos: Seq[(Int, Int, Int)] = (for {
+    i <- 0 until NumChunks; j <- i + 1 until NumChunks
+  } yield (i, j)).zipWithIndex.map { case ((i, j), k) => (k, i, j) }
 
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sig, c, ck) blocking rows — split out so ScaleSpec can audit
+    * per-bucket occupancy directly.
+    */
+  private[graft] def simhashKeyed(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val h = sh.select(col("doc_id"), md5Long64(col("shingle")).as("h60"))
     // One shuffle with 60 codegen'd partial sums instead of a 60x bit explode.
@@ -129,10 +145,16 @@ object Dedup extends QueryModule {
       .map(j => s"(case when s_$j > 0 then cast(${1L << j} as bigint) else cast(0 as bigint) end)")
       .mkString(" + ")
     val sig = sums.select(col("doc_id"), expr(sigExpr).as("sig"))
-    val chunks = s.range(0, SimBits / ChunkBits).select(col("id").as("c"))
-    val keyed = sig.crossJoin(broadcast(chunks))
-      .select(col("doc_id"), col("sig"), col("c"),
-        expr(s"shiftright(sig, cast($ChunkBits * c as int)) & ${(1 << ChunkBits) - 1}").as("ck"))
+    // 15 (combo, 20-bit key) rows per doc, generated scan-locally
+    val keyedExpr = ChunkCombos.map { case (k, i, j) =>
+      s"$k, (shiftright(sig, ${ChunkBits * i}) & $ChunkMask) * ${1 << ChunkBits} + (shiftright(sig, ${ChunkBits * j}) & $ChunkMask)"
+    }.mkString(", ")
+    sig.select(col("doc_id"), col("sig"),
+      expr(s"stack(${ChunkCombos.size}, $keyedExpr)").as(Seq("c", "ck")))
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val keyed = simhashKeyed(s, dir)
     val pairs = keyed.as("a")
       .join(keyed.as("b"), col("a.c") === col("b.c") && col("a.ck") === col("b.ck") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -146,7 +168,8 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simhashSql =
+  private val simhashSql = {
+    val combosRows = ChunkCombos.map { case (k, i, j) => s"($k, $i, $j)" }.mkString(", ")
     s"""WITH sh AS (
        |$shinglesDuck
        |), h AS (
@@ -160,10 +183,11 @@ object Dedup extends QueryModule {
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
        |  FROM contrib GROUP BY doc_id),
-       |chunks AS (SELECT unnest(generate_series(0, ${SimBits / ChunkBits - 1})) AS c),
+       |combos(c, i, j) AS (VALUES $combosRows),
        |keyed AS (
-       |  SELECT doc_id, sig, c, (sig >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1} AS ck
-       |  FROM sig CROSS JOIN chunks),
+       |  SELECT doc_id, sig, c,
+       |         ((sig >> ($ChunkBits * i)) & $ChunkMask) * ${1 << ChunkBits} + ((sig >> ($ChunkBits * j)) & $ChunkMask) AS ck
+       |  FROM sig CROSS JOIN combos),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM keyed a JOIN keyed b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
@@ -171,6 +195,7 @@ object Dedup extends QueryModule {
        |FROM pairs
        |WHERE bit_count(xor(sig_a, sig_b)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ----------------------------------------------- sim_ngram_jaccard
   // Word-bigram Jaccard via a rare-bigram inverted index (df cap bounds
@@ -247,10 +272,13 @@ object Dedup extends QueryModule {
   // starts labeled with itself; each round a node takes the min of its own
   // and its neighbors' labels — one shuffle per round on the node id,
   // converging in O(cluster diameter) rounds (near-dup clusters are tiny;
-  // the O(log n) large-star/small-star variant is the swap-in if a
-  // pathological chain ever appears at 100 TB). The loop is driver-side
-  // over ITERATIONS, never over rows.
+  // if a pathological chain ever appears — a crawler loop at 100 TB — the
+  // loop switches to pointer-jumping after JumpAfter rounds: each jump
+  // rewrites lbl <- lbl(lbl), doubling the propagated distance per round,
+  // so an L-node chain converges in JumpAfter + O(log L) rounds instead
+  // of O(L)). The loop is driver-side over ITERATIONS, never over rows.
   private val MaxCcIters = 20
+  private val JumpAfter = 8
 
   /** Converged (id, lbl) component labels over the minhash pair graph —
     * memoized + cached per (session, sf-dir) like the shingle set: the
@@ -265,8 +293,8 @@ object Dedup extends QueryModule {
     * frame — the survivorship kernel shared by the text (minhash) and
     * embedding near-dup clusterers. Memoized per (session, tag, corpus).
     */
-  private[queries] def ccLabelsOver(s: SparkSession, dir: String, tag: String,
-                                    pairs: => DataFrame): DataFrame =
+  private[graft] def ccLabelsOver(s: SparkSession, dir: String, tag: String,
+                                  pairs: => DataFrame): DataFrame =
     SessionCache.memo(s, tag, dir) {
       val Seq(aCol, bCol) = pairs.columns.toSeq
       // Symmetrize with one explode instead of a self-union: a union would
@@ -296,8 +324,23 @@ object Dedup extends QueryModule {
         // embedding pair graph). Checkpointing truncates the lineage to
         // the materialized result each round, the standard shape for
         // iterative algorithms on Spark.
-        val next = labels.select("id", "lbl").union(viaNbr)
-          .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+        val propagated = labels.select("id", "lbl").union(viaNbr)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+        // Past JumpAfter rounds the graph has a longer diameter than any
+        // near-dup cluster should: add a pointer-jumping step, lbl <-
+        // lbl(lbl). Labels are node ids, so every lbl resolves in the
+        // label table itself (left join for the fixpoint rows where lbl =
+        // its own component min already). min-monotone, one extra hash
+        // shuffle per round, distance doubles per round.
+        val stepped =
+          if (iters < JumpAfter) propagated
+          else {
+            val p = propagated.localCheckpoint(true)
+            val lookup = p.select(col("id").as("p_id"), col("lbl").as("p_lbl"))
+            p.join(lookup, col("lbl") === col("p_id"), "left_outer")
+              .select(col("id"), coalesce(col("p_lbl"), col("lbl")).as("lbl"))
+          }
+        val next = stepped.localCheckpoint(true)
         val cur = lblSum(next) // labels only ever decrease: equal sum = fixpoint
         labels.unpersist()
         labels = next
@@ -307,9 +350,9 @@ object Dedup extends QueryModule {
       }
       // Fail loudly rather than silently emitting non-minimal labels: the
       // oracle computes the exact closure, so an unconverged result would
-      // surface as an undiagnosable hash mismatch. Near-dup clusters have
-      // tiny diameters; hitting the cap means the pair graph is
-      // pathological (fix: pointer-jumping / large-star rounds, O(log n)).
+      // surface as an undiagnosable hash mismatch. With pointer jumping
+      // the cap is reached only after JumpAfter + 2^(MaxCcIters-JumpAfter)
+      // propagated distance — a graph that still fails is malformed input.
       require(converged, s"$tag: min-label propagation did not converge in $MaxCcIters rounds")
       // materialize the labels so the edge cache can be released now
       labels.count()

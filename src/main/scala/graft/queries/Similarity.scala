@@ -203,9 +203,15 @@ object Similarity extends QueryModule {
     */
   private def embedPairsTable(s: SparkSession, dir: String): DataFrame =
     SessionCache.memo(s, "embed_pairs_table", dir) {
-      val path = java.nio.file.Files.createTempDirectory("graft_embed_pairs_").toString
+      // materialize under the session's warehouse dir (shared storage on a
+      // cluster — HDFS/S3 — so every executor reads the same table; a
+      // driver-local java.nio temp dir would only work in local mode),
+      // cleaned up through the Hadoop FS API for the same reason
+      val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_embed_pairs_" +
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString.take(8)
       SessionCache.onSessionEnd(s, s"embed_pairs_dir_$path") {
-        graft.dv.DvLoader.deletePath(java.nio.file.Paths.get(path))
+        val hp = new org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       }
       embedDedup(s, dir).select("vec_a", "vec_b")
         .write.mode("overwrite").parquet(path)
@@ -252,10 +258,12 @@ object Similarity extends QueryModule {
           col("a.vec_id") < col("b.vec_id"))
       .filter(firstMatch)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // no broadcast hint on the corpus-scale vector side — AQE broadcasts
+    // at oracle geometry; bucketed hash join is the 100 TB path
     val vecs = sigs.select(col("vec_id"), col("embedding"))
     cand
-      .join(broadcast(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), Seq("vec_a"))
-      .join(broadcast(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), Seq("vec_b"))
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), graftCosine(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= NearDupCosine)
       .orderBy("vec_a", "vec_b")
@@ -413,11 +421,14 @@ object Similarity extends QueryModule {
       .groupBy("vec_a", "vec_b")
       .agg(min("band").as("first_band"))
     // verification re-attaches embeddings to the (sub-quadratic) candidate
-    // set only — broadcast at oracle geometry, bucketed hash join at scale
+    // set only. NO broadcast hint: the vector table is the corpus-scale
+    // side, so a hard-coded hint would force collecting it to the driver
+    // at 100 TB — AQE picks broadcast at oracle geometry on its own, and
+    // the bucketed hash join is the scale path.
     val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
     cand
-      .join(broadcast(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), Seq("vec_a"))
-      .join(broadcast(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), Seq("vec_b"))
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .select(col("first_band"), graftCosine(col("ea"), col("eb")).as("cosine"))
       .groupBy(col("first_band").as("band"))
       .agg(count(lit(1)).as("n_candidates"),

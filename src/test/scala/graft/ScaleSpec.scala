@@ -35,17 +35,61 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in:\n$plan")
   }
 
-  test("new-op plans stay equi-join only (no cartesian / nested-loop)") {
-    // the pair-generating and signal-joining operators added in round 2
-    // must never degrade to CartesianProduct or BroadcastNestedLoopJoin
-    Seq("dedup_cluster", "decontaminate", "mm_dedup", "text_lm_score",
-      "pipeline_curate", "q21_waiting_supplier", "events_anomaly",
-      "dedup_embed_cosine_prod", "range_join_events", "dedup_cluster_embed").foreach { name =>
+  test("EVERY registered op's plan is free of cartesian/nested-loop joins") {
+    // The full sweep: no operator may degrade to CartesianProduct, and
+    // BroadcastNestedLoopJoin is allowed ONLY on the explicit exemption
+    // list — ops whose broadcast side is a CONSTANT query set (a bounded
+    // linear scan by construction, the exact ground truth the ANN recall
+    // specs pin against), never a data-sized side.
+    val bnljExempt = Set(
+      "knn_cosine",       // constant 50-query broadcast, vec_id =!= query_id (ground truth)
+      "ann_cosine_int8",  // same constant query set over the int8 corpus
+      "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms
+      "q22_idle_customers" // 1-row aggregate threshold broadcast (exact-decimal avg)
+    )
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested loop:\n$plan")
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljExempt(name))
+        Seq(s"$name: BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // the exemption is real, not vestigial: knn_cosine IS the constant-
+    // broadcast nested-loop scan (vec_id =!= query_id has no equi key)
+    val knn = SparkEntry.queries("knn_cosine")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(knn.contains("BroadcastNestedLoopJoin"), "knn_cosine exemption is stale")
+  }
+
+  test("simhash pair-chunk blocking: 15 keys per doc, bounded bucket occupancy") {
+    val keyed = graft.queries.Dedup.simhashKeyed(spark, sfDir).cache()
+    try {
+      // every doc emits exactly C(6,2) = 15 blocking rows
+      val perDoc = keyed.groupBy("doc_id").count().select("count").distinct().collect()
+      assert(perDoc.map(_.getLong(0)).toSeq == Seq(15L))
+      // key space is 15 x 2^20 — occupancy stays n/2^20 per combo, so the
+      // biggest bucket at this SF must be tiny (true near-dups share all
+      // chunks, so a bucket tracks true-dup density, not corpus size)
+      val maxBucket = keyed.groupBy("c", "ck").count()
+        .agg(max("count")).head.getLong(0)
+      val docs = keyed.select("doc_id").distinct().count()
+      assert(maxBucket <= math.max(4L, docs / 16),
+        s"bucket occupancy $maxBucket too high for $docs docs")
+    } finally keyed.unpersist()
+  }
+
+  test("CC kernel converges on a 30-node chain via pointer jumping") {
+    import spark.implicits._
+    // a 30-diameter chain needs 29 plain min-label rounds — past the
+    // MaxCcIters cap; the pointer-jumping fallback (after round 8) doubles
+    // propagated distance per round and must converge well inside the cap
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = graft.queries.Dedup.ccLabelsOver(spark, sfDir, "cc_chain_test", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 30)
+    assert(labels.values.forall(_ == 0L), s"non-minimal labels: $labels")
   }
 
   test("saltedSum equals the direct aggregation") {
