@@ -38,20 +38,28 @@ object Classify {
     def needsUniq: Boolean = nameBk || (uniqOkType && !nameSens && !nameLabel && !complexT)
   }
 
-  /** Static name signals for every source column (shared by the Spark path
-    * and the SQL generator, so both sides bake in identical flags).
+  /** Name signals for an arbitrary table schema — the rule set is a pure
+    * function of (names, types), so any newly arriving schema (a streaming
+    * re-scan, a landing-zone table) classifies with no registry entry.
     */
-  val signals: Seq[Signal] = SourceSchemas.tables.flatMap { case (t, cols) =>
+  def signalsFor(schema: String, table: String, cols: Seq[Col]): Seq[Signal] = {
     val partyTable = cols.exists(_.name.matches(".*acctbal$"))
     cols.zipWithIndex.map { case (c, i) =>
       Signal(
-        schema = SourceSchemas.schemaOf(t), table = t, column = c, ordinal = i + 1,
+        schema = schema, table = table, column = c, ordinal = i + 1,
         nameBk = c.name.matches(".*(key|id)$"),
         nameSens = partyTable && c.name.matches(".*(name|acctbal)$"),
         nameLabel = c.name.matches(".*name$|^ts$|.*(date|time|_at)$"),
         complexT = SourceSchemas.isComplex(c),
         uniqOkType = Set("bigint", "int", "varchar").contains(c.typeName))
     }
+  }
+
+  /** Static name signals for every source column (shared by the Spark path
+    * and the SQL generator, so both sides bake in identical flags).
+    */
+  val signals: Seq[Signal] = SourceSchemas.tables.flatMap { case (t, cols) =>
+    signalsFor(SourceSchemas.schemaOf(t), t, cols)
   }
 
   // Rule constants (category, confidence, reason) — single source of truth.

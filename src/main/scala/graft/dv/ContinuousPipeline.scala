@@ -1,0 +1,163 @@
+package graft.dv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's background-worker loop composed end to end
+  * (controller/bgw_init.rs registers the workers; bgw_source_objects.rs
+  * re-scans the catalog into SCD2 source_objects; bgw_transformer_client.rs
+  * classifies columns without a current response; dv_loader.rs loads the
+  * vault) — here as ONE micro-batch hook: every arriving batch of source
+  * rows re-scans its schema, SCD2-merges the catalog, re-classifies ONLY
+  * the columns the merge opened, and runs the schema-driven incremental
+  * vault load. No manual steps between "source changed" and "vault rows
+  * landed".
+  *
+  * Schema drift reaches a running pipeline as a REDEPLOYED query (a Spark
+  * streaming query's source schema is fixed at start), so the hook takes
+  * whatever schema each batch carries; [[sink]] wires it to a live
+  * foreachBatch trigger for the steady-state case.
+  *
+  * Catalog and response state are parquet directories of METADATA rows
+  * (one per source column — the auto_dw.source_objects /
+  * transformer_responses scale), rewritten via a driver-side materialize
+  * like the reference's transactional UPDATEs; the vault data itself only
+  * ever APPENDS through the bucketed-aware loader.
+  */
+object ContinuousPipeline {
+
+  final case class State(catalogDir: String, responsesDir: String, repoDir: String,
+                         classifier: Classifier = RulesClassifier)
+
+  /** Catalog snapshot of one batch's live schema. */
+  def schemaSnapshot(s: SparkSession, table: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    batch.schema.fields.zipWithIndex.map { case (f, i) =>
+      (table, f.name, i + 1, Catalog.typeName(f.dataType))
+    }.toSeq.toDF("table_name", "column_name", "ordinal", "data_type")
+  }
+
+  /** catalogProfile-shaped frame computed from the LIVE batch (one agg
+    * pass: distinct/non-null counts), with name signals derived from the
+    * arriving schema — classification needs no registry entry for the
+    * table, the same property the plan derivation has.
+    */
+  def profileFromBatch(s: SparkSession, table: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val cols = batch.schema.fields.map(f => Col(f.name, Catalog.typeName(f.dataType))).toSeq
+    val sigs = Classify.signalsFor("source", table, cols)
+    val atomic = cols.filterNot(SourceSchemas.isComplex)
+    val aggs = atomic.flatMap { c =>
+      Seq(countDistinct(col(c.name)).as(s"nd_${c.name}"), count(col(c.name)).as(s"nn_${c.name}"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = batch.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${atomic.size}, " +
+      atomic.map(c => s"'${c.name}', nd_${c.name}, nn_${c.name}").mkString(", ") +
+      ") as (column_name, n_distinct, n_nonnull)"
+    val stats = one.select(lit(table).as("table_name"), col("n_rows"), expr(stackExpr))
+    val complexRows = cols.filter(SourceSchemas.isComplex).map(c =>
+      one.select(lit(table).as("table_name"), col("n_rows"),
+        lit(c.name).as("column_name"), lit(0L).as("n_distinct"), lit(0L).as("n_nonnull")))
+    val allStats = complexRows.foldLeft(stats)(_ unionByName _)
+    val sigDf = sigs.map(g =>
+      (g.schema, g.table, g.column.name, g.ordinal, g.column.typeName,
+        g.nameBk, g.nameSens, g.nameLabel, g.complexT, g.uniqOkType,
+        None: Option[String], None: Option[Double], None: Option[String]))
+      .toDF("schema_name", "table_name", "column_name", "ordinal", "data_type",
+        "name_bk", "name_sens", "name_label", "complex_t", "uniq_ok_type",
+        "ov_category", "ov_confidence", "ov_reason")
+    allStats.join(sigDf, Seq("table_name", "column_name"))
+  }
+
+  private def exists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Materialize metadata rows driver-side, then rewrite the directory —
+    * the state is read and replaced in one hook, and it is column-count
+    * sized (never data sized).
+    */
+  private def rewrite(s: SparkSession, df: DataFrame, dir: String): Unit = {
+    val local = s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    local.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Conform a batch to the vault's declared column types (the repo is
+    * the contract: a drifted upstream export must not rewrite the vault's
+    * schema — values cast into the declared types, and the (hk, hd)
+    * anti-join then dedups re-deliveries exactly as before the drift).
+    */
+  private def conformToRepo(s: SparkSession, batch: DataFrame, table: String,
+                            repoDir: String): DataFrame = {
+    val schema = DvLoader.readSchema(s, repoDir)
+    val declared: Map[String, String] =
+      (schema.hubs.filter(_.sourceTable == table).flatMap(_.bkParts) ++
+        schema.sats.filter(_.sourceTable == table).flatMap(t => t.bkParts ++ t.descriptors) ++
+        schema.links.filter(_.sourceTable == table)
+          .flatMap(l => l.members.flatMap(_.parts) ++ l.degenerate))
+        .map(c => c.name -> c.typeName).toMap
+    val sparkType = Map("bigint" -> "bigint", "int" -> "int", "double" -> "double",
+      "varchar" -> "string", "timestamp" -> "timestamp")
+    batch.select(batch.columns.map { c =>
+      declared.get(c).flatMap(sparkType.get)
+        .map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }: _*)
+  }
+
+  /** One loop turn: re-scan → SCD2 merge → classify opened columns →
+    * schema-driven incremental load. `scanTs` stamps the catalog/response
+    * versions (injected — wall-clock is not reproducible); `loadTs` stamps
+    * the vault rows.
+    */
+  def onBatch(s: SparkSession, st: State, table: String, batch: DataFrame,
+              scanTs: String, loadTs: String): Unit = {
+    // 1. catalog re-scan + SCD2 merge (bgw_source_objects.rs)
+    val snap = schemaSnapshot(s, table, batch)
+    rewrite(s,
+      if (exists(s, st.catalogDir))
+        CatalogScd2.merge(s.read.parquet(st.catalogDir), snap, scanTs)
+      else CatalogScd2.init(snap, scanTs),
+      st.catalogDir)
+    // re-read: every later step must see the REWRITTEN state, not a lazy
+    // plan over the files the rewrite just replaced
+    val merged = s.read.parquet(st.catalogDir)
+    // 2. classify ONLY the columns this scan opened (new or drifted) —
+    //    prior responses carry forward untouched (bgw_transformer_client
+    //    processes columns without a current response)
+    val opened = merged
+      .filter(col("current_flag") === "Y" && col("deleted_flag") === "N" &&
+        col("valid_from") === scanTs)
+      .select("table_name", "column_name")
+    val respCols = Seq("table_name", "column_name", "category", "confidence", "reason")
+    val fresh = st.classifier.respond(profileFromBatch(s, table, batch))
+      .join(opened, Seq("table_name", "column_name"), "left_semi")
+      .select(respCols.map(col): _*)
+      .withColumn("classified_at", lit(scanTs))
+    val responses =
+      if (exists(s, st.responsesDir))
+        s.read.parquet(st.responsesDir)
+          .join(opened, Seq("table_name", "column_name"), "left_anti")
+          .unionByName(fresh)
+      else fresh
+    rewrite(s, responses, st.responsesDir)
+    // 3. schema-driven incremental vault load, batch conformed to the
+    //    vault's declared types (dv_loader.rs)
+    DvLoader.streamTableLoadBatch(s, conformToRepo(s, batch, table, st.repoDir),
+      table, st.repoDir, loadTs)
+  }
+
+  /** Wire the loop onto a live streaming source — the bgw_init analogue:
+    * a continuously-running trigger that per micro-batch re-scans,
+    * re-classifies and loads. Batch ids stamp the versions, so replays of
+    * a failed batch are idempotent end to end (same scanTs → same merge;
+    * the vault load anti-joins).
+    */
+  def sink(rows: DataFrame, table: String, st: State, checkpoint: String) =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batch.sparkSession, st, table, batch,
+          scanTs = f"2024-01-01 00:00:${batchId}%02d", loadTs = s"batch_$batchId")
+      }
+}
