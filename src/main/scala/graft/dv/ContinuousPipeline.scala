@@ -47,8 +47,15 @@ object ContinuousPipeline {
     val cols = batch.schema.fields.map(f => Col(f.name, Catalog.typeName(f.dataType))).toSeq
     val sigs = Classify.signalsFor("source", table, cols)
     val atomic = cols.filterNot(SourceSchemas.isComplex)
+    // exact distinct counting only where a rule will consult it (the
+    // static profiler's needsUniq gate) — this runs on the per-batch hot
+    // path, and name-signal columns never read their uniqueness
+    def needsUniq(c: Col) = sigs.find(_.column.name == c.name).exists(_.needsUniq)
     val aggs = atomic.flatMap { c =>
-      Seq(countDistinct(col(c.name)).as(s"nd_${c.name}"), count(col(c.name)).as(s"nn_${c.name}"))
+      val nd =
+        if (needsUniq(c)) countDistinct(col(c.name)).as(s"nd_${c.name}")
+        else lit(0L).as(s"nd_${c.name}")
+      Seq(nd, count(col(c.name)).as(s"nn_${c.name}"))
     } :+ count(lit(1)).as("n_rows")
     val one = batch.agg(aggs.head, aggs.tail: _*)
     val stackExpr = s"stack(${atomic.size}, " +
@@ -114,19 +121,28 @@ object ContinuousPipeline {
               scanTs: String, loadTs: String): Unit = {
     // 1. catalog re-scan + SCD2 merge (bgw_source_objects.rs)
     val snap = schemaSnapshot(s, table, batch)
-    rewrite(s,
-      if (exists(s, st.catalogDir))
-        CatalogScd2.merge(s.read.parquet(st.catalogDir), snap, scanTs)
-      else CatalogScd2.init(snap, scanTs),
-      st.catalogDir)
+    // the catalog is SHARED across tables (auto_dw.source_objects is
+    // global): merge this table's slice only — a whole-catalog merge
+    // against a one-table snapshot would flag every OTHER table's columns
+    // as vanished
+    val mergedState =
+      if (exists(s, st.catalogDir)) {
+        val prev = s.read.parquet(st.catalogDir)
+        CatalogScd2.merge(prev.filter(col("table_name") === table), snap, scanTs)
+          .unionByName(prev.filter(col("table_name") =!= table))
+      } else CatalogScd2.init(snap, scanTs)
+    rewrite(s, mergedState, st.catalogDir)
     // re-read: every later step must see the REWRITTEN state, not a lazy
     // plan over the files the rewrite just replaced
     val merged = s.read.parquet(st.catalogDir)
     // 2. classify ONLY the columns this scan opened (new or drifted) —
     //    prior responses carry forward untouched (bgw_transformer_client
-    //    processes columns without a current response)
+    //    processes columns without a current response). Scoped to THIS
+    //    table: two sinks can stamp the same scanTs, and another table's
+    //    same-stamp rows must not be anti-joined out of the responses.
     val opened = merged
-      .filter(col("current_flag") === "Y" && col("deleted_flag") === "N" &&
+      .filter(col("table_name") === table &&
+        col("current_flag") === "Y" && col("deleted_flag") === "N" &&
         col("valid_from") === scanTs)
       .select("table_name", "column_name")
     val respCols = Seq("table_name", "column_name", "category", "confidence", "reason")
@@ -153,11 +169,17 @@ object ContinuousPipeline {
     * a failed batch are idempotent end to end (same scanTs → same merge;
     * the vault load anti-joins).
     */
+  private val ScanFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
   def sink(rows: DataFrame, table: String, st: State, checkpoint: String) =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(batch.sparkSession, st, table, batch,
-          scanTs = f"2024-01-01 00:00:${batchId}%02d", loadTs = s"batch_$batchId")
+        // batch id -> a real timestamp (seconds carry into minutes/hours),
+        // so SCD2 validity stays parseable and lexicographically ordered
+        // for any batch count
+        val scanTs = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+          .plusSeconds(batchId).format(ScanFmt)
+        onBatch(batch.sparkSession, st, table, batch, scanTs, loadTs = s"batch_$batchId")
       }
 }

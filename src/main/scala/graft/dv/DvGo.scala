@@ -20,15 +20,21 @@ object DvGo {
 
   /** The derived plan go() builds by default: classification over the demo
     * scope with the dependent-child user context (the reference's
-    * RTD-responses → dv_builder pipeline). Memoized per (session, dir) —
-    * plan derivation is metadata-scale but rides on the profiling pass.
+    * RTD-responses → dv_builder pipeline). Memoized per (session, dir),
+    * keyed on the session OBJECT (an identity-hash key could collide with
+    * a GC'd session's hash) and evicted when the context ends, the same
+    * lifecycle every other per-session memo shares.
     */
   private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DvPlan]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DvPlan]
 
-  def derivedPlan(s: SparkSession, dir: String): DvPlan =
-    planCache.getOrElseUpdate((System.identityHashCode(s), dir),
+  def derivedPlan(s: SparkSession, dir: String): DvPlan = {
+    graft.queries.SessionCache.onSessionEnd(s, "dv_derived_plan") {
+      planCache.keys.filter(_._1 eq s).foreach(planCache.remove)
+    }
+    planCache.getOrElseUpdate((s, dir),
       DvPlanner.planFromClassification(s, dir, GoScope, goContext))
+  }
 
   /** Bucket keys per vault object: hubs and links anti-join on their hash
     * key; satellites anti-join on (hash key, hash diff), so they bucket on
@@ -126,8 +132,13 @@ object DvGo {
     // a build-time behavior of go() itself
     val hubsJ = plan.hubs.map(_.spec).filter(h => include(s"hub_${h.name}")).map(h =>
       s"""{"name": ${q(h.name)}, "source": ${q(h.sourceTable)}, "bk_parts": [${h.bkParts.map(colJ).mkString(", ")}]}""")
-    val satsJ = plan.sats.filter(t => include(s"sat_${t.name}")).map(t =>
-      s"""{"name": ${q(t.name)}, "source": ${q(t.sourceTable)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}, "bk_parts": [${t.bkParts.map(colJ).mkString(", ")}], "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}""")
+    val satsJ = plan.sats.filter(t => include(s"sat_${t.name}")).map { t =>
+      // link-orbiting satellites override the hash-key column — without it
+      // in the repo, the loader would reconstruct the default hub_<x>_hk
+      // name and anti-join on a column the stored sat does not have
+      val hkJ = t.hkColumn.map(h => s""", "hk_column": ${q(h)}""").getOrElse("")
+      s"""{"name": ${q(t.name)}, "source": ${q(t.sourceTable)}, "hub": ${q(t.hubName)}, "sensitive": ${t.sensitive}$hkJ, "bk_parts": [${t.bkParts.map(colJ).mkString(", ")}], "descriptors": [${t.descriptors.map(colJ).mkString(", ")}]}"""
+    }
     val linksJ = plan.links.filter(l => include(s"link_${l.name}")).map { l =>
       val membersJ = l.members.map(m =>
         s"""{"hub": ${q(m.hubName)}, "parts": [${m.parts.map(colJ).mkString(", ")}]}""")

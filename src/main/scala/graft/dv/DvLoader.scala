@@ -51,8 +51,14 @@ object DvLoader {
       HubSpec(h.getAs[String]("name"), h.getAs[String]("source"), cols(arr(h, "bk_parts")))
     }.toSeq
     val sats = arr(row, "satellites").map { t =>
+      // hk_column is optional in the repo (only link-orbiting satellites
+      // carry it); absent from every row → absent from the inferred schema
+      val hkColumn =
+        if (!t.schema.fieldNames.contains("hk_column") || t.isNullAt(t.fieldIndex("hk_column"))) None
+        else Some(t.getAs[String]("hk_column"))
       SatSpec(t.getAs[String]("name"), t.getAs[String]("source"), t.getAs[String]("hub"),
-        cols(arr(t, "bk_parts")), cols(arr(t, "descriptors")), t.getAs[Boolean]("sensitive"))
+        cols(arr(t, "bk_parts")), cols(arr(t, "descriptors")), t.getAs[Boolean]("sensitive"),
+        hkColumn)
     }.toSeq
     val links = arr(row, "links").map { l =>
       LinkSpec(l.getAs[String]("name"), l.getAs[String]("source"),

@@ -46,7 +46,12 @@ object DvSqlGen {
       val priorFilter =
         if (i == 0) ""
         else {
-          val bkCols = spec.bkParts.map(p => s"${p.name}_bk")
+          // COALESCE both sides: the Spark twin anti-joins on the hash key,
+          // whose inputs dvHash coalesces — a bare NOT IN would evaluate
+          // NULL for a NULL key part and silently drop the row. (Multi-part
+          // consolidation is planner-restricted to single-part hubs, so the
+          // tuple compare matches the hash compare exactly.)
+          val bkCols = spec.bkParts.map(p => s"COALESCE(${p.name}_bk, '')")
           val prior = (0 until i).map(j => s"SELECT ${bkCols.mkString(", ")} FROM src$j").mkString(" UNION ALL ")
           s"\n  WHERE (${bkCols.mkString(", ")}) NOT IN (SELECT * FROM ($prior))"
         }

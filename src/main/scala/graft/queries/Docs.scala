@@ -41,7 +41,7 @@ object Docs {
   * per-session entries and should call clear() between sessions — only
   * the common one-context-per-process lifecycle is fully automatic.
   */
-private[queries] object SessionCache {
+private[graft] object SessionCache {
   import org.apache.spark.sql.SparkSession
   private val entries =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]

@@ -206,9 +206,12 @@ object Similarity extends QueryModule {
       // materialize under the session's warehouse dir (shared storage on a
       // cluster — HDFS/S3 — so every executor reads the same table; a
       // driver-local java.nio temp dir would only work in local mode),
-      // cleaned up through the Hadoop FS API for the same reason
+      // cleaned up through the Hadoop FS API for the same reason. The
+      // path is RANDOM per memo entry: a corpus-derived name would collide
+      // across concurrent sessions sharing one warehouse dir (one session's
+      // overwrite/cleanup racing another's reads).
       val path = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_embed_pairs_" +
-        java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString.take(8)
+        java.util.UUID.randomUUID().toString.take(8)
       SessionCache.onSessionEnd(s, s"embed_pairs_dir_$path") {
         val hp = new org.apache.hadoop.fs.Path(path)
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)

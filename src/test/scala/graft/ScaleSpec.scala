@@ -47,7 +47,13 @@ class ScaleSpec extends SparkSpec {
       "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms
       "q22_idle_customers" // 1-row aggregate threshold broadcast (exact-decimal avg)
     )
-    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    // Eager build wrappers run their whole vault build during DataFrame
+    // CONSTRUCTION and return a LocalTableScan summary — sweeping that
+    // plan would assert nothing about the builds' joins (those are
+    // plan-audited in GoSpec/DeriveSpec) while paying several full vault
+    // builds per test run, so they are excluded rather than fake-covered.
+    val eagerSummary = Set("dv_go_build", "dv_go_derived", "dv_build_history", "dv_load_from_repo")
+    val failures = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
