@@ -308,12 +308,30 @@ object DvGo {
         p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l))).toMap
     val derivedFrames = frames(derived)
     val literalFrames = frames(DvPlanner.literalPlan)
-    val rows = literalFrames.toSeq.sortBy(_._1).map { case (name, lit) =>
-      val drv = derivedFrames(name)
-      val parity = drv.schema == lit.schema &&
-        drv.exceptAll(lit).isEmpty && lit.exceptAll(drv).isEmpty
-      (name, drv.count(), parity)
+    // Content equality via an order-independent signature: (row count,
+    // XOR of per-row xxhash64) in ONE 1-row aggregate per frame — both
+    // builder outputs are duplicate-free by construction (distinct /
+    // groupBy), so count + row-hash XOR + schema equality decides
+    // equality without the shuffle-heavy exceptAll passes. The eight
+    // object comparisons run concurrently like go()'s writes.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr(s"bit_xor(xxhash64(struct(${df.columns.mkString(", ")})))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
     }
+    val rows = Await.result(Future.sequence(
+      literalFrames.toSeq.sortBy(_._1).map { case (name, litDf) =>
+        Future {
+          val drv = derivedFrames(name)
+          val (drvN, drvSig) = sig(drv)
+          val parity = drv.schema == litDf.schema && (drvN, drvSig) == sig(litDf)
+          (name, drvN, parity)
+        }
+      }), Duration.Inf)
     rows.toDF("object", "row_count", "matches_literal").orderBy("object")
   }
 
