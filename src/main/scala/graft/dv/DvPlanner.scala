@@ -393,6 +393,64 @@ object DvPlanner {
   /** The demo build scope (the reference Act's included tables). */
   val GoScope: Seq[String] = Seq("customer", "part", "orders", "lineitem")
 
+  /** Every cataloged table — the widest derivation scope. */
+  val FullScope: Seq[String] = SourceSchemas.tables.map(_._1)
+
+  /** Render a plan as one metadata row per vault object — the queryable
+    * "what would go() build" face of the derivation (the reference's
+    * dv_repo schema made human-readable). keys/attrs are '+'-joined so the
+    * row shape stays flat and hashable.
+    */
+  def renderPlan(plan: DvPlan): Seq[(String, String, String, String, String)] = {
+    val hubRows = plan.hubs.map(h => ("hub", h.spec.name, h.spec.sourceTable,
+      h.spec.bkParts.map(_.name).mkString("+"), h.sources.map(_.table).mkString("+")))
+    val satRows = plan.sats.map(t => ("sat", t.name, t.sourceTable,
+      t.hkName, t.descriptors.map(_.name).mkString("+")))
+    val linkRows = plan.links.map(l => ("link", l.name, l.sourceTable,
+      l.members.map(m => s"${m.hubName}:${m.parts.map(_.name).mkString("+")}").mkString("+"),
+      l.degenerate.map(_.name).mkString("+")))
+    hubRows ++ satRows ++ linkRows
+  }
+
+  /** The expected full-catalog derivation — the static oracle twin of
+    * `planFromClassification(FullScope)`: 11 hubs (every entity incl. the
+    * homeless `user` and `vec` keys), 11 satellites, 6 links. With the
+    * whole catalog deploying, keys that were demoted at GoScope become
+    * links (customer↔nation, supplier↔nation, nation↔region). DeriveSpec
+    * pins live derivation == this table; the dv_plan_catalog oracle hashes
+    * it.
+    */
+  val expectedCatalogPlan: Seq[(String, String, String, String, String)] = Seq(
+    ("hub", "region", "region", "r_regionkey", "region+nation"),
+    ("hub", "nation", "nation", "n_nationkey", "nation+customer+supplier"),
+    ("hub", "customer", "customer", "c_custkey", "customer+orders"),
+    ("hub", "supplier", "supplier", "s_suppkey", "supplier+lineitem"),
+    ("hub", "part", "part", "p_partkey", "part+lineitem"),
+    ("hub", "order", "orders", "o_orderkey", "orders+lineitem"),
+    ("hub", "lineitem", "lineitem", "l_orderkey+l_linenumber", "lineitem"),
+    ("hub", "event", "events", "event_id", "events"),
+    ("hub", "user", "events", "user_id", "events"),
+    ("hub", "document", "documents", "doc_id", "documents"),
+    ("hub", "vec", "embeddings", "vec_id", "embeddings"),
+    ("sat", "region", "region", "hub_region_hk", "r_name"),
+    ("sat", "nation", "nation", "hub_nation_hk", "n_name"),
+    ("sat", "customer", "customer", "hub_customer_hk", "c_mktsegment"),
+    ("sat", "customer_sensitive", "customer", "hub_customer_hk", "c_name+c_acctbal"),
+    ("sat", "supplier_sensitive", "supplier", "hub_supplier_hk", "s_name+s_acctbal"),
+    ("sat", "part", "part", "hub_part_hk", "p_name+p_brand+p_type+p_size+p_retailprice"),
+    ("sat", "orders", "orders", "hub_order_hk", "o_orderstatus+o_totalprice+o_orderdate+o_orderpriority"),
+    ("sat", "lineitem", "lineitem", "hub_lineitem_hk",
+      "l_quantity+l_extendedprice+l_discount+l_tax+l_returnflag+l_linestatus+l_shipdate"),
+    ("sat", "events", "events", "hub_event_hk", "ts+event_type+value+props"),
+    ("sat", "documents", "documents", "hub_document_hk", "text+lang+source+n_chars"),
+    ("sat", "embeddings", "embeddings", "hub_vec_hk", "embedding+label"),
+    ("link", "nation", "nation", "nation:n_nationkey+region:n_regionkey", ""),
+    ("link", "customer", "customer", "customer:c_custkey+nation:c_nationkey", ""),
+    ("link", "supplier", "supplier", "supplier:s_suppkey+nation:s_nationkey", ""),
+    ("link", "orders", "orders", "order:o_orderkey+customer:o_custkey", ""),
+    ("link", "lineitem", "lineitem", "order:l_orderkey+part:l_partkey+supplier:l_suppkey", "l_linenumber"),
+    ("link", "events", "events", "event:event_id+user:user_id", ""))
+
   val hubCustomer = HubSpec("customer", "customer", Seq(Col("c_custkey", "bigint")))
   val hubPart = HubSpec("part", "part", Seq(Col("p_partkey", "bigint")))
   val hubOrder = HubSpec("order", "orders", Seq(Col("o_orderkey", "bigint")))

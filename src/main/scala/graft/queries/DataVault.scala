@@ -156,6 +156,32 @@ object DataVault extends QueryModule {
       Some(s"CAST(o_orderdate AS DATE) < DATE '$ConsolidatedCutoff'")),
     ("customer", Seq(Col("c_custkey", "bigint")), None)))
 
+  /** Full-catalog derivation: every RTD table (the LLM-pipeline feeds
+    * resolved by the demo user context, lineitem's dependent child by the
+    * go() context) becomes vault objects with NO hand-written specs —
+    * 11 hubs / 11 sats / 6 links, including the links that only exist
+    * once the whole catalog deploys (customer↔nation, supplier↔nation,
+    * nation↔region). Oracle = the static expectation table; the hash
+    * match pins the derivation itself.
+    */
+  private def planCatalog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DvPlanner.renderPlan(DvPlanner.planFromClassification(
+      s, dir, DvPlanner.FullScope, Classify.demoContext ++ DvPlanner.goContext))
+      .toDF("object_type", "object_name", "source_table", "keys", "attrs")
+      .orderBy("object_type", "object_name")
+  }
+
+  private val planCatalogSql = {
+    val rows = DvPlanner.expectedCatalogPlan.map { case (t, n, src, k, a) =>
+      s"('$t', '$n', '$src', '$k', '$a')"
+    }
+    s"""SELECT * FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) AS t(object_type, object_name, source_table, keys, attrs)
+       |ORDER BY object_type, object_name""".stripMargin
+  }
+
   private def hashProbe(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
     cust.select(
@@ -257,6 +283,9 @@ object DataVault extends QueryModule {
     // Business-key consolidation: two tables carrying the same bk_name load
     // ONE hub, each with its own record_source.
     QueryDef("dv_hub_consolidated", hubConsolidated, Some(hubConsolidatedSql)),
+    // Full-catalog derivation: the whole 10-table catalog planned with no
+    // hand-written specs (28 vault objects, scope-sensitive links).
+    QueryDef("dv_plan_catalog", planCatalog, Some(planCatalogSql)),
     // Build-history repo: two sequential go() calls, queryable per-build
     // rows (the reference's auto_dw.build_call, lib.rs:29-35).
     QueryDef("dv_build_history", (s, d) => DvGo.buildHistory(s, d), Some(DvGo.buildHistorySql)),

@@ -90,6 +90,22 @@ class DeriveSpec extends SparkSpec {
     assert(withCtx.sats.map(_.name) == Seq("documents"))
   }
 
+  test("full-catalog derivation: 28 objects, scope-sensitive links, no specs") {
+    val p = DvPlanner.planFromClassification(spark, sfDir, DvPlanner.FullScope,
+      Classify.demoContext ++ goContext)
+    val rendered = DvPlanner.renderPlan(p)
+    // exact equality against the static expectation the oracle hashes;
+    // compare as sorted sets so a failure names the differing rows
+    assert(rendered.sorted == DvPlanner.expectedCatalogPlan.sorted,
+      (rendered.toSet -- DvPlanner.expectedCatalogPlan.toSet).toSeq.sorted.mkString("\nextra: ", "\nextra: ", "") +
+        (DvPlanner.expectedCatalogPlan.toSet -- rendered.toSet).toSeq.sorted.mkString("\nmissing: ", "\nmissing: ", ""))
+    // the scope-sensitivity headline: keys demoted at GoScope become links
+    // once their target entity deploys
+    assert(p.links.exists(l => l.name == "customer" &&
+      l.members.map(_.hubName) == Seq("customer", "nation")))
+    assert(p.sats.find(_.name == "customer").get.descriptors.map(_.name) == Seq("c_mktsegment"))
+  }
+
   test("derived build matches the literal build object-for-object") {
     val parity = DvGo.goDerivedParity(spark, sfDir).collect()
     assert(parity.length == 8)
