@@ -132,9 +132,15 @@ object Dedup extends QueryModule {
   } yield (i, j)).zipWithIndex.map { case ((i, j), k) => (k, i, j) }
 
   /** (doc_id, sig, c, ck) blocking rows — split out so ScaleSpec can audit
-    * per-bucket occupancy directly.
+    * per-bucket occupancy directly. Memoized + cached per (session, dir):
+    * the candidate self-join references this frame on BOTH sides, and an
+    * uncached plan would run the 60-partial-sum signature aggregation
+    * twice (Spark does not dedup common subtrees across join sides).
     */
-  private[graft] def simhashKeyed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashKeyed(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "simhash_keyed", dir)(simhashKeyedUncached(s, dir))
+
+  private def simhashKeyedUncached(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val h = sh.select(col("doc_id"), md5Long64(col("shingle")).as("h60"))
     // One shuffle with 60 codegen'd partial sums instead of a 60x bit explode.
