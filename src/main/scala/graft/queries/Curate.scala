@@ -224,11 +224,63 @@ object Curate extends QueryModule {
        |       CAST(sum(new_units) OVER (ORDER BY block ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
        |FROM blocks ORDER BY block""".stripMargin
 
+  // ------------------------------------------------------ corpus_shards
+  // Pack documents into fixed token-budget training shards — the
+  // pre-tokenization sharding pass every large-scale pipeline runs before
+  // writing tokenizer input. A doc's shard is floor(start / budget) where
+  // start is its global prefix-sum of token counts in a deterministic
+  // hash order. The prefix sum is TWO-PHASE (the parallel prefix-sum
+  // shape): docs bucket by hash, each bucket computes its local cumsum
+  // under a PARTITIONED window, and the 64 per-bucket totals — a
+  // constant-size frame — roll into broadcast start offsets. A single
+  // global ORDER BY window would drag the whole corpus through one
+  // partition; this never does, at any scale.
+  private val ShardBudget = 2048L
+  private val PrefixBuckets = 64
+
+  private def corpusShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.enriched(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("h", md5Long64(col("doc_id").cast("string")))
+      .withColumn("b", col("h") % PrefixBuckets) // h is 60-bit nonneg
+    val wLocal = Window.partitionBy("b").orderBy("h", "doc_id")
+    val local = docs.withColumn("local_end", sum("n_tokens").over(wLocal))
+    // 64 rows: the only unpartitioned window runs over the constant bucket
+    // count, never the data
+    val offsets = docs.groupBy("b").agg(sum("n_tokens").as("bt"))
+      .withColumn("bucket_start", coalesce(
+        sum("bt").over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("b", "bucket_start")
+    local.join(broadcast(offsets), "b")
+      .withColumn("start", col("bucket_start") + col("local_end") - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start div $ShardBudget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("shard_id")
+  }
+
+  private val corpusShardsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(${Docs.toksDuck}) AS BIGINT) AS n_tokens,
+       |         ${md5Long64Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |keyed AS (SELECT *, h % $PrefixBuckets AS b FROM d),
+       |pre AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |    ORDER BY b, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM keyed)
+       |SELECT start // $ShardBudget AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM pre GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
-    QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql))
+    QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
+    QueryDef("corpus_shards", corpusShards, Some(corpusShardsSql))
   )
 }

@@ -101,4 +101,41 @@ class CurateSpec extends SparkSpec {
       .select("link_orders_hk")
     assert(incr.select("link_orders_hk").except(canonical).count() == 0)
   }
+
+  test("corpus_shards: two-phase prefix sum packs every token into budgeted shards") {
+    import org.apache.spark.sql.functions._
+    val shards = run("corpus_shards").cache()
+    try {
+      val budget = 2048L
+      val docs = graft.queries.Docs.enriched(spark, sfDir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      val totalDocs = docs.count()
+      val totalToks = docs.agg(sum("n")).head.getLong(0)
+      val maxDoc = docs.agg(max("n")).head.getLong(0)
+      val rows = shards.collect()
+      // conservation: every doc and every token lands in exactly one shard
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+      // shard ids are contiguous from zero
+      assert(rows.map(_.getAs[Long]("shard_id")).sorted.sameElements(0L until rows.length))
+      // every non-final shard holds ~budget tokens: its span is exactly
+      // [k*B, (k+1)*B) in start positions, so only boundary docs can push
+      // the sum off the budget by less than one document
+      val nonFinal = rows.sortBy(_.getAs[Long]("shard_id")).dropRight(1)
+      assert(nonFinal.forall { r =>
+        val t = r.getAs[Long]("n_tokens"); t >= budget - maxDoc && t <= budget + maxDoc
+      })
+      // the bucketed two-phase prefix equals a naive single-window cumsum
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("b"), col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val naive = docs
+        .withColumn("h", graft.functions.GraftFunctions.md5Long64(col("doc_id").cast("string")))
+        .withColumn("b", col("h") % 64)
+        .withColumn("start", coalesce(sum("n").over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"start div $budget"))
+        .groupBy("shard_id").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      assert(naive.exceptAll(shards).isEmpty && shards.exceptAll(naive).isEmpty)
+    } finally shards.unpersist()
+  }
 }
