@@ -14,6 +14,7 @@ object SparkEntry {
     _root_.graft.queries.DataVault,
     _root_.graft.queries.Text,
     _root_.graft.queries.Curate,
+    _root_.graft.queries.Bpe,
     _root_.graft.queries.Dedup,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.Pq,

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training/application: the distributed trainer must equal
+  * the classic sequential algorithm exactly — merge trajectory, greedy
+  * left-to-right application, and per-doc token counts.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  /** Classic sequential BPE on (word -> count), the textbook reference. */
+  private def referenceBpe(words: Map[String, Long], steps: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
+    var vocab: Map[String, Seq[String]] = words.keys.map(w => w -> w.map(_.toString)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to steps) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val key = (p(0), p(1)); pc(key) = pc.getOrElse(key, 0L) + words(w)
+        }
+      }
+      val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((k, l, r, c))
+      vocab = vocab.map { case (w, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.toSeq
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  private lazy val corpusWords: Map[String, Long] =
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(expr(graft.queries.Docs.toksSpark)).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("bpe_train reproduces the sequential reference trajectory") {
+    val (expected, _) = referenceBpe(corpusWords, queries.Bpe.Merges)
+    val got = run("bpe_train").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expected)
+    // merged column is lhs || rhs
+    assert(run("bpe_train").filter(col("merged") =!= concat(col("lhs"), col("rhs")))
+      .count() == 0)
+  }
+
+  test("fold expression applies merges greedily left-to-right (aaa + (a,a) -> [aa, a])") {
+    import spark.implicits._
+    val got = Seq("a a a", "a b a b", "x a b y", "a", "b a").toDF("syms")
+      .select(col("syms"), expr(queries.Bpe.foldSpark("a", "b")).as("ab"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a b a b") == "ab ab")
+    assert(got("x a b y") == "x ab y")
+    assert(got("a") == "a")
+    assert(got("b a") == "b a")
+    val aa = Seq("a a a").toDF("syms")
+      .select(expr(queries.Bpe.foldSpark("a", "a"))).head.getString(0)
+    assert(aa == "aa a")
+  }
+
+  test("bpe_tokenize equals the reference tokenizer on every document") {
+    val (_, vocabF) = referenceBpe(corpusWords, queries.Bpe.Merges)
+    val wordLen = vocabF.map { case (w, syms) => w -> syms.size.toLong }
+    val expected = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(graft.queries.Docs.toksSpark).as("toks")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).map(wordLen).sum).toMap
+    val got = run("bpe_tokenize").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // conservation bounds: merges only shrink, tokens >= words
+    val joined = run("bpe_tokenize").join(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), size(expr(graft.queries.Docs.toksSpark)).as("n_words"),
+          length(col("text")).as("n_chars")), "doc_id")
+    assert(joined.filter(col("n_tokens_bpe") < col("n_words") ||
+      col("n_tokens_bpe") > col("n_chars")).count() == 0)
+  }
+
+  test("bpe_tokenize plan: vocab arrives as a broadcast join, no shuffle on word") {
+    val plan = run("bpe_tokenize").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -52,7 +52,13 @@ class ScaleSpec extends SparkSpec {
     // plan would assert nothing about the builds' joins (those are
     // plan-audited in GoSpec/DeriveSpec) while paying several full vault
     // builds per test run, so they are excluded rather than fake-covered.
-    val eagerSummary = Set("dv_go_build", "dv_go_derived", "dv_build_history", "dv_load_from_repo")
+    // bpe_train's surface is the driver-collected 10-row merge table (each
+    // round's argmax NECESSARILY comes back to drive the next round, like
+    // the IVF centroids); its distributed internals — the word-frequency
+    // shuffle and per-round pair-count aggregations — are swept via
+    // bpe_tokenize (same vocab lineage) and plan-audited in BpeSpec.
+    val eagerSummary = Set("dv_go_build", "dv_go_derived", "dv_build_history",
+      "dv_load_from_repo", "bpe_train")
     val failures = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
