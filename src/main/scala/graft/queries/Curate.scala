@@ -275,8 +275,123 @@ object Curate extends QueryModule {
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM pre GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  // --------------------------------------------------------- corpus_mix
+  // Mixture-weight downsampling: hit a target language mixture (integer
+  // percents) by deterministic hash-threshold acceptance — the way a
+  // pretraining pipeline rebalances sources without ever sorting or
+  // ranking the corpus. N_total is the largest corpus the observed counts
+  // can serve without upsampling (min over langs of cnt*100/w); each
+  // lang's integer acceptance threshold = target * 2^20 / cnt over a
+  // 20-bit hash space. Everything is BIGINT division — bit-identical in
+  // both engines — and the corpus pass is one scan with a broadcast
+  // lang→threshold join: no window, no shuffle of document rows at all
+  // (the binding lang keeps threshold 2^20 and survives whole).
+  private val MixWeights = Seq(("en", 40L), ("zh", 25L), ("de", 15L), ("fr", 10L), ("es", 10L))
+  private val MixHashSpace = 1048576L // 2^20
+
+  private def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val w = MixWeights.toDF("lang", "wt")
+    val cw = docs.groupBy("lang").agg(count(lit(1)).as("cnt")).join(w, "lang")
+    // global feasibility bound as a window over the LANG-cardinality frame
+    // (bounded — never the corpus); a join on a constant key would
+    // constant-fold into a nested-loop join, which the plan sweep bans
+    val thr = cw
+      .withColumn("n_total", min(expr("cnt * 100 div wt")).over(Window.partitionBy()))
+      .withColumn("thr", expr(s"(((n_total * wt) div 100) * $MixHashSpace) div cnt"))
+      .select("lang", "thr")
+    docs.withColumn("h", md5Long64(col("doc_id").cast("string")) % MixHashSpace)
+      .join(broadcast(thr), "lang")
+      .filter(col("h") < col("thr"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  private val corpusMixSql =
+    s"""WITH w(lang, wt) AS (VALUES ${MixWeights.map { case (l, p) => s"('$l', $p)" }.mkString(", ")}),
+       |cnts AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang),
+       |cw AS (SELECT lang, cnt, wt FROM cnts JOIN w USING (lang)),
+       |ntot AS (SELECT min(cnt * 100 // wt) AS n_total FROM cw),
+       |thr AS (SELECT lang, (((n_total * wt) // 100) * $MixHashSpace) // cnt AS thr FROM cw, ntot)
+       |SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |         ${md5Long64Sql("CAST(doc_id AS VARCHAR)")} % $MixHashSpace AS h
+       |  FROM documents) d
+       |JOIN thr USING (lang) WHERE h < thr ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ curate_prune_quality
+  // Per-source quality pruning (the "drop the bottom half of every
+  // domain" pass): scores are EXACT INTEGERS (the micro-scaled twin of
+  // text_quality's three terms — stop-word ratio, length credit,
+  // word-len closeness — as BIGINT division, so both engines agree
+  // bit-for-bit), and the per-source upper-median threshold comes from a
+  // score HISTOGRAM: the cumulative window runs over (source × distinct
+  // score) rows — bounded by the score space, never the corpus — and the
+  // corpus pass is one scan with a broadcast source→threshold join.
+  private[graft] val qIntExpr =
+    "(400000 * n_stop) div n_words + (300000 * least(n_words, 100)) div 100 + " +
+      "(300000 * (100 * n_words - least(100 * n_words, abs(10 * sum_len - 47 * n_words)))) " +
+      "div (100 * n_words)"
+
+  private val qIntDuck =
+    "(400000 * n_stop) // n_words + (300000 * least(n_words, 100)) // 100 + " +
+      "(300000 * (100 * n_words - least(100 * n_words, abs(10 * sum_len - 47 * n_words)))) " +
+      "// (100 * n_words)"
+
+  private[graft] def docsQInt(s: SparkSession, dir: String): DataFrame =
+    Docs.enriched(s, dir)
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_words", expr("cast(size(toks) as bigint)"))
+      .withColumn("n_stop", expr(
+        s"cast(size(filter(toks, x -> x IN ${Text.inList(Text.StopEn)})) as bigint)"))
+      .withColumn("sum_len", expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) as bigint)"))
+      .withColumn("q_int", expr(qIntExpr))
+
+  private def prunQuality(s: SparkSession, dir: String): DataFrame = {
+    val dq = docsQInt(s, dir)
+    val hist = dq.groupBy("source", "q_int").agg(count(lit(1)).as("c"))
+    val n = hist.groupBy("source").agg(sum("c").as("n"))
+    val wDesc = Window.partitionBy("source").orderBy(col("q_int").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum("c").over(wDesc))
+      .join(n, "source")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("source").agg(max("q_int").as("med"))
+    dq.join(broadcast(med), "source")
+      .filter(col("q_int") >= col("med"))
+      .select("doc_id", "source", "q_int")
+      .orderBy("doc_id")
+  }
+
+  private val prunQualitySql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${Docs.toksDuck} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(len(list_filter(toks, x -> x IN ${Text.inList(Text.StopEn)})) AS BIGINT) AS n_stop,
+       |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM t WHERE len(toks) >= 1),
+       |dq AS (SELECT doc_id, source, $qIntDuck AS q_int FROM m),
+       |hist AS (SELECT source, q_int, CAST(count(*) AS BIGINT) AS c FROM dq GROUP BY source, q_int),
+       |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY source),
+       |cum AS (
+       |  SELECT source, q_int, CAST(sum(c) OVER (PARTITION BY source ORDER BY q_int DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM hist),
+       |med AS (
+       |  SELECT cum.source AS source, max(q_int) AS med
+       |  FROM cum JOIN n ON cum.source = n.source
+       |  WHERE cum >= (n + 1) // 2 GROUP BY cum.source)
+       |SELECT doc_id, dq.source AS source, q_int
+       |FROM dq JOIN med ON dq.source = med.source
+       |WHERE q_int >= med ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
+    QueryDef("curate_prune_quality", prunQuality, Some(prunQualitySql)),
     QueryDef("pipeline_curate", pipelineCurate, Some(pipelineCurateSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),

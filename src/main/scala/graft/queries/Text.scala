@@ -18,12 +18,12 @@ object Text extends QueryModule {
 
   private val toksDuck = Docs.toksDuck
 
-  private val StopEn = Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "on")
+  private[queries] val StopEn = Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "on")
   private val StopFr = Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "dans")
   private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf")
   private val StopEs = Seq("el", "los", "las", "y", "es", "como", "para", "por", "con", "una")
 
-  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[queries] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** The shared cached (doc_id, text, toks, norm) pass — see [[Docs]]. */
   private def docs(s: SparkSession, dir: String): DataFrame = Docs.enriched(s, dir)

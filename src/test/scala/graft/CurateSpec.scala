@@ -138,4 +138,53 @@ class CurateSpec extends SparkSpec {
       assert(naive.exceptAll(shards).isEmpty && shards.exceptAll(naive).isEmpty)
     } finally shards.unpersist()
   }
+
+  test("corpus_mix: kept set is exactly the integer-threshold filter, binding lang survives whole") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.GraftFunctions.md5Long64(col("doc_id").cast("string")) % 1048576L).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // recompute the thresholds independently with the same integer math
+    val weights = Map("en" -> 40L, "zh" -> 25L, "de" -> 15L, "fr" -> 10L, "es" -> 10L)
+    val cnts = docs.groupBy(_._2).map { case (l, d) => l -> d.size.toLong }
+    val nTotal = cnts.map { case (l, c) => c * 100L / weights(l) }.min
+    val thr = cnts.map { case (l, c) => l -> (nTotal * weights(l) / 100L) * 1048576L / c }
+    val expected = docs.filter { case (_, l, h) => h < thr(l) }.map(_._1).toSet
+    val kept = run("corpus_mix").collect().map(_.getLong(0)).toSet
+    assert(kept == expected)
+    // the binding lang's threshold saturates the hash space: it survives whole
+    val binding = cnts.minBy { case (l, c) => c * 100L / weights(l) }._1
+    assert(thr(binding) == 1048576L)
+    assert(docs.count(_._2 == binding) == kept.count(id => docs.exists(d => d._1 == id && d._2 == binding)))
+    // the mixture really partitions: a strict subset overall, nonempty per lang
+    assert(kept.nonEmpty && kept.size < docs.length)
+    weights.keys.foreach { l =>
+      assert(docs.exists(d => d._2 == l && kept(d._1)), s"no kept docs for $l") }
+    // broadcast threshold join, no nested-loop anywhere
+    val plan = run("corpus_mix").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("curate_prune_quality: per-source upper-median cut, kept scores dominate dropped") {
+    val dq = graft.queries.Curate.docsQInt(spark, sfDir)
+      .select("doc_id", "source", "q_int").cache()
+    try {
+      val kept = run("curate_prune_quality").cache()
+      val all = dq.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val keptIds = kept.collect().map(_.getLong(0)).toSet
+      all.groupBy(_._2).foreach { case (src, rows) =>
+        val (k, d) = rows.partition(r => keptIds(r._1))
+        // upper median: at least half of every source survives...
+        assert(k.size >= (rows.size + 1) / 2, s"$src kept ${k.size}/${rows.size}")
+        // ...but not everything, unless the source's scores are all one value
+        assert(d.nonEmpty || rows.map(_._3).distinct.size == 1, s"$src dropped nothing")
+        // the cut is clean: every kept score >= every dropped score
+        if (d.nonEmpty) assert(k.map(_._3).min > d.map(_._3).max, s"$src cut not clean")
+      }
+      // scores are the micro-scaled integer quality: bounded by 10^6
+      assert(dq.filter(col("q_int") < 0 || col("q_int") > 1000000L).count() == 0)
+      kept.unpersist()
+    } finally dq.unpersist()
+  }
 }
