@@ -134,6 +134,50 @@ object DataVault extends QueryModule {
        |FROM orders GROUP BY o_custkey
        |ORDER BY hub_customer_hk""".stripMargin
 
+  /** Dimensional mart projected from the vault — the downstream
+    * information-mart layer a Data Vault serves consumers from (the
+    * reference stops at the raw vault; marts are what its DDL comments
+    * call the "business vault / presentation" stage). fact_orders =
+    * link_orders ⋈ sat_orders measures; dim_customer = the NON-sensitive
+    * customer satellite conformed with the nation/region reference
+    * tables — the sensitive satellite (names, balances) never reaches
+    * the mart, which is exactly what the hub/sat sensitive split exists
+    * for. Scale shape: the dim side is dimension-sized and broadcasts
+    * into the fact scan; the link ⋈ sat join is 1:1 on the hub hash key
+    * (bucketed vault repos make it shuffle-free on the stored side —
+    * GoSpec pins that layout).
+    */
+  private def martStar(s: SparkSession, dir: String): DataFrame = {
+    val fact = DvBuild.link(s, dir, linkOrders)
+      .select("hub_order_hk", "hub_customer_hk", "o_orderkey_bk", "o_custkey_bk")
+    val orderAttrs = DvBuild.sat(s, dir, satOrders)
+      .select(col("hub_order_hk"), col("o_orderstatus"), col("o_totalprice"),
+        to_date(col("o_orderdate")).cast("string").as("order_date"))
+    val dim = DvBuild.sat(s, dir, satCustomer)
+      .join(Tables.load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("hub_customer_hk"), col("c_mktsegment"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+    fact.join(orderAttrs, "hub_order_hk")
+      .join(broadcast(dim), "hub_customer_hk")
+      .select("hub_order_hk", "o_orderkey_bk", "o_custkey_bk", "o_orderstatus",
+        "o_totalprice", "order_date", "c_mktsegment", "nation", "region")
+      .orderBy("hub_order_hk")
+  }
+
+  private val martStarSql =
+    s"""SELECT ${dvHashSql(Seq("CAST(o_orderkey AS VARCHAR)"))} AS hub_order_hk,
+       |  CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk,
+       |  CAST(o_custkey AS VARCHAR) AS o_custkey_bk,
+       |  o_orderstatus, o_totalprice,
+       |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       |  c_mktsegment, n_name AS nation, r_name AS region
+       |FROM orders
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |ORDER BY hub_order_hk""".stripMargin
+
   /** Consolidated hub load (the reference's bk_name hub consolidation,
     * dv_builder.rs:130-148): orders transactions arrive BEFORE the customer
     * master backfill, so one hub_customer carries keys from both sources —
@@ -273,6 +317,7 @@ object DataVault extends QueryModule {
     QueryDef("dv_sat_link_orders",
       (s, d) => DvBuild.sat(s, d, satLinkOrders), Some(DvSqlGen.satSql(satLinkOrders))),
     QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),
+    QueryDef("dv_mart_star", martStar, Some(martStarSql)),
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),

@@ -96,4 +96,29 @@ class DataVaultSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(byDate.sorted.toSeq == byDate.toSeq) // later dates see >= users
   }
+
+  test("dv_mart_star: one fact row per order, hks resolve in the vault, sensitive attrs excluded") {
+    import org.apache.spark.sql.functions._
+    val mart = SparkEntry.queries("dv_mart_star")(spark, sfDir).cache()
+    try {
+      // fact grain: exactly one row per source order
+      assert(mart.count() == Tables.load(spark, sfDir, "orders").count())
+      assert(mart.select("hub_order_hk").distinct().count() == mart.count())
+      // the mart is vault-consistent: every customer hash key exists in the hub
+      val hub = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
+        .select(col("hub_customer_hk"))
+      val dangling = mart
+        .select(graft.functions.GraftFunctions.dvHash(Seq(col("o_custkey_bk")))
+          .as("hub_customer_hk"))
+        .distinct().join(hub, Seq("hub_customer_hk"), "left_anti")
+      assert(dangling.count() == 0)
+      // the sensitive satellite never reaches the presentation layer
+      val cols = mart.columns.toSet
+      assert(!cols.contains("c_name") && !cols.contains("c_acctbal"))
+      // dim side arrives broadcast; no nested-loop anywhere
+      val plan = mart.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    } finally mart.unpersist()
+  }
 }
