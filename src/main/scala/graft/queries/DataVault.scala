@@ -178,6 +178,120 @@ object DataVault extends QueryModule {
        |JOIN region ON r_regionkey = n_regionkey
        |ORDER BY hub_order_hk""".stripMargin
 
+  /** Same-as link — Data Vault 2.0's entity-resolution object: when two
+    * business keys are discovered to denote the same real-world entity,
+    * the resolution lands in the vault as a link between their hub rows,
+    * never as an update. graft already HAS an entity-resolution engine —
+    * the near-dup pipeline — so the same-as link is its vault landing:
+    * every verified minhash-LSH near-dup pair (Jaccard ≥ 0.6, the
+    * oracle-checked dedup_minhash_lsh output) becomes one link row
+    * between document hub keys. Scale shape is the dedup op's (banded
+    * candidate generation, verification on candidates only) plus one
+    * scan-local hash projection.
+    */
+  private def sameAsLink(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(s, dir)
+      .select(col("doc_a").cast("string").as("doc_a_bk"),
+        col("doc_b").cast("string").as("doc_b_bk"))
+    pairs.select(
+      dvHash(Seq(col("doc_a_bk"), col("doc_b_bk"))).as("link_same_as_document_hk"),
+      lit(DvDefaults.LoadTs).as("load_ts"),
+      lit(DvDefaults.recordSource("documents")).as("record_source"),
+      dvHash(Seq(col("doc_a_bk"))).as("hub_document_hk_a"),
+      dvHash(Seq(col("doc_b_bk"))).as("hub_document_hk_b"),
+      col("doc_a_bk"), col("doc_b_bk"))
+      .orderBy("link_same_as_document_hk")
+  }
+
+  private val sameAsLinkSql =
+    s"""WITH near_dups AS (
+       |${Dedup.minhashSql}
+       |), pairs AS (
+       |  SELECT CAST(doc_a AS VARCHAR) AS doc_a_bk, CAST(doc_b AS VARCHAR) AS doc_b_bk
+       |  FROM near_dups)
+       |SELECT ${dvHashSql(Seq("doc_a_bk", "doc_b_bk"))} AS link_same_as_document_hk,
+       |  '${DvDefaults.LoadTs}' AS load_ts,
+       |  '${DvDefaults.recordSource("documents")}' AS record_source,
+       |  ${dvHashSql(Seq("doc_a_bk"))} AS hub_document_hk_a,
+       |  ${dvHashSql(Seq("doc_b_bk"))} AS hub_document_hk_b,
+       |  doc_a_bk, doc_b_bk
+       |FROM pairs ORDER BY link_same_as_document_hk""".stripMargin
+
+  /** Record-tracking satellite — per hub key, which loads delivered it
+    * (DV 2.0's RTS; the reference's insert-only loads imply it but never
+    * materialize it). Two loads of `orders` — the pre-cutoff slice, then
+    * the full feed — produce one row per key with its load bitmap and
+    * first/last appearance, all from ONE scan + one keyed aggregation.
+    */
+  private val RtsCutoff = "1997-01-01"
+
+  private def rts(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("o_orderkey_bk"),
+        when(to_date(col("o_orderdate")) < lit(RtsCutoff).cast("date"), 1L)
+          .otherwise(0L).as("in1"))
+    o.groupBy("o_orderkey_bk")
+      .agg(max("in1").as("in_load_1"), lit(1L).as("in_load_2"))
+      .select(dvHash(Seq(col("o_orderkey_bk"))).as("hub_order_hk"),
+        col("o_orderkey_bk"), col("in_load_1"), col("in_load_2"),
+        expr("CASE WHEN in_load_1 = 1 THEN 1L ELSE 2L END").as("first_load"),
+        lit(2L).as("last_load"))
+      .orderBy("hub_order_hk")
+  }
+
+  private val rtsSql =
+    s"""WITH k AS (
+       |  SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk,
+       |         max(CASE WHEN CAST(o_orderdate AS DATE) < DATE '$RtsCutoff'
+       |             THEN 1 ELSE 0 END) AS in1
+       |  FROM orders GROUP BY 1)
+       |SELECT ${dvHashSql(Seq("o_orderkey_bk"))} AS hub_order_hk,
+       |  o_orderkey_bk,
+       |  CAST(in1 AS BIGINT) AS in_load_1,
+       |  CAST(1 AS BIGINT) AS in_load_2,
+       |  CAST(CASE WHEN in1 = 1 THEN 1 ELSE 2 END AS BIGINT) AS first_load,
+       |  CAST(2 AS BIGINT) AS last_load
+       |FROM k ORDER BY hub_order_hk""".stripMargin
+
+  /** Multi-active satellite — a satellite whose key carries a SET of
+    * simultaneously-active rows (DV 2.0's phones/addresses case). Here:
+    * each customer's orders as a multi-active set, subsequenced
+    * deterministically by (order date, order key) within the hub key.
+    * The window partitions by the hub key — keyed corpus partitions,
+    * the same shape as every win_* operator, never a global window.
+    */
+  private def satMultiactive(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").cast("string").as("c_custkey_bk"),
+        col("o_orderkey").cast("string").as("o_orderkey_bk"),
+        to_date(col("o_orderdate")).cast("string").as("order_date"),
+        col("o_orderpriority"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_custkey_bk").orderBy("order_date", "o_orderkey_bk")
+    o.withColumn("ma_seq", row_number().over(w).cast("long"))
+      .select(dvHash(Seq(col("c_custkey_bk"))).as("hub_customer_hk"),
+        col("ma_seq"), lit(DvDefaults.LoadTs).as("load_ts"),
+        lit(DvDefaults.recordSource("orders")).as("record_source"),
+        col("c_custkey_bk"), col("o_orderkey_bk"), col("order_date"),
+        col("o_orderpriority"))
+      .orderBy("hub_customer_hk", "ma_seq")
+  }
+
+  private val satMultiactiveSql =
+    s"""WITH o AS (
+       |  SELECT CAST(o_custkey AS VARCHAR) AS c_custkey_bk,
+       |         CAST(o_orderkey AS VARCHAR) AS o_orderkey_bk,
+       |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       |         o_orderpriority
+       |  FROM orders)
+       |SELECT ${dvHashSql(Seq("c_custkey_bk"))} AS hub_customer_hk,
+       |  CAST(row_number() OVER (PARTITION BY c_custkey_bk
+       |       ORDER BY order_date, o_orderkey_bk) AS BIGINT) AS ma_seq,
+       |  '${DvDefaults.LoadTs}' AS load_ts,
+       |  '${DvDefaults.recordSource("orders")}' AS record_source,
+       |  c_custkey_bk, o_orderkey_bk, order_date, o_orderpriority
+       |FROM o ORDER BY hub_customer_hk, ma_seq""".stripMargin
+
   /** Consolidated hub load (the reference's bk_name hub consolidation,
     * dv_builder.rs:130-148): orders transactions arrive BEFORE the customer
     * master backfill, so one hub_customer carries keys from both sources —
@@ -318,6 +432,9 @@ object DataVault extends QueryModule {
       (s, d) => DvBuild.sat(s, d, satLinkOrders), Some(DvSqlGen.satSql(satLinkOrders))),
     QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),
     QueryDef("dv_mart_star", martStar, Some(martStarSql)),
+    QueryDef("dv_same_as_link", sameAsLink, Some(sameAsLinkSql)),
+    QueryDef("dv_rts", rts, Some(rtsSql)),
+    QueryDef("dv_sat_multiactive", satMultiactive, Some(satMultiactiveSql)),
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),

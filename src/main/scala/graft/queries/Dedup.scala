@@ -25,7 +25,7 @@ object Dedup extends QueryModule {
     * (session, sf-dir) since three dedup operators share it. Tokens come
     * from the shared [[Docs]] pass (no per-operator re-tokenization).
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingles(s: SparkSession, dir: String): DataFrame =
     SessionCache.memo(s, "shingles", dir)(shinglesUncached(s, dir))
 
   private def shinglesUncached(s: SparkSession, dir: String): DataFrame =
@@ -49,7 +49,7 @@ object Dedup extends QueryModule {
   private val BandRows = 4
   private val MinhashThreshold = 0.6
 
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val h = sh.select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
     // One shuffle with map-side partial mins (16 agg columns) instead of a
@@ -82,7 +82,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val minhashSql =
+  private[queries] val minhashSql =
     s"""WITH sh AS (
        |$shinglesDuck
        |), h AS (
@@ -403,10 +403,50 @@ object Dedup extends QueryModule {
        |FROM assign a JOIN sizes s ON s.canon_id = a.canon_id
        |ORDER BY a.doc_id""".stripMargin
 
+  // ----------------------------------------------------- text_boilerplate
+  // Corpus boilerplate mining (the CCNet/RefinedWeb "drop the navbars"
+  // signal): a 3-gram appearing in ≥ BoilerMinDf distinct documents is
+  // boilerplate; each document reports how much of it is made of such
+  // grams, as an exact integer micro-ratio. Reuses the memoized shingle
+  // pass; the df aggregation is one shuffle on the gram, the (small)
+  // boilerplate set joins back semi-style, and the per-doc rollup is one
+  // keyed aggregation — no all-pairs work anywhere.
+  private val BoilerMinDf = 5L
+
+  private def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf).select("shingle")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = sh.join(boiler, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_micros", expr("n_boiler * 1000000 div n_grams"))
+      .select("doc_id", "n_grams", "n_boiler", "boiler_micros")
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateSql =
+    s"""WITH sh AS (
+       |$shinglesDuck
+       |), boiler AS (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= $BoilerMinDf),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM sh GROUP BY doc_id),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+       |  FROM sh JOIN boiler USING (shingle) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_grams,
+       |  coalesce(h.n_boiler, 0) AS n_boiler,
+       |  coalesce(h.n_boiler, 0) * 1000000 // p.n_grams AS boiler_micros
+       |FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql)),
-    QueryDef("dedup_cluster", dedupCluster, Some(clusterSql))
+    QueryDef("dedup_cluster", dedupCluster, Some(clusterSql)),
+    QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql))
   )
 }

@@ -121,4 +121,58 @@ class DataVaultSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     } finally mart.unpersist()
   }
+
+  test("dv_same_as_link: one link row per verified near-dup pair, hash keys recompute") {
+    import org.apache.spark.sql.functions._
+    val links = SparkEntry.queries("dv_same_as_link")(spark, sfDir).cache()
+    try {
+      val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+      assert(links.count() == pairs.count() && links.count() > 0)
+      assert(links.select("link_same_as_document_hk").distinct().count() == links.count())
+      // pair order is canonical (a < b as document ids)
+      assert(links.filter(col("doc_a_bk").cast("long") >= col("doc_b_bk").cast("long"))
+        .count() == 0)
+      // member hub keys are the dv hash of their business keys
+      val recomputed = links.filter(
+        graft.functions.GraftFunctions.dvHash(Seq(col("doc_a_bk"))) =!= col("hub_document_hk_a") ||
+          graft.functions.GraftFunctions.dvHash(Seq(col("doc_b_bk"))) =!= col("hub_document_hk_b"))
+      assert(recomputed.count() == 0)
+    } finally links.unpersist()
+  }
+
+  test("dv_rts: load bitmap matches the cutoff slice and both loads are populated") {
+    import org.apache.spark.sql.functions._
+    val rts = SparkEntry.queries("dv_rts")(spark, sfDir).cache()
+    try {
+      val o = Tables.load(spark, sfDir, "orders")
+      assert(rts.count() == o.select("o_orderkey").distinct().count())
+      // in_load_1 is exactly the pre-cutoff membership
+      val expected1 = o.filter(to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+        .select(col("o_orderkey").cast("string").as("o_orderkey_bk")).distinct()
+      val flagged1 = rts.filter(col("in_load_1") === 1).select("o_orderkey_bk")
+      assert(flagged1.exceptAll(expected1).isEmpty && expected1.exceptAll(flagged1).isEmpty)
+      // the tracking is non-degenerate: keys exist on both sides of the cutoff
+      assert(rts.filter(col("in_load_1") === 1).count() > 0)
+      assert(rts.filter(col("in_load_1") === 0).count() > 0)
+      // first_load consistent with the bitmap; everything is in the full feed
+      assert(rts.filter(col("in_load_2") =!= 1).count() == 0)
+      assert(rts.filter(col("first_load") =!= when(col("in_load_1") === 1, 1L).otherwise(2L))
+        .count() == 0)
+    } finally rts.unpersist()
+  }
+
+  test("dv_sat_multiactive: dense per-key subsequence, multi-active keys exist") {
+    import org.apache.spark.sql.functions._
+    val ma = SparkEntry.queries("dv_sat_multiactive")(spark, sfDir).cache()
+    try {
+      assert(ma.count() == Tables.load(spark, sfDir, "orders").count())
+      // ma_seq is dense 1..n inside each hub key: max == count and sum == n(n+1)/2
+      val bad = ma.groupBy("hub_customer_hk")
+        .agg(count(lit(1)).as("n"), max("ma_seq").as("mx"), sum("ma_seq").as("sm"))
+        .filter(col("mx") =!= col("n") || col("sm") =!= expr("n * (n + 1) div 2"))
+      assert(bad.count() == 0)
+      // the satellite is genuinely multi-active at this SF
+      assert(ma.groupBy("hub_customer_hk").count().filter(col("count") > 1).count() > 0)
+    } finally ma.unpersist()
+  }
 }

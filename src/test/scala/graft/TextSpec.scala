@@ -54,4 +54,30 @@ class TextSpec extends SparkSpec {
     val total = df.agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total == docs)
   }
+
+  test("text_boilerplate: counts recompute from the df>=5 gram set and the signal partitions") {
+    val bp = SparkEntry.queries("text_boilerplate")(spark, sfDir).cache()
+    try {
+      // bounds: the boilerplate subset never exceeds the doc's gram set
+      assert(bp.filter(col("n_boiler") > col("n_grams") ||
+        col("boiler_micros") < 0 || col("boiler_micros") > 1000000L).count() == 0)
+      // independent recomputation: distinct 3-grams, df over docs, df >= 5
+      val sh = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), expr(graft.queries.Docs.toksSpark).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks)-2), k -> " +
+            "concat_ws(' ', element_at(toks,k), element_at(toks,k+1), element_at(toks,k+2))))"))
+          .as("gram"))
+      val boiler = sh.groupBy("gram").count().filter(col("count") >= 5).select("gram")
+      val expected = sh.join(boiler, "gram").groupBy("doc_id")
+        .agg(count(lit(1)).as("exp_boiler"))
+      val cmp = bp.join(expected, Seq("doc_id"), "left")
+        .withColumn("exp_boiler", coalesce(col("exp_boiler"), lit(0L)))
+      assert(cmp.filter(col("n_boiler") =!= col("exp_boiler")).count() == 0)
+      // the signal is non-degenerate at this SF: both flagged and clean docs
+      assert(bp.filter(col("n_boiler") > 0).count() > 0)
+      assert(bp.filter(col("n_boiler") === 0).count() > 0)
+    } finally bp.unpersist()
+  }
 }
