@@ -90,15 +90,29 @@ object Bpe extends QueryModule {
       trainMemo.keys.filter(_._1 eq s).toSeq.foreach(trainMemo.remove)
     }
     trainMemo.getOrElseUpdate((s, dir), {
+      // Checkpoint EVERY round, not just vocab0: foldSpark references
+      // `syms` three times, so CollapseProject inlines the previous
+      // round's expression ~3x into the next — without truncation the
+      // plan grows geometrically (measured 1.3→33.6 MiB task binaries
+      // over ten rounds). The cost is Merges copies of the compact
+      // vocab table in block storage — bounded and cheap.
       var vocab = vocab0(s, dir).localCheckpoint()
       val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-      for (k <- 1 to Merges) {
+      var exhausted = false
+      for (k <- 1 to Merges if !exhausted) {
         // bounded one-row collect: the argmax drives the next round
         val best = pairCounts(vocab)
-          .orderBy(col("pc").desc, col("l"), col("r")).head()
-        val (l, r) = (best.getString(0), best.getString(1))
-        merges += Merge(k, l, r, best.getLong(2))
-        vocab = vocab.withColumn("syms", expr(foldSpark(l, r))).localCheckpoint()
+          .orderBy(col("pc").desc, col("l"), col("r")).take(1)
+        if (best.isEmpty) {
+          // vocabulary fully merged before Merges rounds: stop — the
+          // oracle's later-round CTEs go empty the same way (best_k has
+          // no row, the LEFT JOIN carries vocab_k forward unchanged)
+          exhausted = true
+        } else {
+          val (l, r) = (best(0).getString(0), best(0).getString(1))
+          merges += Merge(k, l, r, best(0).getLong(2))
+          vocab = vocab.withColumn("syms", expr(foldSpark(l, r))).localCheckpoint()
+        }
       }
       (merges.toSeq, vocab)
     })
@@ -133,10 +147,15 @@ object Bpe extends QueryModule {
       val best =
         s"""best$k AS (
            |  SELECT l, r, pc FROM pairs$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin
+      // LEFT JOIN ON TRUE: when best_k is empty (vocabulary exhausted
+      // before Merges rounds) the round is an identity pass instead of
+      // annihilating the vocab — mirroring the Spark loop's early stop
       val next =
         s"""vocab${k + 1} AS (
-           |  SELECT word, cnt, ${foldDuck("b.l", "b.r")} AS syms
-           |  FROM vocab$k, best$k b)""".stripMargin
+           |  SELECT word, cnt,
+           |         CASE WHEN b.l IS NULL THEN syms
+           |              ELSE ${foldDuck("b.l", "b.r")} END AS syms
+           |  FROM vocab$k LEFT JOIN best$k b ON TRUE)""".stripMargin
       Seq(pairs, best, next)
     }
     first +: rounds
@@ -170,8 +189,10 @@ object Bpe extends QueryModule {
   private def bpeTokenizeSql: String =
     "WITH " + trainCtes.mkString(",\n") + ",\n" +
       s"""vocab_final AS (
-         |  SELECT word, cnt, ${foldDuck("b.l", "b.r")} AS syms
-         |  FROM vocab$Merges, best$Merges b),
+         |  SELECT word, cnt,
+         |         CASE WHEN b.l IS NULL THEN syms
+         |              ELSE ${foldDuck("b.l", "b.r")} END AS syms
+         |  FROM vocab$Merges LEFT JOIN best$Merges b ON TRUE),
          |word_lens AS (
          |  SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms
          |  FROM vocab_final),

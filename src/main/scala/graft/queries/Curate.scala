@@ -284,8 +284,9 @@ object Curate extends QueryModule {
   // lang's integer acceptance threshold = target * 2^20 / cnt over a
   // 20-bit hash space. Everything is BIGINT division — bit-identical in
   // both engines — and the corpus pass is one scan with a broadcast
-  // lang→threshold join: no window, no shuffle of document rows at all
-  // (the binding lang keeps threshold 2^20 and survives whole).
+  // lang→threshold join: no window, no shuffle of document rows at all.
+  // The binding lang's threshold sits at (or within one floor-quantum
+  // of) the full 2^20 hash space, so it survives (essentially) whole.
   private val MixWeights = Seq(("en", 40L), ("zh", 25L), ("de", 15L), ("fr", 10L), ("es", 10L))
   private val MixHashSpace = 1048576L // 2^20
 

@@ -87,6 +87,25 @@ class BpeSpec extends SparkSpec {
       col("n_tokens_bpe") > col("n_chars")).count() == 0)
   }
 
+  test("training stops early when the vocabulary exhausts, without crashing") {
+    import spark.implicits._
+    // only one merge is learnable: 'ab' contributes pair (a,b) once; after
+    // merging, every word is a single symbol and pair counts go empty
+    val dir = java.nio.file.Files.createTempDirectory("bpe_tiny").toString
+    Seq((0L, "a b ab", "en", "src0", 6L), (1L, "a b a", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (merges, vocabF) = queries.Bpe.trained(spark, dir)
+    assert(merges.size == 1 && merges.size < queries.Bpe.Merges)
+    assert(merges.head.lhs == "a" && merges.head.rhs == "b" && merges.head.pc == 1L)
+    // the final vocab is the fully-merged state, not an annihilated frame
+    val syms = vocabF.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms == Map("a" -> "a", "b" -> "b", "ab" -> "ab"))
+    // and the registered ops run end-to-end on the degenerate corpus
+    assert(SparkEntry.queries("bpe_train")(spark, dir).count() == 1)
+    assert(SparkEntry.queries("bpe_tokenize")(spark, dir).count() == 2)
+  }
+
   test("bpe_tokenize plan: vocab arrives as a broadcast join, no shuffle on word") {
     val plan = run("bpe_tokenize").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")

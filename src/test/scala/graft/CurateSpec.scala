@@ -152,10 +152,16 @@ class CurateSpec extends SparkSpec {
     val expected = docs.filter { case (_, l, h) => h < thr(l) }.map(_._1).toSet
     val kept = run("corpus_mix").collect().map(_.getLong(0)).toSet
     assert(kept == expected)
-    // the binding lang's threshold saturates the hash space: it survives whole
+    // the binding lang's threshold saturates the hash space EXACTLY when
+    // its weight divides cnt*100 (the floor chain is lossless then); in
+    // general it sits within one hash-quantum of saturation
     val binding = cnts.minBy { case (l, c) => c * 100L / weights(l) }._1
-    assert(thr(binding) == 1048576L)
-    assert(docs.count(_._2 == binding) == kept.count(id => docs.exists(d => d._1 == id && d._2 == binding)))
+    if (cnts(binding) * 100L % weights(binding) == 0L) {
+      assert(thr(binding) == 1048576L)
+      assert(docs.count(_._2 == binding) == kept.count(id => docs.exists(d => d._1 == id && d._2 == binding)))
+    }
+    assert(thr(binding) > 1048576L - 1048576L / cnts(binding) - 1L,
+      s"binding $binding threshold ${thr(binding)} far from saturation")
     // the mixture really partitions: a strict subset overall, nonempty per lang
     assert(kept.nonEmpty && kept.size < docs.length)
     weights.keys.foreach { l =>
@@ -177,8 +183,11 @@ class CurateSpec extends SparkSpec {
         val (k, d) = rows.partition(r => keptIds(r._1))
         // upper median: at least half of every source survives...
         assert(k.size >= (rows.size + 1) / 2, s"$src kept ${k.size}/${rows.size}")
-        // ...but not everything, unless the source's scores are all one value
-        assert(d.nonEmpty || rows.map(_._3).distinct.size == 1, s"$src dropped nothing")
+        // ...and drops nothing exactly when the bottom score bucket holds
+        // at least half the source (then the upper median IS the minimum)
+        val nMin = rows.count(_._3 == rows.map(_._3).min)
+        assert(d.nonEmpty || rows.size - nMin < (rows.size + 1) / 2,
+          s"$src dropped nothing but bottom bucket holds only $nMin/${rows.size}")
         // the cut is clean: every kept score >= every dropped score
         if (d.nonEmpty) assert(k.map(_._3).min > d.map(_._3).max, s"$src cut not clean")
       }
