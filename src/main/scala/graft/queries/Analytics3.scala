@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B (third tranche) — q2 and q11, the last two TPC-H forms,
+  * closing the full 22. The testdata has no `partsupp`, so both adapt the
+  * part-supplier relation from `lineitem` (the same reduced-schema
+  * adaptation q12/q19/q22 use): a supplier "supplies" a part iff it
+  * shipped it, and its supply cost is its cheapest shipped line price.
+  *
+  * Determinism (SURVEY §5): all money math decimal-first, the global
+  * fraction threshold in q11 is an exact integer-multiplier compare
+  * (value*1000 > total — no division, no doubles), and every output has
+  * a total deterministic ORDER BY including the supplier/part keys.
+  */
+object Analytics3 extends QueryModule with MoneyArithmetic {
+
+  // ------------------------------------------------ q2_min_cost_supplier
+  // Q2's shape: a per-part aggregate subquery (min supply cost within a
+  // region) joined back against the supplying relation to pick the
+  // cheapest supplier(s) for each selected part. Decorrelated into two
+  // aggregations on the part key — co-partitioned, so the min-cost join
+  // is shuffle-free after the first exchange. Supplier⋈nation⋈region and
+  // part are broadcast dimension sides; the only corpus-scale work is
+  // the (part, supp) aggregation of lineitem.
+  private val Q2Region = "EUROPE"
+  private val Q2Type = "STANDARD"
+  private val Q2MaxSize = 10
+  private val Q2TopK = 100
+
+  private def q2(s: SparkSession, dir: String): DataFrame = {
+    val cost = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("cost"))
+    val supp = Tables.load(s, dir, "supplier")
+      .join(Tables.load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === Q2Region)
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val sc = cost.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val minc = sc.groupBy(col("l_partkey").as("pk")).agg(min("cost").as("min_cost"))
+    val parts = Tables.load(s, dir, "part")
+      .filter(col("p_type") === Q2Type && col("p_size") <= Q2MaxSize)
+      .select("p_partkey", "p_brand")
+    sc.join(minc, col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("cost").cast("double").as("supply_cost"), col("s_suppkey"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(Q2TopK)
+  }
+
+  private val q2Sql = s"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = '$Q2Region'),
+    sc AS (
+      SELECT c.l_partkey, c.cost, s.s_suppkey, s.s_name, s.s_acctbal, s.n_name
+      FROM cost c JOIN supp s ON s.s_suppkey = c.l_suppkey),
+    minc AS (
+      SELECT l_partkey AS pk, min(cost) AS min_cost FROM sc GROUP BY l_partkey)
+    SELECT sc.s_acctbal, sc.s_name, sc.n_name, p.p_partkey, p.p_brand,
+           CAST(sc.cost AS DOUBLE) AS supply_cost, sc.s_suppkey
+    FROM sc
+    JOIN minc ON minc.pk = sc.l_partkey AND sc.cost = minc.min_cost
+    JOIN part p ON p.p_partkey = sc.l_partkey
+    WHERE p.p_type = '$Q2Type' AND p.p_size <= $Q2MaxSize
+    ORDER BY sc.s_acctbal DESC, sc.n_name, sc.s_name, p.p_partkey, sc.s_suppkey
+    LIMIT $Q2TopK"""
+
+  // ------------------------------------------------- q11_important_parts
+  // Q11's shape: per-group value vs a fraction of the GLOBAL total. The
+  // corpus-scale work is one (part) aggregation of the nation's lines;
+  // the global total is a bounded ONE-ROW collect off that same compact
+  // per-part frame (the BPE-argmax pattern), inlined as an exact decimal
+  // literal — no single-partition window, no constant-key join for the
+  // plan sweep to ban. The fraction compare is value*1000 > total:
+  // integer multiplier, exact in both engines.
+  // Region, not the classic single nation: the synthetic testdata has only
+  // 10 suppliers at sf0.001 and some nations are empty there — a region is
+  // populated at every SF, so the op is non-hollow at all three gates.
+  private val Q11Region = "ASIA"
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.load(s, dir, "supplier")
+      .join(Tables.load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === Q11Region)
+      .select("s_suppkey")
+    val value = Tables.load(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(discPrice).as("value"))
+    val total = value.agg(sum(col("value"))).head().getDecimal(0)
+    value.filter(col("value") * lit(1000) > lit(total))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  private val q11Sql = s"""
+    WITH supp AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = '$Q11Region'),
+    value AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST('1.00' AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS value
+      FROM lineitem JOIN supp ON s_suppkey = l_suppkey
+      GROUP BY l_partkey),
+    total AS (SELECT sum(value) AS t FROM value)
+    SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM value, total
+    WHERE value * 1000 > t
+    ORDER BY part_value DESC, p_partkey"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
+    QueryDef("q11_important_parts", q11, Some(q11Sql))
+  )
+}

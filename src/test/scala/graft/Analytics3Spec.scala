@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.Analytics3
+import org.apache.spark.sql.functions._
+
+class Analytics3Spec extends SparkSpec {
+
+  test("q2 and q11 run and return rows on sf0.001") {
+    Analytics3.defs.foreach { d =>
+      assert(d.run(spark, sfDir).count() > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("q2: every returned supplier really has the part's min cost in region") {
+    val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir).cache()
+    try {
+      // recompute the regional min independently and join back
+      val cost = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(12,2)")).as("c"))
+      val eu = Tables.load(spark, sfDir, "supplier")
+        .join(Tables.load(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE").select(col("s_suppkey").as("sk"))
+      val minc = cost.join(eu, col("l_suppkey") === col("sk"))
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(min("c").cast("double").as("true_min"))
+      val bad = q2.join(minc, col("p_partkey") === col("pk"))
+        .filter(col("supply_cost") =!= col("true_min"))
+      assert(bad.count() == 0, "a returned supplier does not match the true regional min")
+      // (part, supplier) rows are unique — the min-cost join can't fan out
+      assert(q2.groupBy("p_partkey", "s_suppkey").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q2.unpersist()
+  }
+
+  test("q11: kept parts clear the exact global-fraction threshold, dropped don't") {
+    val q11 = SparkEntry.queries("q11_important_parts")(spark, sfDir).cache()
+    try {
+      val supp = Tables.load(spark, sfDir, "supplier")
+        .join(Tables.load(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA").select("s_suppkey")
+      val value = Tables.load(spark, sfDir, "lineitem")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(4,2)")))
+          .as("v"))
+      val rows = value.collect().map(r => r.getLong(0) -> r.getDecimal(1))
+      val total = rows.map(_._2.asInstanceOf[java.math.BigDecimal]).reduce(_.add(_))
+      val expected = rows.filter { case (_, v) =>
+        v.multiply(new java.math.BigDecimal(1000)).compareTo(total) > 0
+      }.map(_._1).toSet
+      val kept = q11.collect().map(_.getLong(0)).toSet
+      assert(kept == expected, s"kept ${kept.size} vs expected ${expected.size}")
+      // the threshold genuinely partitions: strict nonempty subset
+      assert(kept.nonEmpty && kept.size < rows.length)
+    } finally q11.unpersist()
+  }
+
+  test("q2/q11 plans: dimension sides broadcast, no corpus-side broadcast") {
+    val p2 = SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), s"q2 dims not broadcast:\n$p2")
+    val p11 = SparkEntry.queries("q11_important_parts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p11.contains("BroadcastHashJoin"), s"q11 supp not broadcast:\n$p11")
+  }
+}
