@@ -353,6 +353,83 @@ object DataVault extends QueryModule {
       .drop("c_custkey")
   }
 
+  /** Effectivity satellite — DV 2.0's "which relationship is in force"
+    * object: for a DRIVING key, the secondary-key assignments ordered in
+    * time, each with its validity window. Driving key = part; a supplier's
+    * assignment to a part becomes effective at its first shipment and
+    * expires when the next supplier's first shipment arrives (LEAD over
+    * the per-part assignment sequence; open end = the vault's 9999 high
+    * date). One (part, supp) aggregation of lineitem, then a window
+    * PARTITIONED BY the driving key — keyed corpus partitions, never
+    * global. Ties (two suppliers, same first-ship date) sequence
+    * deterministically by the supplier bk.
+    */
+  private val EffHighDate = "9999-12-31"
+
+  private def effSat(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").cast("string").as("p_partkey_bk"),
+        col("l_suppkey").cast("string").as("s_suppkey_bk"))
+      .agg(min(to_date(col("l_shipdate"))).as("eff_from_d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_partkey_bk").orderBy("eff_from_d", "s_suppkey_bk")
+    a.withColumn("eff_to_d", lead("eff_from_d", 1).over(w))
+      .select(dvHash(Seq(col("p_partkey_bk"))).as("hub_part_hk"),
+        dvHash(Seq(col("p_partkey_bk"), col("s_suppkey_bk"))).as("link_part_supplier_hk"),
+        col("p_partkey_bk"), col("s_suppkey_bk"),
+        col("eff_from_d").cast("string").as("eff_from"),
+        coalesce(col("eff_to_d").cast("string"), lit(EffHighDate)).as("eff_to"),
+        when(col("eff_to_d").isNull, 1L).otherwise(0L).as("is_current"),
+        lit(DvDefaults.LoadTs).as("load_ts"),
+        lit(DvDefaults.recordSource("lineitem")).as("record_source"))
+      .orderBy("hub_part_hk", "eff_from", "s_suppkey_bk")
+  }
+
+  private val effSatSql =
+    s"""WITH a AS (
+       |  SELECT CAST(l_partkey AS VARCHAR) AS p_partkey_bk,
+       |         CAST(l_suppkey AS VARCHAR) AS s_suppkey_bk,
+       |         min(CAST(l_shipdate AS DATE)) AS eff_from_d
+       |  FROM lineitem GROUP BY 1, 2),
+       |seq AS (
+       |  SELECT *, lead(eff_from_d) OVER (PARTITION BY p_partkey_bk
+       |           ORDER BY eff_from_d, s_suppkey_bk) AS eff_to_d
+       |  FROM a)
+       |SELECT ${dvHashSql(Seq("p_partkey_bk"))} AS hub_part_hk,
+       |  ${dvHashSql(Seq("p_partkey_bk", "s_suppkey_bk"))} AS link_part_supplier_hk,
+       |  p_partkey_bk, s_suppkey_bk,
+       |  CAST(eff_from_d AS VARCHAR) AS eff_from,
+       |  coalesce(CAST(eff_to_d AS VARCHAR), '$EffHighDate') AS eff_to,
+       |  CAST(CASE WHEN eff_to_d IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       |  '${DvDefaults.LoadTs}' AS load_ts,
+       |  '${DvDefaults.recordSource("lineitem")}' AS record_source
+       |FROM seq ORDER BY hub_part_hk, eff_from, s_suppkey_bk""".stripMargin
+
+  /** Reference table — DV 2.0's non-hub master data: small descriptive
+    * sets (here nation enriched with its region) land as a keyed
+    * reference table with a hash-diff, NOT as hubs/links — resolving
+    * codes at query time is a broadcast join against this table. The
+    * whole thing is dimension-scale by definition.
+    */
+  private def refTable(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "nation")
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").cast("string").as("ref_key"),
+        col("n_name"), col("r_name"),
+        dvHash(Seq(col("n_name"), col("r_name"))).as("hash_diff"),
+        lit(DvDefaults.LoadTs).as("load_ts"),
+        lit(DvDefaults.recordSource("nation")).as("record_source"))
+      .orderBy("ref_key")
+  }
+
+  private val refTableSql =
+    s"""SELECT CAST(n_nationkey AS VARCHAR) AS ref_key, n_name, r_name,
+       |  ${dvHashSql(Seq("n_name", "r_name"))} AS hash_diff,
+       |  '${DvDefaults.LoadTs}' AS load_ts,
+       |  '${DvDefaults.recordSource("nation")}' AS record_source
+       |FROM nation JOIN region ON r_regionkey = n_regionkey
+       |ORDER BY ref_key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dv_source_catalog",
       (s, d) => Catalog.introspect(s, d), Some(DvSqlGen.catalogSql)),
@@ -435,6 +512,8 @@ object DataVault extends QueryModule {
     QueryDef("dv_same_as_link", sameAsLink, Some(sameAsLinkSql)),
     QueryDef("dv_rts", rts, Some(rtsSql)),
     QueryDef("dv_sat_multiactive", satMultiactive, Some(satMultiactiveSql)),
+    QueryDef("dv_eff_sat", effSat, Some(effSatSql)),
+    QueryDef("dv_ref_table", refTable, Some(refTableSql)),
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),

@@ -817,7 +817,71 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ----------------------------------------------------------- sim_maxsim
+  // Multi-vector late interaction (the ColBERT scoring shape): each 64-dim
+  // embedding is read as 4 × 16-dim sub-vectors ("token embeddings");
+  // score(q, d) = Σ_i max_j cos(q_i, d_j). Same scale story as knn_cosine:
+  // the query side is the CONSTANT 50-vector set, broadcast, so the corpus
+  // side is one scan-local pass with 16 codegen'd sub-cosines per pair —
+  // constant work per row, linear overall. Determinism: every sub-cosine
+  // is the index-ordered native kernel, greatest() is order-independent
+  // max, and the 4-term sum is left-associated identically in both
+  // engines — bit-identical doubles, no rounding.
+  private val SubVecs = 4
+  private val SubDim = Dim / SubVecs
+
+  private def maxsimScore(qe: Column, de: Column): Column = {
+    def sub(c: Column, k: Int): Column = slice(c, k * SubDim + 1, SubDim)
+    (0 until SubVecs).map { i =>
+      greatest((0 until SubVecs).map(j => graftCosine(sub(qe, i), sub(de, j))): _*)
+    }.reduceLeft(_ + _)
+  }
+
+  private def maxsim(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        maxsimScore(col("qe"), col("embedding")).as("maxsim"))
+    val w = Window.partitionBy("query_id").orderBy(col("maxsim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "maxsim")
+      .orderBy("query_id", "rank")
+  }
+
+  private def sliceDuck(c: String, k: Int): String =
+    s"$c[${k * SubDim + 1}:${(k + 1) * SubDim}]"
+
+  private def dotSubDuck(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $SubDim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSubDuck(a: String, b: String): String =
+    s"(${dotSubDuck(a, b)} / (sqrt(${dotSubDuck(a, a)}) * sqrt(${dotSubDuck(b, b)})))"
+
+  private val maxsimSql = {
+    val score = (0 until SubVecs).map { i =>
+      val qs = sliceDuck("q.qe", i)
+      "greatest(" + (0 until SubVecs).map(j =>
+        cosSubDuck(qs, sliceDuck("v.embedding", j))).mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH queries AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $KnnQueries),
+       |pairs AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id, $score AS maxsim
+       |  FROM embeddings v JOIN queries q ON v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, maxsim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, maxsim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_maxsim", maxsim, Some(maxsimSql)),
     QueryDef("knn_cosine", knn, Some(knnSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),

@@ -175,4 +175,43 @@ class DataVaultSpec extends SparkSpec {
       assert(ma.groupBy("hub_customer_hk").count().filter(col("count") > 1).count() > 0)
     } finally ma.unpersist()
   }
+
+  test("dv_eff_sat: validity windows tile each driving key, one current row per key") {
+    import org.apache.spark.sql.functions._
+    val eff = SparkEntry.queries("dv_eff_sat")(spark, sfDir).cache()
+    try {
+      // exactly one open-ended current row per driving key
+      val perKey = eff.groupBy("p_partkey_bk")
+        .agg(sum("is_current").as("nc"), count(lit(1)).as("n"))
+      assert(perKey.filter(col("nc") =!= 1).count() == 0)
+      // windows tile: this row's eff_to equals the next row's eff_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_partkey_bk").orderBy("eff_from", "s_suppkey_bk")
+      val gaps = eff.withColumn("next_from", lead("eff_from", 1).over(w))
+        .filter(col("next_from").isNotNull && col("eff_to") =!= col("next_from"))
+      assert(gaps.count() == 0, "validity windows must tile without gaps/overlap")
+      // current rows carry the vault high date
+      assert(eff.filter(col("is_current") === 1 && col("eff_to") =!= "9999-12-31").count() == 0)
+      // eff_from really is the (part, supp) first shipment
+      val first = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_partkey").cast("string").as("p_partkey_bk"),
+          col("l_suppkey").cast("string").as("s_suppkey_bk"))
+        .agg(min(to_date(col("l_shipdate"))).cast("string").as("true_from"))
+      assert(eff.join(first, Seq("p_partkey_bk", "s_suppkey_bk"))
+        .filter(col("eff_from") =!= col("true_from")).count() == 0)
+    } finally eff.unpersist()
+  }
+
+  test("dv_ref_table: one row per code, resolvable by a broadcast join") {
+    import org.apache.spark.sql.functions._
+    val ref = SparkEntry.queries("dv_ref_table")(spark, sfDir).cache()
+    try {
+      assert(ref.count() == Tables.load(spark, sfDir, "nation").count())
+      assert(ref.groupBy("ref_key").count().filter(col("count") > 1).count() == 0)
+      // resolving a fact's code against the reference table loses nothing
+      val resolved = Tables.load(spark, sfDir, "customer")
+        .join(broadcast(ref), col("c_nationkey").cast("string") === col("ref_key"))
+      assert(resolved.count() == Tables.load(spark, sfDir, "customer").count())
+    } finally ref.unpersist()
+  }
 }

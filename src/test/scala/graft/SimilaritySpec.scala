@@ -218,4 +218,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hitRate >= 3 * noise,
       s"bucket hit rate $hitRate (${hits} of ${ann.count()}) vs noise $noise")
   }
+
+  test("sim_maxsim: 50×5 ranked rows, scores in [-4, 4], descending per query") {
+    import org.apache.spark.sql.functions._
+    val ms = SparkEntry.queries("sim_maxsim")(spark, sfDir).cache()
+    try {
+      assert(ms.count() == 250)
+      assert(ms.filter(col("maxsim") > 4.0 || col("maxsim") < -4.0).count() == 0)
+      // rank order is score order within each query
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      assert(ms.withColumn("prev", lag("maxsim", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("maxsim")).count() == 0)
+      // on the near-orthogonal corpus a random pair's sub-cosines center
+      // on 0, but max over 4 candidates biases positive — top-1 scores
+      // must clear the zero noise floor
+      assert(ms.filter(col("rank") === 1).filter(col("maxsim") < 0.0).count() == 0,
+        "top-1 late-interaction scores should clear the orthogonal noise floor")
+    } finally ms.unpersist()
+  }
 }
