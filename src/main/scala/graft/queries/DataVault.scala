@@ -405,6 +405,52 @@ object DataVault extends QueryModule {
        |  '${DvDefaults.recordSource("lineitem")}' AS record_source
        |FROM seq ORDER BY hub_part_hk, eff_from, s_suppkey_bk""".stripMargin
 
+  /** The end-to-end "auto" proof: a BI aggregate answered THROUGH the
+    * classification-derived vault (DvGo.derivedPlan — no hand-written
+    * specs anywhere in this lineage) whose numbers must equal the same
+    * question asked directly of the sources. Fact = derived link_orders,
+    * attributes = derived sat_orders / sat_customer, codes resolved via
+    * the broadcast reference table. If the classifier, the plan
+    * derivation, or any vault build were wrong, the revenue would differ
+    * and the oracle hash would catch it. Scale shape: two keyed sat
+    * joins co-partitioned on the hub keys + one broadcast ref join,
+    * then a low-cardinality aggregation.
+    */
+  private def martAuto(s: SparkSession, dir: String): DataFrame = {
+    val plan = DvGo.derivedPlan(s, dir)
+    def satSpec(n: String) = plan.sats.find(_.name == n)
+      .getOrElse(sys.error(s"derived plan lacks sat_$n"))
+    def linkSpec(n: String) = plan.links.find(_.name == n)
+      .getOrElse(sys.error(s"derived plan lacks link_$n"))
+    val fact = DvBuild.link(s, dir, linkSpec("orders"))
+      .select("hub_order_hk", "hub_customer_hk")
+    val oAttrs = DvBuild.sat(s, dir, satSpec("orders"))
+      .select(col("hub_order_hk"), col("o_orderstatus"), col("o_totalprice"))
+    val cAttrs = DvBuild.sat(s, dir, satSpec("customer"))
+      .select(col("hub_customer_hk"), col("c_nationkey"))
+    val ref = Tables.load(s, dir, "nation")
+      .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    fact.join(oAttrs, "hub_order_hk")
+      .join(cAttrs, "hub_customer_hk")
+      .join(broadcast(ref), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name").as("region"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_revenue"))
+      .orderBy("region", "o_orderstatus")
+  }
+
+  private val martAutoSql =
+    """SELECT r_name AS region, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+      |FROM orders
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |GROUP BY r_name, o_orderstatus
+      |ORDER BY region, o_orderstatus""".stripMargin
+
   /** Reference table — DV 2.0's non-hub master data: small descriptive
     * sets (here nation enriched with its region) land as a keyed
     * reference table with a hash-diff, NOT as hubs/links — resolving
@@ -514,6 +560,7 @@ object DataVault extends QueryModule {
     QueryDef("dv_sat_multiactive", satMultiactive, Some(satMultiactiveSql)),
     QueryDef("dv_eff_sat", effSat, Some(effSatSql)),
     QueryDef("dv_ref_table", refTable, Some(refTableSql)),
+    QueryDef("dv_mart_auto", martAuto, Some(martAutoSql)),
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),

@@ -202,6 +202,23 @@ class DataVaultSpec extends SparkSpec {
     } finally eff.unpersist()
   }
 
+  test("dv_mart_auto: the derived-vault answer equals the direct-source answer") {
+    import org.apache.spark.sql.functions._
+    val viaVault = SparkEntry.queries("dv_mart_auto")(spark, sfDir)
+    val direct = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"), col("c_custkey") === col("o_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.load(spark, sfDir, "region"), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name").as("region"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_revenue"))
+    assert(viaVault.exceptAll(direct).isEmpty && direct.exceptAll(viaVault).isEmpty,
+      "the vault-mediated aggregate must equal the direct one")
+    // conservation: every order lands in exactly one cell
+    val total = viaVault.agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(total == Tables.load(spark, sfDir, "orders").count())
+  }
+
   test("dv_ref_table: one row per code, resolvable by a broadcast join") {
     import org.apache.spark.sql.functions._
     val ref = SparkEntry.queries("dv_ref_table")(spark, sfDir).cache()

@@ -205,4 +205,35 @@ class StreamingSpec extends SparkSpec {
     assert(hub.count() == 3)
     assert(hub.select("hub_hk").distinct().count() == 3)
   }
+
+  test("streaming mart refresh: order batches land as resolved mart rows, no double-inserts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_mart").toString
+    val dims = Streams.martDims(spark, sfDir)
+    // pick two real customers so the dim join resolves
+    val custs = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey")).orderBy("c_custkey").limit(2)
+      .collect().map(_.getLong(0))
+    val mem = MemoryStream[Streams.OrderRow]
+    val q = Streams.martRefreshSink(mem.toDF(), dims, s"$dir/mart", s"$dir/ckpt").start()
+    mem.addData(
+      Streams.OrderRow(9001L, custs(0), "O", 100.0),
+      Streams.OrderRow(9002L, custs(1), "F", 250.0))
+    q.processAllAvailable()
+    mem.addData(
+      Streams.OrderRow(9001L, custs(0), "O", 100.0), // redelivered — must not double-land
+      Streams.OrderRow(9003L, custs(0), "P", 75.0))
+    q.processAllAvailable()
+    q.stop()
+    val mart = spark.read.parquet(s"$dir/mart")
+    assert(mart.count() == 3)
+    assert(mart.select("hub_order_hk").distinct().count() == 3)
+    // the dimension resolved: every row carries a real region name
+    val regions = Tables.load(spark, sfDir, "region")
+      .select("r_name").collect().map(_.getString(0)).toSet
+    assert(mart.select("region").collect().forall(r => regions(r.getString(0))))
+    // insert-only: the batch-1 row kept its original attributes
+    assert(mart.filter(col("o_orderkey_bk") === "9001").count() == 1)
+  }
 }
