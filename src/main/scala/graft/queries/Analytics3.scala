@@ -125,8 +125,73 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
     WHERE value * 1000 > t
     ORDER BY part_value DESC, p_partkey"""
 
+  // --------------------------------------------------- agg_grouping_sets
+  // The third member of the multi-dimensional aggregate family (rollup and
+  // cube are #23/#24): explicit GROUPING SETS with grouping_id
+  // disambiguating a real NULL group from an aggregated-away dimension.
+  // SQL surface deliberately (no DataFrame API for arbitrary sets) —
+  // Catalyst expands it to one Expand + one aggregation, the same plan
+  // shape rollup gets. Both engines put the FIRST grouping_id argument in
+  // the most significant bit (Postgres semantics).
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("c_mktsegment"), dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("graft_gs_src")
+    s.sql("""
+      SELECT coalesce(r_name, 'ALL') AS region,
+             coalesce(c_mktsegment, 'ALL') AS segment,
+             cast(grouping_id(r_name, c_mktsegment) as bigint) AS gid,
+             cast(sum(price) as double) AS revenue,
+             count(*) AS n_orders
+      FROM graft_gs_src
+      GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+      ORDER BY gid, region, segment""")
+  }
+
+  private val groupingSetsSql = """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+    ORDER BY gid, region, segment"""
+
+  // -------------------------------------------------------- events_pivot
+  // PIVOT with an EXPLICIT value list: the implicit form would scan the
+  // data to discover column names (a driver-side distinct at corpus
+  // scale, and a schema that drifts with the data) — the fixed list keeps
+  // the plan one groupBy + conditional aggregation, schema static.
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events")
+      .withColumn("day", to_date(timestamp_millis(expr("ts div 1000000"))).cast("string"))
+      .groupBy("day").pivot("event_type", PivotTypes).agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .select(col("day") +: PivotTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
+  private val eventsPivotSql = {
+    val cols = PivotTypes.map(t =>
+      s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t").mkString(",\n           ")
+    s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       |           $cols
+       |    FROM events GROUP BY day ORDER BY day""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
-    QueryDef("q11_important_parts", q11, Some(q11Sql))
+    QueryDef("q11_important_parts", q11, Some(q11Sql)),
+    QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("events_pivot", eventsPivot, Some(eventsPivotSql))
   )
 }

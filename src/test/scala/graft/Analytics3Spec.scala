@@ -59,6 +59,35 @@ class Analytics3Spec extends SparkSpec {
     } finally q11.unpersist()
   }
 
+  test("agg_grouping_sets: each set partitions the same orders, gid disambiguates") {
+    val gs = SparkEntry.queries("agg_grouping_sets")(spark, sfDir).cache()
+    try {
+      val orders = Tables.load(spark, sfDir, "orders").count()
+      // every grouping set independently partitions all orders
+      for (gid <- Seq(0L, 1L, 2L)) {
+        val n = gs.filter(col("gid") === gid).agg(sum("n_orders")).collect()(0).getLong(0)
+        assert(n == orders, s"grouping set gid=$gid covers $n of $orders orders")
+      }
+      // gid=1 aggregates the segment away: its rows carry segment='ALL'
+      assert(gs.filter(col("gid") === 1 && col("segment") =!= "ALL").count() == 0)
+      assert(gs.filter(col("gid") === 2 && col("region") =!= "ALL").count() == 0)
+      assert(gs.filter(col("gid") === 0)
+        .filter(col("region") === "ALL" || col("segment") === "ALL").count() == 0)
+    } finally gs.unpersist()
+  }
+
+  test("events_pivot: per-day type counts conserve the event total") {
+    val pv = SparkEntry.queries("events_pivot")(spark, sfDir).cache()
+    try {
+      val total = pv.agg(sum(expr("n_click + n_error + n_purchase + n_signup + n_view")))
+        .collect()(0).getLong(0)
+      assert(total == Tables.load(spark, sfDir, "events").count())
+      // the pivot is genuinely multi-column: every type fires somewhere
+      for (t <- Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view"))
+        assert(pv.agg(sum(col(t))).collect()(0).getLong(0) > 0, s"$t never fires")
+    } finally pv.unpersist()
+  }
+
   test("q2/q11 plans: dimension sides broadcast, no corpus-side broadcast") {
     val p2 = SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir)
       .queryExecution.executedPlan.toString
