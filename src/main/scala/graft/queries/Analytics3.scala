@@ -96,10 +96,14 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
       .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === Q11Region)
       .select("s_suppkey")
+    // localCheckpoint: the total collect and the filtered output are two
+    // actions over this lineage — without materializing the compact
+    // per-part frame the corpus aggregation would run twice.
     val value = Tables.load(s, dir, "lineitem")
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
       .agg(sum(discPrice).as("value"))
+      .localCheckpoint()
     val total = value.agg(sum(col("value"))).head().getDecimal(0)
     value.filter(col("value") * lit(1000) > lit(total))
       .select(col("l_partkey").as("p_partkey"),

@@ -282,16 +282,29 @@ object Streams {
 
   def martRefreshBatch(spark: SparkSession, batch: DataFrame, dims: DataFrame,
                        martPath: String, loadTs: String): Unit = {
+    // Within-batch dedup must be BY KEY, not by full row: one micro-batch
+    // can carry the same order twice with differing attributes (an update
+    // delivered alongside the insert) — keep one deterministic
+    // representative per key (min by attribute order), or the mart-level
+    // anti-join would let both rows land.
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey_bk")
+      .orderBy("o_orderstatus", "o_totalprice", "o_custkey_bk")
     val rows = batch
       .select(col("o_orderkey").cast("string").as("o_orderkey_bk"),
         col("o_custkey").cast("string").as("o_custkey_bk"),
         col("o_orderstatus"), col("o_totalprice"))
-      .distinct()
-      .join(broadcast(dims), col("o_custkey_bk") === col("c_custkey_bk"))
+      .withColumn("rn", row_number().over(perKey)).filter(col("rn") === 1).drop("rn")
+      // LEFT join: a fact whose customer has not reached the dimension yet
+      // must still land (the stream never redelivers it — an inner join
+      // would lose it forever). It lands under the UNKNOWN member, the
+      // mart twin of the vault's ghost records.
+      .join(broadcast(dims), col("o_custkey_bk") === col("c_custkey_bk"), "left")
       .select(dvHash(Seq(col("o_orderkey_bk"))).as("hub_order_hk"),
         lit(loadTs).as("load_ts"),
         col("o_orderkey_bk"), col("o_custkey_bk"),
-        col("o_orderstatus"), col("o_totalprice"), col("region"))
+        col("o_orderstatus"), col("o_totalprice"),
+        coalesce(col("region"), lit("UNKNOWN")).as("region"))
     val novel =
       try {
         val existing = spark.read.parquet(martPath).select("hub_order_hk")

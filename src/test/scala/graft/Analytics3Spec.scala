@@ -92,8 +92,13 @@ class Analytics3Spec extends SparkSpec {
     val p2 = SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(p2.contains("BroadcastHashJoin"), s"q2 dims not broadcast:\n$p2")
+    // q11's surface plan starts at the localCheckpoint of the compact
+    // per-part frame (the corpus aggregation ran ONCE during
+    // construction, shared by the total collect and the output) — assert
+    // exactly that shape: a checkpoint scan, not a re-run of the join.
     val p11 = SparkEntry.queries("q11_important_parts")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p11.contains("BroadcastHashJoin"), s"q11 supp not broadcast:\n$p11")
+    assert(p11.contains("ExistingRDD"), s"q11 should read its checkpointed frame:\n$p11")
+    assert(!p11.contains("BroadcastHashJoin"), s"q11 re-ran the corpus join:\n$p11")
   }
 }

@@ -223,16 +223,26 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(
       Streams.OrderRow(9001L, custs(0), "O", 100.0), // redelivered — must not double-land
-      Streams.OrderRow(9003L, custs(0), "P", 75.0))
+      Streams.OrderRow(9003L, custs(0), "P", 75.0),
+      Streams.OrderRow(9003L, custs(0), "F", 75.0), // same key TWICE in one batch
+      Streams.OrderRow(9004L, 999999L, "O", 10.0))  // customer not in the dimension
     q.processAllAvailable()
     q.stop()
     val mart = spark.read.parquet(s"$dir/mart")
-    assert(mart.count() == 3)
-    assert(mart.select("hub_order_hk").distinct().count() == 3)
-    // the dimension resolved: every row carries a real region name
+    assert(mart.count() == 4)
+    assert(mart.select("hub_order_hk").distinct().count() == 4)
+    // within-batch same-key delivery kept ONE deterministic representative
+    assert(mart.filter(col("o_orderkey_bk") === "9003").count() == 1)
+    assert(mart.filter(col("o_orderkey_bk") === "9003")
+      .select("o_orderstatus").collect()(0).getString(0) == "F")
+    // a fact whose customer hasn't reached the dimension still lands (UNKNOWN member)
+    assert(mart.filter(col("o_orderkey_bk") === "9004")
+      .select("region").collect()(0).getString(0) == "UNKNOWN")
+    // the dimension resolved for every known customer
     val regions = Tables.load(spark, sfDir, "region")
       .select("r_name").collect().map(_.getString(0)).toSet
-    assert(mart.select("region").collect().forall(r => regions(r.getString(0))))
+    assert(mart.filter(col("o_orderkey_bk") =!= "9004")
+      .select("region").collect().forall(r => regions(r.getString(0))))
     // insert-only: the batch-1 row kept its original attributes
     assert(mart.filter(col("o_orderkey_bk") === "9001").count() == 1)
   }
