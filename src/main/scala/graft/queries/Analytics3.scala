@@ -192,10 +192,56 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
        |    FROM events GROUP BY day ORDER BY day""".stripMargin
   }
 
+  // --------------------------------------------------- events_transitions
+  // First-order Markov transition matrix over the event stream — the path-
+  // analysis primitive behind "what do users do after X". One keyed window
+  // (per-user lag, never global) produces the (prev, next) pairs; two
+  // aggregations over the TYPE×TYPE key space (25 cells here — bounded by
+  // the type vocabulary, not the corpus) give counts and the per-prev
+  // transition probability. Probability is exact BIGINT micro-units
+  // ((n·1e6) div total — integer division, identical both engines); the
+  // corpus-scale work is the one per-user shuffle every sessionize-family
+  // op already pays.
+  private def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("prev_type")
+      .agg(sum("n_transitions").as("n_from_prev"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        col("n_from_prev"),
+        expr("(n_transitions * 1000000) div n_from_prev").as("p_micro"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val eventsTransitionsSql = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+    totals AS (
+      SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from_prev
+      FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.n_transitions, t.n_from_prev,
+           CAST((p.n_transitions * 1000000) // t.n_from_prev AS BIGINT) AS p_micro
+    FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+    ORDER BY p.prev_type, p.next_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
     QueryDef("q11_important_parts", q11, Some(q11Sql)),
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
-    QueryDef("events_pivot", eventsPivot, Some(eventsPivotSql))
+    QueryDef("events_pivot", eventsPivot, Some(eventsPivotSql)),
+    QueryDef("events_transitions", eventsTransitions, Some(eventsTransitionsSql))
   )
 }

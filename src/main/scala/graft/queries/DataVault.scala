@@ -476,6 +476,77 @@ object DataVault extends QueryModule {
        |FROM nation JOIN region ON r_regionkey = n_regionkey
        |ORDER BY ref_key""".stripMargin
 
+  /** Status-tracking satellite — DV 2.0's soft-delete detector, the
+    * companion of the record-tracking satellite (`dv_rts`): a full source
+    * snapshot diffed against the previous full load emits one insert-only
+    * status row per CHANGE — 'I' on first appearance, 'U' when the
+    * descriptor hash-diff moved, 'D' when a key the vault knows stopped
+    * arriving (the only way an insert-only vault learns about source
+    * deletes). Unchanged keys emit nothing. The T2 snapshot simulates a
+    * source month later: ~1/17 of customers deleted, ~1/13 re-segmented.
+    * Scale shape: ONE full-outer equi-join on the business key (at real
+    * scale both sides bucketed on the hub hk), never a row-wise diff.
+    */
+  private val StsT2 = "2024-02-01 00:00:00"
+
+  private def satStatus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("string").as("c_custkey_bk"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val snap1 = base.select(col("c_custkey_bk"),
+      dvHash(Seq(col("c_name"), col("c_mktsegment"))).as("hd"))
+    val snap2 = base
+      .filter(col("c_custkey") % 17 =!= 3)
+      .withColumn("seg2",
+        when(col("c_custkey") % 13 === 5, concat(col("c_mktsegment"), lit("/MOVED")))
+          .otherwise(col("c_mktsegment")))
+      .select(col("c_custkey_bk").as("bk2"),
+        dvHash(Seq(col("c_name"), col("seg2"))).as("hd2"))
+    val t1 = snap1.select(col("c_custkey_bk"), lit(DvDefaults.LoadTs).as("load_ts"),
+      lit("I").as("status"))
+    val t2 = snap1.join(snap2, col("c_custkey_bk") === col("bk2"), "full_outer")
+      .withColumn("status",
+        when(col("bk2").isNull, "D")
+          .when(col("c_custkey_bk").isNull, "I")
+          .when(col("hd") =!= col("hd2"), "U"))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("c_custkey_bk"), col("bk2")).as("c_custkey_bk"),
+        lit(StsT2).as("load_ts"), col("status"))
+    t1.unionByName(t2)
+      .select(dvHash(Seq(col("c_custkey_bk"))).as("hub_customer_hk"),
+        col("c_custkey_bk"), col("load_ts"), col("status"),
+        lit(DvDefaults.recordSource("customer")).as("record_source"))
+      .orderBy("load_ts", "hub_customer_hk")
+  }
+
+  private val satStatusSql =
+    s"""WITH base AS (
+       |  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey_bk, c_custkey,
+       |         c_name, c_mktsegment
+       |  FROM customer),
+       |s1 AS (
+       |  SELECT c_custkey_bk, ${dvHashSql(Seq("c_name", "c_mktsegment"))} AS hd
+       |  FROM base),
+       |s2 AS (
+       |  SELECT c_custkey_bk AS bk2,
+       |         ${dvHashSql(Seq("c_name",
+      "CASE WHEN c_custkey % 13 = 5 THEN c_mktsegment || '/MOVED' ELSE c_mktsegment END"))} AS hd2
+       |  FROM base WHERE c_custkey % 17 <> 3),
+       |t1 AS (
+       |  SELECT c_custkey_bk, '${DvDefaults.LoadTs}' AS load_ts, 'I' AS status FROM s1),
+       |t2 AS (
+       |  SELECT COALESCE(c_custkey_bk, bk2) AS c_custkey_bk, '$StsT2' AS load_ts,
+       |         CASE WHEN bk2 IS NULL THEN 'D'
+       |              WHEN c_custkey_bk IS NULL THEN 'I'
+       |              WHEN hd <> hd2 THEN 'U' END AS status
+       |  FROM s1 FULL OUTER JOIN s2 ON bk2 = c_custkey_bk
+       |  WHERE (bk2 IS NULL OR c_custkey_bk IS NULL OR hd <> hd2)),
+       |u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+       |SELECT ${dvHashSql(Seq("c_custkey_bk"))} AS hub_customer_hk,
+       |  c_custkey_bk, load_ts, status,
+       |  '${DvDefaults.recordSource("customer")}' AS record_source
+       |FROM u ORDER BY load_ts, hub_customer_hk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dv_source_catalog",
       (s, d) => Catalog.introspect(s, d), Some(DvSqlGen.catalogSql)),
@@ -559,6 +630,7 @@ object DataVault extends QueryModule {
     QueryDef("dv_rts", rts, Some(rtsSql)),
     QueryDef("dv_sat_multiactive", satMultiactive, Some(satMultiactiveSql)),
     QueryDef("dv_eff_sat", effSat, Some(effSatSql)),
+    QueryDef("dv_sat_status", satStatus, Some(satStatusSql)),
     QueryDef("dv_ref_table", refTable, Some(refTableSql)),
     QueryDef("dv_mart_auto", martAuto, Some(martAutoSql)),
     // go(): the one-click build — materializes the full vault, returns the

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — ranking operators: lexical retrieval over the corpus
+  * (BM25-shaped scoring, the sparse half of a hybrid search stack beside
+  * the dense ANN ops) and graph authority (PageRank), both with exact
+  * cross-engine arithmetic.
+  *
+  * Determinism (SURVEY §5): no libm anywhere — BM25's idf is the
+  * Robertson–Sparck-Jones RATIO without the log (documented below) so
+  * every sub-expression is a ratio of exact BIGINTs; IEEE double division
+  * and multiplication of exact integers are correctly rounded identically
+  * in both engines, and the per-term scores are floor-scaled to BIGINT
+  * micro-units BEFORE summation so accumulation is order-free integer
+  * addition. PageRank never leaves BIGINT (integer division only).
+  */
+object Rank extends QueryModule {
+
+  // ------------------------------------------------------------ text_bm25
+  // Lexical top-k retrieval: a CONSTANT query set (the knn_cosine pattern —
+  // queries are the bounded side by construction) against a term inverted
+  // index. Corpus-scale work: one token scan filtered to query terms by a
+  // broadcast semi-join, then ONE (doc, term) shuffle; df and query
+  // mapping re-attach as vocabulary-sized broadcasts. The BM25 tf
+  // saturation term uses k1=1.2, b=0.75 multiplied through by 10·T so the
+  // numerator/denominator stay integers:
+  //   tf_part = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)     (= (k1+1)·tf / (tf + k1·(1-b+b·dl/avgdl)))
+  //   idf     = (2·(N-df)+1) / (2·df+1)                (RSJ ratio, log-free)
+  //   s_micro = floor(idf · tf_part · 1e6)  per term, summed as BIGINT.
+  private val Bm25K = 10
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "window"),
+    2L -> Seq("hash", "join", "table"),
+    3L -> Seq("customer", "query"),
+    4L -> Seq("scan", "filter", "slow"),
+    5L -> Seq("stream", "batch", "merge"),
+    6L -> Seq("vector", "sort", "group"))
+
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Docs.enriched(s, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    // Corpus stats: one aggregate, bounded 1-row collect (the q11 pattern).
+    val stats = docs.agg(count(lit(1)).cast("long"), sum("dl")).head()
+    val (n, t) = (stats.getLong(0), stats.getLong(1))
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(tm => (q, tm)) }.toDF("query_id", "term")
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("s_micro", expr(
+        s"""cast(floor(
+           |  (cast(2L*(${n}L - df) + 1L as double) / cast(2L*df + 1L as double))
+           |  * (cast(22L*${t}L*tf as double)
+           |     / cast(10L*${t}L*tf + 3L*${t}L + 9L*dl*${n}L as double))
+           |  * 1000000.0d) as bigint)""".stripMargin))
+    val agg = scored.groupBy("query_id", "doc_id").agg(sum("s_micro").as("score_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25K)
+      .select("query_id", "rank", "doc_id", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25Sql = {
+    val qrows = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(tm => s"($q, '$tm')") }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qrows),
+       |d AS (SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                  CAST(sum(dl) AS BIGINT) AS t FROM dl),
+       |tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(floor(
+       |      (CAST(2*(c.n - df.df) + 1 AS DOUBLE) / CAST(2*df.df + 1 AS DOUBLE))
+       |      * (CAST(22*c.t*tf.tf AS DOUBLE)
+       |         / CAST(10*c.t*tf.tf + 3*c.t + 9*dl.dl*c.n AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS s_micro
+       |  FROM tf
+       |  JOIN q ON q.term = tf.term
+       |  JOIN df ON df.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN corpus c),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+       |  FROM scored GROUP BY query_id, doc_id),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM agg)
+       |SELECT query_id, rank, doc_id, score_micro
+       |FROM r WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------- graph_pagerank
+  // Authority over the customer↔supplier trade graph (an edge per distinct
+  // trading pair through orders⋈lineitem, symmetrized) — the iterative
+  // graph kernel a curation pipeline uses for source/domain authority
+  // weighting. Exact BIGINT arithmetic end to end: ranks in pico-units
+  // (1e12), per-edge contribution = rank div out-degree, damping 85/100 —
+  // integer division only, identical both engines (all values positive, so
+  // DuckDB's floor-// equals Spark's truncating div). Each round is one
+  // edge equi-join + one dst-keyed aggregation (the textbook distributed
+  // PageRank shuffle shape), localCheckpointed per round (SURVEY §6: the
+  // iterated frame is referenced through a join each step — lineage must
+  // be truncated, the dedup_cluster/BPE lesson).
+  private val PrScale = 1000000000000L
+  private val PrIters = 4
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // (src, dst, deg) materialized once: every iteration re-joins it.
+    val edgesD = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    // Node count: one aggregate off the materialized edges — bounded.
+    val n = edgesD.select("src").distinct().count()
+    val r0 = PrScale / n
+    val tele = (15L * r0) / 100L
+    var rank = edgesD.select(col("src").as("node_id")).distinct()
+      .withColumn("r", lit(r0))
+    for (_ <- 1 to PrIters) {
+      rank = edgesD.join(rank, edgesD("src") === rank("node_id"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("csum"))
+        .select(col("dst").as("node_id"),
+          (lit(tele) + expr("(85L * csum) div 100L")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("node_id"),
+        when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        col("r").as("rank_pico"))
+      .orderBy(col("rank_pico").desc, col("node_id"))
+  }
+
+  private val pagerankSql = {
+    val iters = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""i$i AS (
+         |  SELECT e.dst AS node_id,
+         |         CAST(p.tele + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN deg d ON d.src = e.src
+         |  JOIN $prev r ON r.node_id = e.src
+         |  CROSS JOIN params p
+         |  GROUP BY e.dst, p.tele)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |params AS (
+       |  SELECT CAST($PrScale // count(*) AS BIGINT) AS r0,
+       |         CAST((15 * ($PrScale // count(*))) // 100 AS BIGINT) AS tele
+       |  FROM deg),
+       |r0 AS (SELECT src AS node_id, p.r0 AS r FROM deg CROSS JOIN params p),
+       |$iters
+       |SELECT node_id,
+       |       CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |       r AS rank_pico
+       |FROM i$PrIters ORDER BY rank_pico DESC, node_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_bm25", bm25, Some(bm25Sql)),
+    QueryDef("graph_pagerank", pagerank, Some(pagerankSql))
+  )
+}

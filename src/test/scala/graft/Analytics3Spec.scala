@@ -11,6 +11,27 @@ class Analytics3Spec extends SparkSpec {
     }
   }
 
+  test("events_transitions: totals, floor-probabilities, and pair count are consistent") {
+    val tr = SparkEntry.queries("events_transitions")(spark, sfDir).cache()
+    try {
+      // n_from_prev really is the sum of transitions out of that prev type
+      val bad = tr.groupBy("prev_type", "n_from_prev")
+        .agg(sum("n_transitions").as("s"))
+        .filter(col("s") =!= col("n_from_prev"))
+      assert(bad.count() == 0, "n_from_prev does not match the row sums")
+      // per-prev p_micro sums land in (1e6 - cells, 1e6] (floor loss only)
+      tr.groupBy("prev_type").agg(sum("p_micro").as("ps"), count(lit(1)).as("k"))
+        .collect().foreach { r =>
+          val (ps, k) = (r.getLong(1), r.getLong(2))
+          assert(ps <= 1000000L && ps > 1000000L - k, s"${r.getString(0)}: $ps")
+        }
+      // every event except each user's first is exactly one transition
+      val ev = Tables.load(spark, sfDir, "events")
+      val expectedPairs = ev.count() - ev.select("user_id").distinct().count()
+      assert(tr.agg(sum("n_transitions")).head().getLong(0) == expectedPairs)
+    } finally tr.unpersist()
+  }
+
   test("q2: every returned supplier really has the part's min cost in region") {
     val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir).cache()
     try {

@@ -231,4 +231,28 @@ class DataVaultSpec extends SparkSpec {
       assert(resolved.count() == Tables.load(spark, sfDir, "customer").count())
     } finally ref.unpersist()
   }
+
+  test("dv_sat_status: I/U/D rows match the snapshot arithmetic, insert-only unique") {
+    import org.apache.spark.sql.functions._
+    val sts = SparkEntry.queries("dv_sat_status")(spark, sfDir).cache()
+    try {
+      val cust = Tables.load(spark, sfDir, "customer")
+      val total = cust.count()
+      val deleted = cust.filter(col("c_custkey") % 17 === 3).count()
+      val updated = cust.filter(col("c_custkey") % 13 === 5 &&
+        col("c_custkey") % 17 =!= 3).count()
+      assert(sts.filter(col("status") === "I").count() == total)
+      assert(sts.filter(col("status") === "D").count() == deleted)
+      assert(sts.filter(col("status") === "U").count() == updated)
+      assert(deleted > 0 && updated > 0, "simulated drift must be non-hollow")
+      // insert-only: at most one status row per (hub key, load)
+      assert(sts.groupBy("hub_customer_hk", "load_ts").count()
+        .filter(col("count") > 1).count() == 0)
+      // a deleted key's 'D' row pairs with its T1 'I' row (same hub hk)
+      val orphans = sts.filter(col("status") === "D").select("hub_customer_hk")
+        .join(sts.filter(col("status") === "I").select(col("hub_customer_hk").as("hk2")),
+          col("hub_customer_hk") === col("hk2"), "left_anti")
+      assert(orphans.count() == 0, "a delete arrived for a key the vault never saw")
+    } finally sts.unpersist()
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.{Docs, Rank}
+import org.apache.spark.sql.functions._
+
+/** Both ranking ops re-derived in plain Scala over collected sf0.001 data —
+  * an oracle independent of the DataFrame machinery (same IEEE/integer
+  * arithmetic, so equality must be EXACT, not approximate).
+  */
+class RankSpec extends SparkSpec {
+
+  test("text_bm25 matches a driver-side brute-force BM25 exactly") {
+    val out = SparkEntry.queries("text_bm25")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Docs.enriched(spark, sfDir).select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toLong
+    val t = docs.map(_._2.length.toLong).sum
+    val queries = Seq(
+      1L -> Seq("spark", "window"), 2L -> Seq("hash", "join", "table"),
+      3L -> Seq("customer", "query"), 4L -> Seq("scan", "filter", "slow"),
+      5L -> Seq("stream", "batch", "merge"), 6L -> Seq("vector", "sort", "group"))
+    val allQTerms = queries.flatMap(_._2).toSet
+    // tf per (doc, term) over query terms only; df counts docs per term
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(allQTerms).groupBy(identity).map { case (tm, xs) =>
+        (id, tm, xs.length.toLong, toks.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).map { case (tm, xs) => tm -> xs.length.toLong }
+    val expected = queries.flatMap { case (q, terms) =>
+      val scores = tf.filter(x => terms.contains(x._2)).groupBy(_._1).map {
+        case (id, xs) =>
+          id -> xs.map { case (_, tm, tfv, dl) =>
+            val idf = (2L * (n - df(tm)) + 1L).toDouble / (2L * df(tm) + 1L).toDouble
+            val tfp = (22L * t * tfv).toDouble /
+              (10L * t * tfv + 3L * t + 9L * dl * n).toDouble
+            math.floor(idf * tfp * 1000000.0).toLong
+          }.sum
+      }
+      scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+        .zipWithIndex.map { case ((id, sc), i) => (q, i + 1L, id, sc) }
+    }
+    assert(out.toSeq == expected, "spark top-k diverges from the brute-force ranking")
+    // ranks are a dense 1..k sequence per query and scores non-increasing
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _           => true
+      })
+    }
+  }
+
+  test("graph_pagerank matches a driver-side integer PageRank exactly") {
+    val out = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pairs = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+      .join(Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.map { case (c, s) => (c, s) } ++ pairs.map { case (c, s) => (s, c) }
+    val deg = edges.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val nNodes = deg.size.toLong
+    val r0 = 1000000000000L / nNodes
+    val tele = (15L * r0) / 100L
+    var rank = deg.keys.map(_ -> r0).toMap
+    for (_ <- 1 to 4) {
+      val csum = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = csum.map { case (k, cs) => k -> (tele + (85L * cs) / 100L) }
+    }
+    val expected = rank.toSeq.map { case (id, r) =>
+      (id, if (id % 2 == 0) "customer" else "supplier", r)
+    }.sortBy { case (id, _, r) => (-r, id) }
+    assert(out.toSeq == expected, "spark ranks diverge from the driver-side kernel")
+    // mass conservation: damping + floor-division only ever LOSE pico-units
+    val total = out.map(_._3).sum
+    assert(total <= 1000000000000L && total > 0L)
+    // the 10 suppliers are high-degree hubs in a bipartite trade graph —
+    // every one of them must outrank every customer
+    val minSupp = out.filter(_._2 == "supplier").map(_._3).min
+    val maxCust = out.filter(_._2 == "customer").map(_._3).max
+    assert(minSupp > maxCust, s"supplier floor $minSupp <= customer ceiling $maxCust")
+  }
+}
