@@ -40,40 +40,55 @@ object Rank extends QueryModule {
     5L -> Seq("stream", "batch", "merge"),
     6L -> Seq("vector", "sort", "group"))
 
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Docs.enriched(s, dir)
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    // Corpus stats: one aggregate, bounded 1-row collect (the q11 pattern).
-    val stats = docs.agg(count(lit(1)).cast("long"), sum("dl")).head()
-    val (n, t) = (stats.getLong(0), stats.getLong(1))
-    val qterms = Bm25Queries
-      .flatMap { case (q, ts) => ts.map(tm => (q, tm)) }.toDF("query_id", "term")
-    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df_), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
-      .withColumn("s_micro", expr(
-        s"""cast(floor(
-           |  (cast(2L*(${n}L - df) + 1L as double) / cast(2L*df + 1L as double))
-           |  * (cast(22L*${t}L*tf as double)
-           |     / cast(10L*${t}L*tf + 3L*${t}L + 9L*dl*${n}L as double))
-           |  * 1000000.0d) as bigint)""".stripMargin))
-    val agg = scored.groupBy("query_id", "doc_id").agg(sum("s_micro").as("score_micro"))
-    val w = Window.partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))
+  /** Per (query, doc, term): tf, the BM25 micro-score, and the raw tf —
+    * shared by text_bm25 and rank_fusion, memoized per session so the
+    * token scan and the corpus-stats collect run once.
+    */
+  private def scoredTerms(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "bm25scored", dir) {
+      import s.implicits._
+      val docs = Docs.enriched(s, dir)
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      // Corpus stats: one aggregate, bounded 1-row collect (the q11 pattern).
+      val stats = docs.agg(count(lit(1)).cast("long"), sum("dl")).head()
+      val (n, t) = (stats.getLong(0), stats.getLong(1))
+      val qterms = Bm25Queries
+        .flatMap { case (q, ts) => ts.map(tm => (q, tm)) }.toDF("query_id", "term")
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), Seq("term"))
+        .join(broadcast(qterms), Seq("term"))
+        .withColumn("s_micro", expr(
+          s"""cast(floor(
+             |  (cast(2L*(${n}L - df) + 1L as double) / cast(2L*df + 1L as double))
+             |  * (cast(22L*${t}L*tf as double)
+             |     / cast(10L*${t}L*tf + 3L*${t}L + 9L*dl*${n}L as double))
+             |  * 1000000.0d) as bigint)""".stripMargin))
+    }
+
+  /** Top-K per query over an aggregated score column, rank = dense 1..K. */
+  private def topK(agg: DataFrame, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col(scoreCol).desc, col("doc_id"))
     agg.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= Bm25K)
-      .select("query_id", "rank", "doc_id", "score_micro")
-      .orderBy("query_id", "rank")
   }
 
-  private val bm25Sql = {
+  private def bm25(s: SparkSession, dir: String): DataFrame =
+    topK(scoredTerms(s, dir).groupBy("query_id", "doc_id")
+        .agg(sum("s_micro").as("score_micro")), "score_micro")
+      .select("query_id", "rank", "doc_id", "score_micro")
+      .orderBy("query_id", "rank")
+
+  /** Shared oracle CTE chain up through the per-(query, doc, term) scores —
+    * text_bm25 and rank_fusion aggregate it differently.
+    */
+  private val bm25CoreCtes = {
     val qrows = Bm25Queries
       .flatMap { case (q, ts) => ts.map(tm => s"($q, '$tm')") }.mkString(", ")
-    s"""WITH q(query_id, term) AS (VALUES $qrows),
+    s"""q(query_id, term) AS (VALUES $qrows),
        |d AS (SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents),
        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -85,7 +100,7 @@ object Rank extends QueryModule {
        |  GROUP BY doc_id, term),
        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
        |scored AS (
-       |  SELECT q.query_id, tf.doc_id,
+       |  SELECT q.query_id, tf.doc_id, tf.tf,
        |    CAST(floor(
        |      (CAST(2*(c.n - df.df) + 1 AS DOUBLE) / CAST(2*df.df + 1 AS DOUBLE))
        |      * (CAST(22*c.t*tf.tf AS DOUBLE)
@@ -98,14 +113,72 @@ object Rank extends QueryModule {
        |  CROSS JOIN corpus c),
        |agg AS (
        |  SELECT query_id, doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
-       |  FROM scored GROUP BY query_id, doc_id),
+       |  FROM scored GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  private val bm25Sql =
+    s"""WITH $bm25CoreCtes,
        |r AS (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
        |  FROM agg)
        |SELECT query_id, rank, doc_id, score_micro
        |FROM r WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------- rank_fusion
+  // Reciprocal-rank fusion (the standard hybrid-retrieval combiner): two
+  // rankers over the same query set — BM25 (tf-saturated) and raw
+  // tf-sum — fuse as Σ 1e6 div (60 + rank), integer division only.
+  // The fusion is rank-arithmetic over the two top-K lists (K-bounded
+  // per query, a constant-size full-outer join), so the corpus-scale
+  // work is the same single shared scoredTerms pass BM25 already pays —
+  // the pattern that at 100 TB fuses a dense ANN list with this sparse
+  // list without touching the corpus again.
+  private def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val st = scoredTerms(s, dir)
+    val ra = topK(st.groupBy("query_id", "doc_id")
+        .agg(sum("s_micro").as("score_micro")), "score_micro")
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+    val rb = topK(st.groupBy("query_id", "doc_id")
+        .agg(sum("tf").as("tf_sum")), "tf_sum")
+      .select(col("query_id").as("qb"), col("doc_id").as("db"), col("rank").as("rank_b"))
+    val fused = ra.join(rb,
+        col("query_id") === col("qb") && col("doc_id") === col("db"), "full_outer")
+      .select(coalesce(col("query_id"), col("qb")).as("query_id"),
+        coalesce(col("doc_id"), col("db")).as("doc_id"),
+        (coalesce(expr("1000000L div (60L + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + rank_b)"), lit(0L))).as("rrf_micro"))
+    topK(fused, "rrf_micro")
+      .select("query_id", "rank", "doc_id", "rrf_micro")
+      .orderBy("query_id", "rank")
   }
+
+  private val rankFusionSql =
+    s"""WITH $bm25CoreCtes,
+       |tfagg AS (
+       |  SELECT query_id, doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+       |  FROM scored GROUP BY query_id, doc_id),
+       |ra AS (
+       |  SELECT query_id, doc_id, rank_a FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank_a
+       |    FROM agg) WHERE rank_a <= $Bm25K),
+       |rb AS (
+       |  SELECT query_id AS qb, doc_id AS db, rank_b FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY tf_sum DESC, doc_id) AS BIGINT) AS rank_b
+       |    FROM tfagg) WHERE rank_b <= $Bm25K),
+       |fused AS (
+       |  SELECT COALESCE(query_id, qb) AS query_id, COALESCE(doc_id, db) AS doc_id,
+       |    CAST(COALESCE(1000000 // (60 + rank_a), 0)
+       |       + COALESCE(1000000 // (60 + rank_b), 0) AS BIGINT) AS rrf_micro
+       |  FROM ra FULL OUTER JOIN rb ON qb = query_id AND db = doc_id),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |SELECT query_id, rank, doc_id, rrf_micro
+       |FROM r WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------- graph_pagerank
   // Authority over the customer↔supplier trade graph (an edge per distinct
@@ -187,6 +260,7 @@ object Rank extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_bm25", bm25, Some(bm25Sql)),
+    QueryDef("rank_fusion", rankFusion, Some(rankFusionSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql))
   )
 }

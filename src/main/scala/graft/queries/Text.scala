@@ -281,7 +281,58 @@ object Text extends QueryModule {
     FROM scored WHERE rank <= $TfIdfTopK
     ORDER BY doc_id, rank"""
 
+  /** PII detection + redaction — the document-content side of the
+    * reference's sensitive-data concern (its classifier splits SENSITIVE
+    * descriptors into their own satellite; a training corpus needs the
+    * same gate INSIDE the text). The synthetic corpus carries no PII, so
+    * the op first plants deterministic emails (doc_id % 5) and phone
+    * numbers (doc_id % 7) — the same simulation pattern the DV drift and
+    * status ops use — then detects and redacts them with patterns in the
+    * Java-regex ∩ RE2 common dialect. The redacted-text sha256 is the
+    * cross-engine proof the redaction produced byte-identical output;
+    * shuffle-free scan, no UDFs.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "documents")
+      .withColumn("inj", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+      .select(col("doc_id"),
+        regexp_count(col("inj"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("inj"), lit(PhoneRe)).cast("long").as("n_phones"),
+        sha2(regexp_replace(regexp_replace(col("inj"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"), 256).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 5 = 0
+       |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |            ELSE '' END AS inj
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(inj, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(inj, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  sha256(regexp_replace(regexp_replace(inj, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+       |FROM inj ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),

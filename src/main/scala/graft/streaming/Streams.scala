@@ -343,4 +343,35 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         hubLoadBatch(batch.sparkSession, batch, keyCol, hubPath, s"batch_$batchId")
       }
+
+  /** #48: stateful per-user transition extraction — the streaming twin of
+    * events_transitions' lag window. State is ONE last-event tuple per
+    * user (bounded by user cardinality, the sessionizer's state shape);
+    * each micro-batch sorts its per-user slice by (tms, event_id) and
+    * emits one (prev → next) pair per event, chaining across micro-batch
+    * boundaries through the state. Assumes per-user in-order delivery
+    * across batches (the usual partitioned-log contract); a late event
+    * would pair against the newer state, which the replayable batch twin
+    * corrects.
+    */
+  final case class LastEv(tms: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  def transitionsStream(events: Dataset[Ev]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[LastEv]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
+          var prev = state.getOption
+          val out = sorted.flatMap { e =>
+            val t = prev.map(p => Transition(uid, p.event_type, e.event_type))
+            prev = Some(LastEv(e.tms, e.event_id, e.event_type))
+            t
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -3,42 +3,51 @@ package graft
 import graft.queries.{Docs, Rank}
 import org.apache.spark.sql.functions._
 
-/** Both ranking ops re-derived in plain Scala over collected sf0.001 data —
+/** The ranking ops re-derived in plain Scala over collected sf0.001 data —
   * an oracle independent of the DataFrame machinery (same IEEE/integer
   * arithmetic, so equality must be EXACT, not approximate).
   */
 class RankSpec extends SparkSpec {
 
-  test("text_bm25 matches a driver-side brute-force BM25 exactly") {
-    val out = SparkEntry.queries("text_bm25")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  private val queries = Seq(
+    1L -> Seq("spark", "window"), 2L -> Seq("hash", "join", "table"),
+    3L -> Seq("customer", "query"), 4L -> Seq("scan", "filter", "slow"),
+    5L -> Seq("stream", "batch", "merge"), 6L -> Seq("vector", "sort", "group"))
+
+  /** Per query: every candidate doc with (bm25 micro score, raw tf sum). */
+  private def bruteScores(): Map[Long, Seq[(Long, Long, Long)]] = {
     val docs = Docs.enriched(spark, sfDir).select("doc_id", "toks").collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1))
     val n = docs.length.toLong
     val t = docs.map(_._2.length.toLong).sum
-    val queries = Seq(
-      1L -> Seq("spark", "window"), 2L -> Seq("hash", "join", "table"),
-      3L -> Seq("customer", "query"), 4L -> Seq("scan", "filter", "slow"),
-      5L -> Seq("stream", "batch", "merge"), 6L -> Seq("vector", "sort", "group"))
     val allQTerms = queries.flatMap(_._2).toSet
-    // tf per (doc, term) over query terms only; df counts docs per term
     val tf = docs.flatMap { case (id, toks) =>
       toks.filter(allQTerms).groupBy(identity).map { case (tm, xs) =>
         (id, tm, xs.length.toLong, toks.length.toLong)
       }
     }
     val df = tf.groupBy(_._2).map { case (tm, xs) => tm -> xs.length.toLong }
-    val expected = queries.flatMap { case (q, terms) =>
-      val scores = tf.filter(x => terms.contains(x._2)).groupBy(_._1).map {
+    queries.map { case (q, terms) =>
+      q -> tf.filter(x => terms.contains(x._2)).groupBy(_._1).map {
         case (id, xs) =>
-          id -> xs.map { case (_, tm, tfv, dl) =>
+          val bm25 = xs.map { case (_, tm, tfv, dl) =>
             val idf = (2L * (n - df(tm)) + 1L).toDouble / (2L * df(tm) + 1L).toDouble
             val tfp = (22L * t * tfv).toDouble /
               (10L * t * tfv + 3L * t + 9L * dl * n).toDouble
             math.floor(idf * tfp * 1000000.0).toLong
           }.sum
-      }
-      scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+          (id, bm25, xs.map(_._3).sum)
+      }.toSeq
+    }.toMap
+  }
+
+  test("text_bm25 matches a driver-side brute-force BM25 exactly") {
+    val out = SparkEntry.queries("text_bm25")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = bruteScores()
+    val expected = queries.flatMap { case (q, _) =>
+      brute(q).map { case (id, sc, _) => (id, sc) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10)
         .zipWithIndex.map { case ((id, sc), i) => (q, i + 1L, id, sc) }
     }
     assert(out.toSeq == expected, "spark top-k diverges from the brute-force ranking")
@@ -51,6 +60,31 @@ class RankSpec extends SparkSpec {
         case _           => true
       })
     }
+  }
+
+  test("rank_fusion matches driver-side RRF of the two rankers exactly") {
+    val out = SparkEntry.queries("rank_fusion")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = bruteScores()
+    val expected = queries.flatMap { case (q, _) =>
+      val cands = brute(q)
+      val ra = cands.map { case (id, sc, _) => (id, sc) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val rb = cands.map { case (id, _, ts) => (id, ts) }
+        .sortBy { case (id, ts) => (-ts, id) }.take(10)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      (ra.keySet ++ rb.keySet).toSeq.map { id =>
+        val rrf = ra.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          rb.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L)
+        (id, rrf)
+      }.sortBy { case (id, rrf) => (-rrf, id) }.take(10)
+        .zipWithIndex.map { case ((id, rrf), i) => (q, i + 1L, id, rrf) }
+    }
+    assert(out.toSeq == expected, "spark fusion diverges from the brute-force RRF")
+    // a doc on BOTH top-10 lists must outscore a same-rank single-list doc:
+    // the fused list is not simply either input ranking
+    assert(out.nonEmpty)
   }
 
   test("graph_pagerank matches a driver-side integer PageRank exactly") {

@@ -246,4 +246,40 @@ class StreamingSpec extends SparkSpec {
     // insert-only: the batch-1 row kept its original attributes
     assert(mart.filter(col("o_orderkey_bk") === "9001").count() == 1)
   }
+
+  test("stateful transitions chain across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.transitionsStream(mem.toDS()).writeStream
+      .format("memory").queryName("transitions_out").outputMode("append").start()
+    // batch 1: user 1 does a→b, user 2 does a (no pair yet)
+    mem.addData(Ev(1, day(0, 1), 1, "a", 0), Ev(2, day(0, 2), 1, "b", 0),
+      Ev(3, day(0, 1), 2, "a", 0))
+    q.processAllAvailable()
+    val afterB1 = spark.table("transitions_out").as[Streams.Transition].collect()
+    assert(afterB1.toSet == Set(Streams.Transition(1, "a", "b")))
+    // batch 2: user 1 continues with c (pairs against the STATE's b),
+    // user 2 delivers b then a in one batch (sorted by time, two pairs)
+    mem.addData(Ev(4, day(1, 1), 1, "c", 0),
+      Ev(6, day(1, 2), 2, "a", 0), Ev(5, day(1, 1), 2, "b", 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("transitions_out").as[Streams.Transition].collect()
+    assert(out.toSet == Set(
+      Streams.Transition(1, "a", "b"), Streams.Transition(1, "b", "c"),
+      Streams.Transition(2, "a", "b"), Streams.Transition(2, "b", "a")))
+    // parity with the batch lag-window twin over the same rows
+    val rows = Seq((1L, day(0, 1), 1L, "a"), (1L, day(0, 2), 2L, "b"),
+      (2L, day(0, 1), 3L, "a"), (1L, day(1, 1), 4L, "c"),
+      (2L, day(1, 1), 5L, "b"), (2L, day(1, 2), 6L, "a"))
+      .toDF("user_id", "tms", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tms", "event_id")
+    val batchPairs = rows.withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select("user_id", "prev_type", "event_type").collect()
+      .map(r => Streams.Transition(r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out.toSet == batchPairs)
+  }
 }

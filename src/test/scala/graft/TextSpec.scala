@@ -80,4 +80,36 @@ class TextSpec extends SparkSpec {
       assert(bp.filter(col("n_boiler") === 0).count() > 0)
     } finally bp.unpersist()
   }
+
+  test("text_pii_scrub: counts follow the injection schedule, redaction is clean") {
+    val out = SparkEntry.queries("text_pii_scrub")(spark, sfDir).cache()
+    try {
+      // detection exactly matches the deterministic injection schedule
+      assert(out.filter((col("doc_id") % 5 === 0) && col("n_emails") =!= 1).count() == 0)
+      assert(out.filter((col("doc_id") % 5 =!= 0) && col("n_emails") =!= 0).count() == 0)
+      assert(out.filter((col("doc_id") % 7 === 0) && col("n_phones") =!= 1).count() == 0)
+      assert(out.filter((col("doc_id") % 7 =!= 0) && col("n_phones") =!= 0).count() == 0)
+      // non-hollow: the corpus splits into PII and clean docs both ways
+      assert(out.filter(col("n_emails") === 1).count() > 0)
+      assert(out.filter(col("n_emails") === 0).count() > 0)
+      // redaction leaves no live pattern behind: rebuild the redacted text
+      // with the same expressions and re-scan it
+      val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phoneRe = "555-[0-9]{4}"
+      val redacted = Tables.load(spark, sfDir, "documents")
+        .withColumn("inj", concat(col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+        .withColumn("red", regexp_replace(regexp_replace(col("inj"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      assert(redacted.filter(regexp_count(col("red"), lit(emailRe)) > 0 ||
+        regexp_count(col("red"), lit(phoneRe)) > 0).count() == 0)
+      // and the planted tokens really do appear pre-redaction
+      assert(redacted.filter(col("red").contains("<EMAIL>")).count() ==
+        out.filter(col("n_emails") === 1).count())
+    } finally out.unpersist()
+  }
 }
