@@ -203,10 +203,14 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
   // corpus-scale work is the one per-user shuffle every sessionize-family
   // op already pays.
   private def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    // ms + event_id ordering — the sessionize-family convention, and the
+    // exact order the streaming twin (Streams.transitionsStream) uses, so
+    // batch replay reproduces the stream's pairs under same-ms ties.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
+      .partitionBy("user_id").orderBy("tms", "event_id")
     val pairs = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), expr("ts div 1000000").as("tms"),
+        col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
@@ -223,7 +227,7 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
   private val eventsTransitionsSql = """
     WITH seq AS (
       SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
       FROM events),
     pairs AS (
       SELECT prev_type, event_type AS next_type, count(*) AS n_transitions

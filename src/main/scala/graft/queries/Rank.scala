@@ -195,7 +195,13 @@ object Rank extends QueryModule {
   private val PrScale = 1000000000000L
   private val PrIters = 4
 
-  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The symmetrized (src, dst, deg) trade-graph frame, un-checkpointed —
+    * package-visible because pagerank's eager localCheckpoint construction
+    * hides these joins from the ScaleSpec full sweep (its surfaced plan is
+    * a checkpoint scan), so RankSpec plan-audits this frame and
+    * [[prIteration]] directly instead.
+    */
+  private[graft] def prEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -203,24 +209,30 @@ object Rank extends QueryModule {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+  }
+
+  /** One PageRank round: rank flows src→dst over the degree-annotated
+    * edges, one equi-join + one dst-keyed aggregation.
+    */
+  private[graft] def prIteration(edgesD: DataFrame, rank: DataFrame, tele: Long): DataFrame =
+    edgesD.join(rank, edgesD("src") === rank("node_id"))
+      .select(col("dst"), expr("r div deg").as("contrib"))
+      .groupBy("dst").agg(sum("contrib").as("csum"))
+      .select(col("dst").as("node_id"),
+        (lit(tele) + expr("(85L * csum) div 100L")).as("r"))
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
     // (src, dst, deg) materialized once: every iteration re-joins it.
-    val edgesD = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+    val edgesD = prEdges(s, dir).localCheckpoint()
     // Node count: one aggregate off the materialized edges — bounded.
     val n = edgesD.select("src").distinct().count()
     val r0 = PrScale / n
     val tele = (15L * r0) / 100L
     var rank = edgesD.select(col("src").as("node_id")).distinct()
       .withColumn("r", lit(r0))
-    for (_ <- 1 to PrIters) {
-      rank = edgesD.join(rank, edgesD("src") === rank("node_id"))
-        .select(col("dst"), expr("r div deg").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("csum"))
-        .select(col("dst").as("node_id"),
-          (lit(tele) + expr("(85L * csum) div 100L")).as("r"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to PrIters)
+      rank = prIteration(edgesD, rank, tele).localCheckpoint()
     rank.select(col("node_id"),
         when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
         col("r").as("rank_pico"))

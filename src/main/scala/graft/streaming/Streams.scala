@@ -344,24 +344,42 @@ object Streams {
         hubLoadBatch(batch.sparkSession, batch, keyCol, hubPath, s"batch_$batchId")
       }
 
+  /** How long a user's last-event state survives inactivity before the
+    * transition chain forgets them (state bound vs chain continuity: a
+    * user returning within the window still pairs against their last
+    * event; past it the chain restarts — the same trade the session
+    * tombstone grace makes).
+    */
+  val TransitionIdleMs: Long = 24 * 60 * 60 * 1000
+
   /** #48: stateful per-user transition extraction — the streaming twin of
     * events_transitions' lag window. State is ONE last-event tuple per
-    * user (bounded by user cardinality, the sessionizer's state shape);
-    * each micro-batch sorts its per-user slice by (tms, event_id) and
-    * emits one (prev → next) pair per event, chaining across micro-batch
-    * boundaries through the state. Assumes per-user in-order delivery
-    * across batches (the usual partitioned-log contract); a late event
-    * would pair against the newer state, which the replayable batch twin
-    * corrects.
+    * RECENTLY ACTIVE user: EventTimeTimeout drops a user's state once the
+    * watermark passes their last event + [[TransitionIdleMs]], so state
+    * tracks active users, not all-time cardinality (the NoTimeout shape
+    * the sessionizer was hardened against). Each micro-batch sorts its
+    * per-user slice by (tms, event_id) — the batch twin's exact order —
+    * and emits one (prev → next) pair per event, chaining across
+    * micro-batch boundaries through the state. Assumes per-user in-order
+    * delivery across batches (the usual partitioned-log contract); a late
+    * event would pair against the newer state, which the replayable batch
+    * twin corrects.
     */
   final case class LastEv(tms: Long, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
 
-  def transitionsStream(events: Dataset[Ev]): Dataset[Transition] = {
+  def transitionsStream(events: DataFrame): Dataset[Transition] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val wm = events
+      .withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", "1 hour")
+      .as[EvT]
+    wm.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastEv, Transition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[LastEv]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (uid, evs, state: GroupState[LastEv]) =>
           val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
           var prev = state.getOption
@@ -370,7 +388,11 @@ object Streams {
             prev = Some(LastEv(e.tms, e.event_id, e.event_type))
             t
           }
-          prev.foreach(state.update)
+          prev.foreach { p =>
+            state.update(p)
+            state.setTimeoutTimestamp(math.max(
+              p.tms + TransitionIdleMs, state.getCurrentWatermarkMs() + 1))
+          }
           out.iterator
       }
   }

@@ -82,9 +82,17 @@ class RankSpec extends SparkSpec {
         .zipWithIndex.map { case ((id, rrf), i) => (q, i + 1L, id, rrf) }
     }
     assert(out.toSeq == expected, "spark fusion diverges from the brute-force RRF")
-    // a doc on BOTH top-10 lists must outscore a same-rank single-list doc:
-    // the fused list is not simply either input ranking
-    assert(out.nonEmpty)
+    // the tf-sum leg demonstrably matters: recompute the fusion with the
+    // rank_b contribution dropped — the result must differ, i.e. the op
+    // is not the BM25 ranking relabeled
+    val bm25Only = queries.flatMap { case (q, _) =>
+      brute(q).map { case (id, sc, _) => (id, sc) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10)
+        .zipWithIndex.map { case ((id, _), i) => (id, 1000000L / (60L + i + 1L)) }
+        .sortBy { case (id, rrf) => (-rrf, id) }
+        .zipWithIndex.map { case ((id, rrf), i) => (q, i + 1L, id, rrf) }
+    }
+    assert(out.toSeq != bm25Only, "fusion output degenerated to the BM25 leg alone")
   }
 
   test("graph_pagerank matches a driver-side integer PageRank exactly") {
@@ -119,5 +127,21 @@ class RankSpec extends SparkSpec {
     val minSupp = out.filter(_._2 == "supplier").map(_._3).min
     val maxCust = out.filter(_._2 == "customer").map(_._3).max
     assert(minSupp > maxCust, s"supplier floor $minSupp <= customer ceiling $maxCust")
+  }
+
+  test("pagerank internals plan-audit: edge build + iteration are equi-joins only") {
+    // graph_pagerank is on ScaleSpec's eagerSummary exclusion list (its
+    // surfaced plan is a localCheckpoint scan) — this is the promised
+    // audit of the joins that plan hides, on the UN-checkpointed frames.
+    val edgesD = Rank.prEdges(spark, sfDir)
+    val seed = edgesD.select(col("src").as("node_id")).distinct()
+      .withColumn("r", lit(1000000L))
+    val iter = Rank.prIteration(edgesD, seed, 45L)
+    val plan = iter.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank internals:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in pagerank internals:\n$plan")
+    // the audit is not vacuous: both the edge-deg join and the rank join
+    // are present in this one plan
+    assert("Join".r.findAllIn(plan).size >= 2, s"expected >=2 joins in:\n$plan")
   }
 }

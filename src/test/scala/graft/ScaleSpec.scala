@@ -58,8 +58,12 @@ class ScaleSpec extends SparkSpec {
     // the IVF centroids); its distributed internals — the word-frequency
     // shuffle and per-round pair-count aggregations — are swept via
     // bpe_tokenize (same vocab lineage) and plan-audited in BpeSpec.
+    // graph_pagerank's surfaced plan is likewise a localCheckpoint scan
+    // (the iterative kernel shape) — its edge-build and per-iteration
+    // joins are plan-audited in RankSpec against the un-checkpointed
+    // frames (Rank.prEdges / Rank.prIteration).
     val eagerSummary = Set("dv_go_build", "dv_go_derived", "dv_build_history",
-      "dv_load_from_repo", "bpe_train")
+      "dv_load_from_repo", "bpe_train", "graph_pagerank")
     val failures = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString

@@ -251,7 +251,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val q = Streams.transitionsStream(mem.toDS()).writeStream
+    val q = Streams.transitionsStream(mem.toDF()).writeStream
       .format("memory").queryName("transitions_out").outputMode("append").start()
     // batch 1: user 1 does a→b, user 2 does a (no pair yet)
     mem.addData(Ev(1, day(0, 1), 1, "a", 0), Ev(2, day(0, 2), 1, "b", 0),
@@ -264,11 +264,21 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Ev(4, day(1, 1), 1, "c", 0),
       Ev(6, day(1, 2), 2, "a", 0), Ev(5, day(1, 1), 2, "b", 0))
     q.processAllAvailable()
-    q.stop()
     val out = spark.table("transitions_out").as[Streams.Transition].collect()
     assert(out.toSet == Set(
       Streams.Transition(1, "a", "b"), Streams.Transition(1, "b", "c"),
       Streams.Transition(2, "a", "b"), Streams.Transition(2, "b", "a")))
+    // batch 3 advances the watermark past every chain's idle deadline
+    // (day 5 >> day 1 + 24h); batch 4 then finds user 1's state expired —
+    // the chain RESTARTS (no c→d pair) instead of keeping state forever
+    mem.addData(Ev(7, day(5, 1), 3, "x", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(8, day(5, 2), 1, "d", 0))
+    q.processAllAvailable()
+    q.stop()
+    val afterExpiry = spark.table("transitions_out").as[Streams.Transition].collect()
+    assert(afterExpiry.toSet == out.toSet,
+      "an expired chain must not emit a pair for the returning user")
     // parity with the batch lag-window twin over the same rows
     val rows = Seq((1L, day(0, 1), 1L, "a"), (1L, day(0, 2), 2L, "b"),
       (2L, day(0, 1), 3L, "a"), (1L, day(1, 1), 4L, "c"),
