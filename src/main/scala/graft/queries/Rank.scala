@@ -231,8 +231,13 @@ object Rank extends QueryModule {
     val tele = (15L * r0) / 100L
     var rank = edgesD.select(col("src").as("node_id")).distinct()
       .withColumn("r", lit(r0))
+    // No per-round localCheckpoint: prIteration references the iterated
+    // frame ONCE, so lineage grows linearly (4 chained join+agg stages in
+    // one job) — the geometric-blowup rule (SURVEY §6) applies only to
+    // steps that re-reference the iterated frame. edgesD IS materialized
+    // above: it is re-joined every round.
     for (_ <- 1 to PrIters)
-      rank = prIteration(edgesD, rank, tele).localCheckpoint()
+      rank = prIteration(edgesD, rank, tele)
     rank.select(col("node_id"),
         when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
         col("r").as("rank_pico"))
@@ -251,13 +256,14 @@ object Rank extends QueryModule {
          |  CROSS JOIN params p
          |  GROUP BY e.dst, p.tele)"""
     }.mkString(",\n")
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT c AS src, s AS dst FROM pairs
        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
        |params AS (
        |  SELECT CAST($PrScale // count(*) AS BIGINT) AS r0,
        |         CAST((15 * ($PrScale // count(*))) // 100 AS BIGINT) AS tele
