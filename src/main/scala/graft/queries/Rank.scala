@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * cross-engine arithmetic.
   *
   * Determinism (SURVEY §5): no libm anywhere — BM25's idf is the
-  * Robertson–Sparck-Jones RATIO without the log (documented below) so
-  * every sub-expression is a ratio of exact BIGINTs; IEEE double division
-  * and multiplication of exact integers are correctly rounded identically
-  * in both engines, and the per-term scores are floor-scaled to BIGINT
-  * micro-units BEFORE summation so accumulation is order-free integer
-  * addition. PageRank never leaves BIGINT (integer division only).
+  * Robertson–Sparck-Jones RATIO without the log (documented below), so
+  * scoring is double products/ratios of exact integers in one fixed
+  * written order: IEEE *, /, + are correctly rounded identically in both
+  * engines (libm transcendentals are the only float hazard), and the
+  * per-term scores are floor-scaled to BIGINT micro-units BEFORE
+  * summation so accumulation is order-free integer addition. PageRank
+  * never leaves BIGINT (integer division only).
   */
 object Rank extends QueryModule {
 
@@ -61,11 +62,16 @@ object Rank extends QueryModule {
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df_), Seq("term"))
         .join(broadcast(qterms), Seq("term"))
+        // Double-FIRST products (not int64-then-cast): 22·T·tf overflows
+        // int64 once T·tf > ~4e17 — reachable on a 100 TB corpus — and
+        // Spark wraps where DuckDB errors. Double multiplication of exact
+        // integers is correctly rounded identically in both engines, and
+        // bit-equals the integer path everywhere below 2^53.
         .withColumn("s_micro", expr(
           s"""cast(floor(
-             |  (cast(2L*(${n}L - df) + 1L as double) / cast(2L*df + 1L as double))
-             |  * (cast(22L*${t}L*tf as double)
-             |     / cast(10L*${t}L*tf + 3L*${t}L + 9L*dl*${n}L as double))
+             |  ((2.0d * (${n}L - df) + 1.0d) / (2.0d * df + 1.0d))
+             |  * ((22.0d * ${t}L * tf)
+             |     / (10.0d * ${t}L * tf + 3.0d * ${t}L + 9.0d * dl * ${n}L))
              |  * 1000000.0d) as bigint)""".stripMargin))
     }
 
@@ -102,9 +108,9 @@ object Rank extends QueryModule {
        |scored AS (
        |  SELECT q.query_id, tf.doc_id, tf.tf,
        |    CAST(floor(
-       |      (CAST(2*(c.n - df.df) + 1 AS DOUBLE) / CAST(2*df.df + 1 AS DOUBLE))
-       |      * (CAST(22*c.t*tf.tf AS DOUBLE)
-       |         / CAST(10*c.t*tf.tf + 3*c.t + 9*dl.dl*c.n AS DOUBLE))
+       |      ((2.0 * (c.n - df.df) + 1.0) / (2.0 * df.df + 1.0))
+       |      * ((22.0 * c.t * tf.tf)
+       |         / (10.0 * c.t * tf.tf + 3.0 * c.t + 9.0 * dl.dl * c.n))
        |      * 1000000.0) AS BIGINT) AS s_micro
        |  FROM tf
        |  JOIN q ON q.term = tf.term

@@ -31,9 +31,10 @@ class RankSpec extends SparkSpec {
       q -> tf.filter(x => terms.contains(x._2)).groupBy(_._1).map {
         case (id, xs) =>
           val bm25 = xs.map { case (_, tm, tfv, dl) =>
-            val idf = (2L * (n - df(tm)) + 1L).toDouble / (2L * df(tm) + 1L).toDouble
-            val tfp = (22L * t * tfv).toDouble /
-              (10L * t * tfv + 3L * t + 9L * dl * n).toDouble
+            // double-FIRST products, same op order as the Spark/oracle exprs
+            val idf = (2.0 * (n - df(tm)) + 1.0) / (2.0 * df(tm) + 1.0)
+            val tfp = (22.0 * t * tfv) /
+              (10.0 * t * tfv + 3.0 * t + 9.0 * dl * n)
             math.floor(idf * tfp * 1000000.0).toLong
           }.sum
           (id, bm25, xs.map(_._3).sum)
