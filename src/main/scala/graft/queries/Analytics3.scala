@@ -220,7 +220,11 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
     pairs.join(totals, "prev_type")
       .select(col("prev_type"), col("next_type"), col("n_transitions"),
         col("n_from_prev"),
-        expr("(n_transitions * 1000000) div n_from_prev").as("p_micro"))
+        // widen the product to DECIMAL(38,0) (oracle: HUGEINT) — a bare
+        // int64 n·1e6 wraps once one cell passes ~9e12 transitions; div
+        // stays exact integral division and the quotient is ≤ 1e6
+        expr("(cast(n_transitions as decimal(38,0)) * 1000000) div n_from_prev")
+          .as("p_micro"))
       .orderBy("prev_type", "next_type")
   }
 
@@ -237,7 +241,7 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
       SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from_prev
       FROM pairs GROUP BY prev_type)
     SELECT p.prev_type, p.next_type, p.n_transitions, t.n_from_prev,
-           CAST((p.n_transitions * 1000000) // t.n_from_prev AS BIGINT) AS p_micro
+           CAST((CAST(p.n_transitions AS HUGEINT) * 1000000) // t.n_from_prev AS BIGINT) AS p_micro
     FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
     ORDER BY p.prev_type, p.next_type"""
 
