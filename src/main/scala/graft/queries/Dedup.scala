@@ -49,9 +49,13 @@ object Dedup extends QueryModule {
   private val BandRows = 4
   private val MinhashThreshold = 0.6
 
-  private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val h = sh.select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
+  /** (doc_id, band, sig) LSH band signatures — one shuffle with 16
+    * map-side partial mins; shared by dedup_minhash_lsh and
+    * decontaminate_fuzzy.
+    */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val h = shingles(s, dir)
+      .select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
     // One shuffle with map-side partial mins (16 agg columns) instead of a
     // 16x permutation explode — same minima, 100TB-friendly.
     val minCols = (0 until NumPerm).map(i =>
@@ -61,8 +65,13 @@ object Dedup extends QueryModule {
       val cs = (0 until BandRows).map(r => s"cast(m_${b * BandRows + r} as string)").mkString(", ")
       s"$b, concat_ws(',', $cs)"
     }.mkString(", ")
-    val bands = mins.select(col("doc_id"),
+    mins.select(col("doc_id"),
       expr(s"stack(${NumPerm / BandRows}, $bandSigs)").as(Seq("band", "sig")))
+  }
+
+  private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bands = minhashBands(s, dir)
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -82,8 +91,12 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  private[queries] val minhashSql =
-    s"""WITH sh AS (
+  /** Oracle CTE chain through the band signatures — shared by
+    * dedup_minhash_lsh and decontaminate_fuzzy (MATERIALIZED: both
+    * consumers reference sh/bands more than once).
+    */
+  private val minhashBandsCtes =
+    s"""sh AS MATERIALIZED (
        |$shinglesDuck
        |), h AS (
        |  SELECT doc_id, ${md5Long64Sql("shingle")} % $P32 AS h32 FROM sh),
@@ -91,10 +104,13 @@ object Dedup extends QueryModule {
        |mh AS (
        |  SELECT doc_id, i, min(((2*i+1)*h32 + (1000003*i+12345)) % $P32) AS minh
        |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, i // $BandRows AS band,
        |         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
-       |  FROM mh GROUP BY doc_id, i // $BandRows),
+       |  FROM mh GROUP BY doc_id, i // $BandRows)""".stripMargin
+
+  private[queries] val minhashSql =
+    s"""WITH $minhashBandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -110,6 +126,77 @@ object Dedup extends QueryModule {
        |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
        |WHERE CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) >= $MinhashThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------- decontaminate_fuzzy
+  // Production benchmark decontamination: the exact 5-gram overlap op
+  // (Curate.decontaminate) misses paraphrased leakage — this is the
+  // minhash form. The benchmark slice's band signatures are a CONSTANT
+  // broadcast side; corpus bands equi-join them, exact Jaccard verifies
+  // only the candidates, and each contaminated doc reports its best
+  // benchmark match (ties → lowest benchmark id). Candidates are banded
+  // — the production shape — and the oracle replicates the IDENTICAL
+  // banding, so the hash-match checks the candidate set itself (the
+  // guaranteed catch: an exact cross-set copy collides in every band;
+  // DedupSpec pins it).
+  private val FuzzyBenchDocs = 40L // sized so the cross-set signal is non-hollow at every SF
+  private val FuzzyTau = 0.5
+
+  private def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bands = minhashBands(s, dir)
+    val bench = broadcast(bands.filter(col("doc_id") < FuzzyBenchDocs)
+      .select(col("band").as("bb"), col("sig").as("bsig"), col("doc_id").as("bench_doc")))
+    val cand = bands.filter(col("doc_id") >= FuzzyBenchDocs)
+      .join(bench, col("band") === col("bb") && col("sig") === col("bsig"))
+      .select(col("doc_id").as("c_doc"), col("bench_doc")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("ta"), col("ta.doc_id") === col("c_doc"))
+      .join(sh.as("tb"), col("tb.doc_id") === col("bench_doc") &&
+        col("tb.shingle") === col("ta.shingle"))
+      .groupBy("c_doc", "bench_doc").agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("c_doc"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("bench_doc"))
+      .select(col("c_doc"), col("bench_doc"), col("n_common"),
+        col("sa.n").as("n_doc"), col("sb.n").as("n_bench"),
+        (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= FuzzyTau)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_doc").orderBy(col("jaccard").desc, col("bench_doc"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("c_doc").as("doc_id"), col("bench_doc").as("match_doc"),
+        col("n_common"), col("n_doc"), col("n_bench"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateFuzzySql =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS c_doc, b.doc_id AS bench_doc
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id >= $FuzzyBenchDocs AND b.doc_id < $FuzzyBenchDocs),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.c_doc, c.bench_doc, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sh ta ON ta.doc_id = c.c_doc
+       |  JOIN sh tb ON tb.doc_id = c.bench_doc AND tb.shingle = ta.shingle
+       |  GROUP BY c.c_doc, c.bench_doc),
+       |scored AS (
+       |  SELECT i.c_doc, i.bench_doc, i.n_common, sa.n AS n_doc, sb.n AS n_bench,
+       |         CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.c_doc
+       |  JOIN sizes sb ON sb.doc_id = i.bench_doc
+       |  WHERE CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) >= $FuzzyTau),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY c_doc ORDER BY jaccard DESC, bench_doc) AS rk
+       |  FROM scored)
+       |SELECT c_doc AS doc_id, bench_doc AS match_doc, n_common, n_doc, n_bench, jaccard
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------- dedup_simhash
   // 60-bit simhash over shingle hashes; blocking key = a PAIR of 10-bit
@@ -444,6 +531,7 @@ object Dedup extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashSql)),
+    QueryDef("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterSql)),

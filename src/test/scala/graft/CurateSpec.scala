@@ -64,6 +64,41 @@ class CurateSpec extends SparkSpec {
       run("text_token_count").filter(col("n_words") >= 2).count())
   }
 
+  test("decontaminate_fuzzy: jaccard recomputes exactly, exact cross-set copies always caught") {
+    val fz = run("decontaminate_fuzzy").cache()
+    try {
+      assert(fz.count() >= 1, "fuzzy contamination signal is hollow at this SF")
+      // strictly cross-set: corpus doc vs benchmark match
+      assert(fz.filter(col("doc_id") < 40 || col("match_doc") >= 40).count() == 0)
+      // every reported jaccard recomputes exactly from the raw shingle sets
+      val sh = queries.Docs.enriched(spark, sfDir)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks)-2), k -> concat_ws(' ', element_at(toks,k), element_at(toks,k+1), element_at(toks,k+2)))"))
+          .as("s")).distinct()
+      val involved = fz.select(col("doc_id")).union(fz.select(col("match_doc"))).distinct()
+      val shSets = sh.join(involved, "doc_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+      fz.collect().foreach { r =>
+        val (d, m, nc, nd, nb, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))
+        val (sa, sb) = (shSets(d), shSets(m))
+        assert(nc == (sa & sb).size && nd == sa.size && nb == sb.size)
+        assert(j == nc.toDouble / (nd + nb - nc))
+        assert(j >= 0.5)
+      }
+      // the guarantee: an exact cross-set copy collides in EVERY band, so
+      // each corpus doc sharing a normalized text with a benchmark doc
+      // MUST be reported with jaccard 1.0
+      val norm = queries.Docs.enriched(spark, sfDir).select("doc_id", "norm")
+      val exactCross = norm.filter(col("doc_id") >= 40)
+        .join(norm.filter(col("doc_id") < 40).select(col("norm"), lit(1).as("hit")),
+          "norm").select("doc_id").distinct()
+      val missed = exactCross.join(fz.filter(col("jaccard") === 1.0), Seq("doc_id"), "left_anti")
+      assert(missed.count() == 0, "an exact benchmark copy escaped fuzzy decontamination")
+    } finally fz.unpersist()
+  }
+
   test("decontaminate: benchmark docs excluded, flag consistent with hits") {
     val d = run("decontaminate").cache()
     assert(d.filter(col("doc_id") < 20).count() == 0)
