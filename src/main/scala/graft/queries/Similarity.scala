@@ -715,6 +715,81 @@ object Similarity extends QueryModule {
        |GROUP BY v.cluster, dd.d
        |ORDER BY v.cluster, dd.d""".stripMargin
 
+  // ----------------------------------------------------- emb_outliers
+  // Embedding quality control: flag vectors anomalously FAR from their
+  // cluster center — the garbage/corruption detector an embedding
+  // pipeline runs before indexing. All-exact arithmetic, no division by
+  // n anywhere until a final integral div: a vector's n-scaled squared
+  // L2 to the cluster MEAN is Σ_d (n·q_d − S_d)² (q = the shared 2^12
+  // fixed-point grid, S_d = the per-cluster dim sums — dimension-scale,
+  // broadcast back), then dist2q = that div n² returns to grid scale so
+  // every later product stays far inside 38 digits at ANY corpus size.
+  // The flag is the events_anomaly exact one-sided z-test: outlier iff
+  // n·d − Σ > 0 and (n·d − Σ)² > 4·(n·Q − Σ²) — distance > mean + 2σ
+  // within the cluster, no sqrt, no doubles, identical in both engines
+  // (Spark DECIMAL(38,0) / DuckDB HUGEINT).
+  private def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val long = qVecs(s, dir)
+      .withColumn("cluster", col("vec_id") % CentClusters)
+      .select(col("vec_id"), col("cluster"), posexplode(col("q")).as(Seq("d0", "qd")))
+    val sums = long.groupBy("cluster", "d0")
+      .agg(sum("qd").as("sd"), count(lit(1)).as("n"))
+    val dist = long.join(broadcast(sums), Seq("cluster", "d0"))
+      .withColumn("term", expr(
+        "cast(n * qd - sd as decimal(38,0)) * cast(n * qd - sd as decimal(38,0))"))
+      .groupBy("vec_id", "cluster")
+      .agg(sum("term").as("sq"), max("n").as("n"))
+      .select(col("vec_id"), col("cluster"), col("n"),
+        expr("cast(sq div (n * n) as bigint)").as("dist2q"))
+    val stats = dist.groupBy("cluster").agg(
+      sum(col("dist2q").cast("decimal(38,0)")).as("sum_d"),
+      sum(col("dist2q").cast("decimal(38,0)") * col("dist2q").cast("decimal(38,0)"))
+        .as("sum_q2"),
+      count(lit(1)).as("cn"))
+    dist.join(broadcast(stats), "cluster")
+      .withColumn("dev", expr("cast(cn as decimal(38,0)) * cast(dist2q as decimal(38,0)) - sum_d"))
+      .select(col("vec_id"), col("cluster"), col("dist2q"), col("cn").as("cluster_n"),
+        expr("""case when cn >= 2 and dev > 0
+               |  and dev * dev > 4 * (cast(cn as decimal(38,0)) * sum_q2 - sum_d * sum_d)
+               |then cast(1 as bigint) else cast(0 as bigint) end""".stripMargin)
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  private val embOutliersSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, vec_id % $CentClusters AS cluster,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |long AS (
+       |  SELECT vec_id, cluster, dd.d AS d0, q[dd.d] AS qd
+       |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d) dd),
+       |sums AS (
+       |  SELECT cluster, d0, CAST(sum(qd) AS BIGINT) AS sd,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM long GROUP BY cluster, d0),
+       |dist AS (
+       |  SELECT l.vec_id, l.cluster, any_value(s.n) AS n,
+       |         CAST(sum(CAST(s.n * l.qd - s.sd AS HUGEINT)
+       |                 * CAST(s.n * l.qd - s.sd AS HUGEINT))
+       |              // (any_value(s.n) * any_value(s.n)) AS BIGINT) AS dist2q
+       |  FROM long l JOIN sums s ON s.cluster = l.cluster AND s.d0 = l.d0
+       |  GROUP BY l.vec_id, l.cluster),
+       |stats AS (
+       |  SELECT cluster, sum(CAST(dist2q AS HUGEINT)) AS sum_d,
+       |         sum(CAST(dist2q AS HUGEINT) * CAST(dist2q AS HUGEINT)) AS sum_q2,
+       |         CAST(count(*) AS BIGINT) AS cn
+       |  FROM dist GROUP BY cluster)
+       |SELECT d.vec_id, d.cluster, d.dist2q, t.cn AS cluster_n,
+       |       CAST(CASE WHEN t.cn >= 2
+       |              AND CAST(t.cn AS HUGEINT) * d.dist2q - t.sum_d > 0
+       |              AND (CAST(t.cn AS HUGEINT) * d.dist2q - t.sum_d)
+       |                * (CAST(t.cn AS HUGEINT) * d.dist2q - t.sum_d)
+       |                > 4 * (CAST(t.cn AS HUGEINT) * t.sum_q2 - t.sum_d * t.sum_d)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+       |FROM dist d JOIN stats t ON t.cluster = d.cluster
+       |ORDER BY d.vec_id""".stripMargin
+
   // ----------------------------------------------------- emb_quantize
   // Symmetric int8 quantization per vector (the embedding-storage shape a
   // 100 TB corpus actually ships: 4x smaller than fp32, dot products in
@@ -890,6 +965,7 @@ object Similarity extends QueryModule {
     QueryDef("dedup_embed_cosine_prod", embedDedupProd, Some(embedDedupProdSql)),
     QueryDef("dedup_cluster_embed", embedCluster, Some(embedClusterSql)),
     QueryDef("emb_centroids", embCentroids, Some(embCentroidsSql)),
+    QueryDef("emb_outliers", embOutliers, Some(embOutliersSql)),
     QueryDef("emb_quantize", embQuantize, Some(embQuantizeSql))
   )
 }

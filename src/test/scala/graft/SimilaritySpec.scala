@@ -237,4 +237,36 @@ class SimilaritySpec extends SparkSpec {
         "top-1 late-interaction scores should clear the orthogonal noise floor")
     } finally ms.unpersist()
   }
+
+  test("emb_outliers matches a driver-side exact integer z-test") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("emb_outliers")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // re-derive everything in BigInt from the raw embeddings
+    val vecs = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(e =>
+        math.floor(e.toDouble * 4096.0).toLong))
+    val byCluster = vecs.groupBy { case (id, _) => id % 8 }
+    val expected = byCluster.toSeq.flatMap { case (c, members) =>
+      val n = members.length.toLong
+      val dim = members.head._2.length
+      val sums = (0 until dim).map(d => members.map(_._2(d)).sum)
+      val dists = members.map { case (id, q) =>
+        val sq = (0 until dim).map { d =>
+          val t = BigInt(n * q(d) - sums(d)); t * t
+        }.sum
+        id -> (sq / (BigInt(n) * BigInt(n))).toLong
+      }
+      val sumD = dists.map(x => BigInt(x._2)).sum
+      val sumQ2 = dists.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      dists.map { case (id, d2) =>
+        val dev = BigInt(n) * d2 - sumD
+        val flag = n >= 2 && dev > 0 && dev * dev > 4 * (BigInt(n) * sumQ2 - sumD * sumD)
+        (id, c, d2, n, if (flag) 1L else 0L)
+      }
+    }.sortBy(_._1)
+    assert(out.toSeq == expected, "spark z-test diverges from the BigInt kernel")
+    // the signal partitions: flagged and clean vectors both exist
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L))
+  }
 }
