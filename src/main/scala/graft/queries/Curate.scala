@@ -141,6 +141,9 @@ object Curate extends QueryModule {
   // a scan-local semi-join at any corpus size — the shape HELM/The-Pile
   // style decontamination uses (exact n-gram hash match, n=5).
   private val DecontamN = 5
+  // Dedup.FuzzyBenchDocs (40) deliberately differs: the two decontamination
+  // ops model two differently sized eval suites (the fuzzy op needs the
+  // wider slice for non-hollow cross-set near-dup signal at every SF).
   private val BenchDocs = 20L
 
   private def grams(df: DataFrame): DataFrame = df

@@ -51,23 +51,26 @@ object Dedup extends QueryModule {
 
   /** (doc_id, band, sig) LSH band signatures — one shuffle with 16
     * map-side partial mins; shared by dedup_minhash_lsh and
-    * decontaminate_fuzzy.
+    * decontaminate_fuzzy, and referenced on BOTH sides of their joins, so
+    * memoized+cached (the simhashKeyed pattern — an uncached plan would
+    * run the shingle scan and signature aggregation once per subtree).
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val h = shingles(s, dir)
-      .select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
-    // One shuffle with map-side partial mins (16 agg columns) instead of a
-    // 16x permutation explode — same minima, 100TB-friendly.
-    val minCols = (0 until NumPerm).map(i =>
-      min(((lit(2L * i + 1)) * col("h32") + lit(1000003L * i + 12345L)) % P32).as(s"m_$i"))
-    val mins = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandSigs = (0 until NumPerm / BandRows).map { b =>
-      val cs = (0 until BandRows).map(r => s"cast(m_${b * BandRows + r} as string)").mkString(", ")
-      s"$b, concat_ws(',', $cs)"
-    }.mkString(", ")
-    mins.select(col("doc_id"),
-      expr(s"stack(${NumPerm / BandRows}, $bandSigs)").as(Seq("band", "sig")))
-  }
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "minhash_bands", dir) {
+      val h = shingles(s, dir)
+        .select(col("doc_id"), (md5Long64(col("shingle")) % P32).as("h32"))
+      // One shuffle with map-side partial mins (16 agg columns) instead of
+      // a 16x permutation explode — same minima, 100TB-friendly.
+      val minCols = (0 until NumPerm).map(i =>
+        min(((lit(2L * i + 1)) * col("h32") + lit(1000003L * i + 12345L)) % P32).as(s"m_$i"))
+      val mins = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandSigs = (0 until NumPerm / BandRows).map { b =>
+        val cs = (0 until BandRows).map(r => s"cast(m_${b * BandRows + r} as string)").mkString(", ")
+        s"$b, concat_ws(',', $cs)"
+      }.mkString(", ")
+      mins.select(col("doc_id"),
+        expr(s"stack(${NumPerm / BandRows}, $bandSigs)").as(Seq("band", "sig")))
+    }
 
   private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
@@ -137,8 +140,12 @@ object Dedup extends QueryModule {
   // — the production shape — and the oracle replicates the IDENTICAL
   // banding, so the hash-match checks the candidate set itself (the
   // guaranteed catch: an exact cross-set copy collides in every band;
-  // DedupSpec pins it).
-  private val FuzzyBenchDocs = 40L // sized so the cross-set signal is non-hollow at every SF
+  // CurateSpec pins it).
+  // NOTE: deliberately wider than Curate.BenchDocs (20): the exact 5-gram
+  // op's signal is dense, but cross-set NEAR-dups at >= tau only appear
+  // with a 40-doc slice at every SF — the two ops model two differently
+  // sized eval suites, not one shared benchmark.
+  private val FuzzyBenchDocs = 40L
   private val FuzzyTau = 0.5
 
   private def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {

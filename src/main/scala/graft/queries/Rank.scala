@@ -106,12 +106,17 @@ object Rank extends QueryModule {
        |  GROUP BY doc_id, term),
        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
        |scored AS (
+       |  -- every float literal cast ::DOUBLE: DuckDB types bare 2.0 as
+       |  -- DECIMAL and would compute these products EXACTLY, rounding
+       |  -- once at the division — Spark rounds stepwise in IEEE doubles,
+       |  -- and above 2^53 the two disagree. The casts force the same
+       |  -- stepwise double evaluation on both engines.
        |  SELECT q.query_id, tf.doc_id, tf.tf,
        |    CAST(floor(
-       |      ((2.0 * (c.n - df.df) + 1.0) / (2.0 * df.df + 1.0))
-       |      * ((22.0 * c.t * tf.tf)
-       |         / (10.0 * c.t * tf.tf + 3.0 * c.t + 9.0 * dl.dl * c.n))
-       |      * 1000000.0) AS BIGINT) AS s_micro
+       |      ((2.0::DOUBLE * (c.n - df.df) + 1.0::DOUBLE) / (2.0::DOUBLE * df.df + 1.0::DOUBLE))
+       |      * ((22.0::DOUBLE * c.t * tf.tf)
+       |         / (10.0::DOUBLE * c.t * tf.tf + 3.0::DOUBLE * c.t + 9.0::DOUBLE * dl.dl * c.n))
+       |      * 1000000.0::DOUBLE) AS BIGINT) AS s_micro
        |  FROM tf
        |  JOIN q ON q.term = tf.term
        |  JOIN df ON df.term = tf.term
@@ -195,9 +200,11 @@ object Rank extends QueryModule {
   // integer division only, identical both engines (all values positive, so
   // DuckDB's floor-// equals Spark's truncating div). Each round is one
   // edge equi-join + one dst-keyed aggregation (the textbook distributed
-  // PageRank shuffle shape), localCheckpointed per round (SURVEY §6: the
-  // iterated frame is referenced through a join each step — lineage must
-  // be truncated, the dedup_cluster/BPE lesson).
+  // PageRank shuffle shape); the rounds CHAIN without per-round
+  // checkpointing — each step references the iterated frame once, so
+  // lineage grows linearly (the SURVEY §6 geometric-blowup rule applies
+  // only to multi-reference steps like dedup_cluster/BPE) — while the
+  // re-joined edge frame is materialized once up front.
   private val PrScale = 1000000000000L
   private val PrIters = 4
 

@@ -727,7 +727,14 @@ object Similarity extends QueryModule {
   // The flag is the events_anomaly exact one-sided z-test: outlier iff
   // n·d − Σ > 0 and (n·d − Σ)² > 4·(n·Q − Σ²) — distance > mean + 2σ
   // within the cluster, no sqrt, no doubles, identical in both engines
-  // (Spark DECIMAL(38,0) / DuckDB HUGEINT).
+  // (Spark DECIMAL(38,0) / DuckDB HUGEINT). Overflow audit: every
+  // product WIDENS BEFORE multiplying (n·n in int64 wraps past n≈3e9),
+  // and the second-moment inputs are dist2q div 1024 — dist2c ≤ ~4.2e6,
+  // so dev² ≤ (cn·4.2e6)² stays inside 38 digits to cn ≈ 2e12 vectors
+  // per cluster (orders beyond a 100 TB corpus); the full-resolution
+  // dist2q is what the op outputs.
+  private val OutCoarse = 1024L
+
   private def embOutliers(s: SparkSession, dir: String): DataFrame = {
     val long = qVecs(s, dir)
       .withColumn("cluster", col("vec_id") % CentClusters)
@@ -736,18 +743,19 @@ object Similarity extends QueryModule {
       .agg(sum("qd").as("sd"), count(lit(1)).as("n"))
     val dist = long.join(broadcast(sums), Seq("cluster", "d0"))
       .withColumn("term", expr(
-        "cast(n * qd - sd as decimal(38,0)) * cast(n * qd - sd as decimal(38,0))"))
+        "(cast(n as decimal(38,0)) * qd - sd) * (cast(n as decimal(38,0)) * qd - sd)"))
       .groupBy("vec_id", "cluster")
       .agg(sum("term").as("sq"), max("n").as("n"))
       .select(col("vec_id"), col("cluster"), col("n"),
-        expr("cast(sq div (n * n) as bigint)").as("dist2q"))
+        expr("cast(sq div (cast(n as decimal(38,0)) * n) as bigint)").as("dist2q"))
+      .withColumn("dist2c", expr(s"dist2q div ${OutCoarse}L"))
     val stats = dist.groupBy("cluster").agg(
-      sum(col("dist2q").cast("decimal(38,0)")).as("sum_d"),
-      sum(col("dist2q").cast("decimal(38,0)") * col("dist2q").cast("decimal(38,0)"))
+      sum(col("dist2c").cast("decimal(38,0)")).as("sum_d"),
+      sum(col("dist2c").cast("decimal(38,0)") * col("dist2c").cast("decimal(38,0)"))
         .as("sum_q2"),
       count(lit(1)).as("cn"))
     dist.join(broadcast(stats), "cluster")
-      .withColumn("dev", expr("cast(cn as decimal(38,0)) * cast(dist2q as decimal(38,0)) - sum_d"))
+      .withColumn("dev", expr("cast(cn as decimal(38,0)) * cast(dist2c as decimal(38,0)) - sum_d"))
       .select(col("vec_id"), col("cluster"), col("dist2q"), col("cn").as("cluster_n"),
         expr("""case when cn >= 2 and dev > 0
                |  and dev * dev > 4 * (cast(cn as decimal(38,0)) * sum_q2 - sum_d * sum_d)
@@ -770,24 +778,25 @@ object Similarity extends QueryModule {
        |  FROM long GROUP BY cluster, d0),
        |dist AS (
        |  SELECT l.vec_id, l.cluster, any_value(s.n) AS n,
-       |         CAST(sum(CAST(s.n * l.qd - s.sd AS HUGEINT)
-       |                 * CAST(s.n * l.qd - s.sd AS HUGEINT))
-       |              // (any_value(s.n) * any_value(s.n)) AS BIGINT) AS dist2q
+       |         CAST(sum((CAST(s.n AS HUGEINT) * l.qd - s.sd)
+       |                 * (CAST(s.n AS HUGEINT) * l.qd - s.sd))
+       |              // (CAST(any_value(s.n) AS HUGEINT) * any_value(s.n)) AS BIGINT) AS dist2q
        |  FROM long l JOIN sums s ON s.cluster = l.cluster AND s.d0 = l.d0
        |  GROUP BY l.vec_id, l.cluster),
+       |distc AS (SELECT *, dist2q // $OutCoarse AS dist2c FROM dist),
        |stats AS (
-       |  SELECT cluster, sum(CAST(dist2q AS HUGEINT)) AS sum_d,
-       |         sum(CAST(dist2q AS HUGEINT) * CAST(dist2q AS HUGEINT)) AS sum_q2,
+       |  SELECT cluster, sum(CAST(dist2c AS HUGEINT)) AS sum_d,
+       |         sum(CAST(dist2c AS HUGEINT) * CAST(dist2c AS HUGEINT)) AS sum_q2,
        |         CAST(count(*) AS BIGINT) AS cn
-       |  FROM dist GROUP BY cluster)
+       |  FROM distc GROUP BY cluster)
        |SELECT d.vec_id, d.cluster, d.dist2q, t.cn AS cluster_n,
        |       CAST(CASE WHEN t.cn >= 2
-       |              AND CAST(t.cn AS HUGEINT) * d.dist2q - t.sum_d > 0
-       |              AND (CAST(t.cn AS HUGEINT) * d.dist2q - t.sum_d)
-       |                * (CAST(t.cn AS HUGEINT) * d.dist2q - t.sum_d)
+       |              AND CAST(t.cn AS HUGEINT) * d.dist2c - t.sum_d > 0
+       |              AND (CAST(t.cn AS HUGEINT) * d.dist2c - t.sum_d)
+       |                * (CAST(t.cn AS HUGEINT) * d.dist2c - t.sum_d)
        |                > 4 * (CAST(t.cn AS HUGEINT) * t.sum_q2 - t.sum_d * t.sum_d)
        |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-       |FROM dist d JOIN stats t ON t.cluster = d.cluster
+       |FROM distc d JOIN stats t ON t.cluster = d.cluster
        |ORDER BY d.vec_id""".stripMargin
 
   // ----------------------------------------------------- emb_quantize

@@ -89,8 +89,10 @@ class CurateSpec extends SparkSpec {
       }
       // the guarantee: an exact cross-set copy collides in EVERY band, so
       // each corpus doc sharing a normalized text with a benchmark doc
-      // MUST be reported with jaccard 1.0
-      val norm = queries.Docs.enriched(spark, sfDir).select("doc_id", "norm")
+      // MUST be reported with jaccard 1.0 — restricted to docs that HAVE
+      // shingles (>= 3 tokens), the same precondition the pipeline applies
+      val norm = queries.Docs.enriched(spark, sfDir)
+        .filter(size(col("toks")) >= 3).select("doc_id", "norm")
       val exactCross = norm.filter(col("doc_id") >= 40)
         .join(norm.filter(col("doc_id") < 40).select(col("norm"), lit(1).as("hit")),
           "norm").select("doc_id").distinct()

@@ -131,9 +131,10 @@ class RankSpec extends SparkSpec {
   }
 
   test("pagerank internals plan-audit: edge build + iteration are equi-joins only") {
-    // graph_pagerank is on ScaleSpec's eagerSummary exclusion list (its
-    // surfaced plan is a localCheckpoint scan) — this is the promised
-    // audit of the joins that plan hides, on the UN-checkpointed frames.
+    // The registered op's surfaced plan (swept by ScaleSpec) contains the
+    // chained iteration joins but NOT the edge build — edgesD surfaces as
+    // a checkpoint scan there. This audits those hidden edge-build joins
+    // on the un-checkpointed frames, plus one iteration for completeness.
     val edgesD = Rank.prEdges(spark, sfDir)
     val seed = edgesD.select(col("src").as("node_id")).distinct()
       .withColumn("r", lit(1000000L))

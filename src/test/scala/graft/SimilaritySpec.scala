@@ -257,10 +257,12 @@ class SimilaritySpec extends SparkSpec {
         }.sum
         id -> (sq / (BigInt(n) * BigInt(n))).toLong
       }
-      val sumD = dists.map(x => BigInt(x._2)).sum
-      val sumQ2 = dists.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      // the op runs its z-test on the div-1024 coarsened distances
+      val coarse = dists.map { case (id, d2) => id -> d2 / 1024L }.toMap
+      val sumD = coarse.values.map(BigInt(_)).sum
+      val sumQ2 = coarse.values.map(v => BigInt(v) * BigInt(v)).sum
       dists.map { case (id, d2) =>
-        val dev = BigInt(n) * d2 - sumD
+        val dev = BigInt(n) * coarse(id) - sumD
         val flag = n >= 2 && dev > 0 && dev * dev > 4 * (BigInt(n) * sumQ2 - sumD * sumD)
         (id, c, d2, n, if (flag) 1L else 0L)
       }
