@@ -392,7 +392,93 @@ object Curate extends QueryModule {
        |FROM dq JOIN med ON dq.source = med.source
        |WHERE q_int >= med ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- pipeline_curate_full
+  // The END-TO-END production curation recipe — the curation twin of
+  // dv_mart_auto's composition proof: one op emits, for EVERY document,
+  // each gate's verdict and the final keep decision, composing six
+  // already-oracle-checked operators as DataFrames (benchmark exclusion,
+  // quality, language, exact-dedup survivorship, minhash near-dup
+  // survivorship, fuzzy benchmark contamination, PII). Catalyst fuses
+  // the shared Docs/shingle/band passes (all memoized), so the plan adds
+  // joins on doc_id — not re-scans. The boilerplate ratio is NOT a gate:
+  // the fixed-vocabulary corpus saturates it at larger SFs (every
+  // 3-gram common), so a threshold could not partition at all three
+  // gate SFs — a real deployment would add it per-corpus.
+  // Near-dup survivorship here is PAIR-wise (drop the higher id of each
+  // verified pair — min-label over edges); the transitive-closure form
+  // is dedup_cluster's job and needs the recursive kernel.
+  private def pipelineCurateFull(s: SparkSession, dir: String): DataFrame = {
+    val d = Docs.enriched(s, dir).select("doc_id")
+    val q = Text.quality(s, dir).select("doc_id", "n_words", "quality_score")
+    val lang = Text.langId(s, dir).select("doc_id", "predicted_lang")
+    val ex = Text.dedupExact(s, dir)
+      .select(col("survivor_doc_id").as("doc_id"), lit(1L).as("ex1"))
+    val inferior = Dedup.minhashLsh(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct().withColumn("inf1", lit(1L))
+    val fz = Dedup.decontaminateFuzzy(s, dir)
+      .select(col("doc_id"), lit(1L).as("fz1"))
+    val pii = Text.piiScrub(s, dir).select("doc_id", "n_emails", "n_phones")
+    d.join(q, "doc_id").join(lang, "doc_id")
+      .join(ex, Seq("doc_id"), "left")
+      .join(inferior, Seq("doc_id"), "left")
+      .join(fz, Seq("doc_id"), "left")
+      .join(pii, "doc_id")
+      .select(col("doc_id"),
+        when(col("doc_id") >= Dedup.FuzzyBenchDocs, 1L).otherwise(0L).as("not_benchmark"),
+        when(col("n_words") >= MinWords && col("quality_score") >= MinQuality, 1L)
+          .otherwise(0L).as("pass_quality"),
+        when(col("predicted_lang") =!= "unknown", 1L).otherwise(0L).as("pass_lang"),
+        when(col("ex1").isNotNull, 1L).otherwise(0L).as("exact_survivor"),
+        when(col("inf1").isNull, 1L).otherwise(0L).as("neardup_survivor"),
+        when(col("fz1").isNull, 1L).otherwise(0L).as("not_contaminated"),
+        when(col("n_emails") + col("n_phones") === 0, 1L).otherwise(0L).as("pii_clean"))
+      .withColumn("keep", expr(
+        """not_benchmark * pass_quality * pass_lang * exact_survivor
+          | * neardup_survivor * not_contaminated * pii_clean""".stripMargin))
+      .orderBy("doc_id")
+  }
+
+  // NOTE: assembled WITHOUT stripMargin — the embedded component SQL
+  // contains lines that BEGIN with DuckDB's || concat operator, which a
+  // composite-level stripMargin would eat (found the hard way).
+  private val pipelineCurateFullSql =
+    s"""WITH q AS (SELECT * FROM (${Text.qualitySql})),
+l AS (SELECT * FROM (${Text.langIdSql})),
+ex AS (SELECT * FROM (${Text.dedupExactSql})),
+mh AS (SELECT * FROM (${Dedup.minhashSql})),
+fz AS (SELECT * FROM (${Dedup.decontaminateFuzzySql})),
+pii AS (SELECT * FROM (${Text.piiScrubSql})),
+inf AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+flags AS (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id >= 40 THEN 1 ELSE 0 END AS not_benchmark,
+    CASE WHEN q.n_words >= $MinWords AND q.quality_score >= $MinQuality THEN 1 ELSE 0 END AS pass_quality,
+    CASE WHEN l.predicted_lang <> 'unknown' THEN 1 ELSE 0 END AS pass_lang,
+    CASE WHEN ex.survivor_doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_survivor,
+    CASE WHEN inf.doc_id IS NULL THEN 1 ELSE 0 END AS neardup_survivor,
+    CASE WHEN fz.doc_id IS NULL THEN 1 ELSE 0 END AS not_contaminated,
+    CASE WHEN pii.n_emails + pii.n_phones = 0 THEN 1 ELSE 0 END AS pii_clean
+  FROM documents b
+  JOIN q ON q.doc_id = b.doc_id
+  JOIN l ON l.doc_id = b.doc_id
+  LEFT JOIN ex ON ex.survivor_doc_id = b.doc_id
+  LEFT JOIN inf ON inf.doc_id = b.doc_id
+  LEFT JOIN fz ON fz.doc_id = b.doc_id
+  JOIN pii ON pii.doc_id = b.doc_id)
+SELECT doc_id,
+  CAST(not_benchmark AS BIGINT) AS not_benchmark,
+  CAST(pass_quality AS BIGINT) AS pass_quality,
+  CAST(pass_lang AS BIGINT) AS pass_lang,
+  CAST(exact_survivor AS BIGINT) AS exact_survivor,
+  CAST(neardup_survivor AS BIGINT) AS neardup_survivor,
+  CAST(not_contaminated AS BIGINT) AS not_contaminated,
+  CAST(pii_clean AS BIGINT) AS pii_clean,
+  CAST(not_benchmark * pass_quality * pass_lang * exact_survivor
+     * neardup_survivor * not_contaminated * pii_clean AS BIGINT) AS keep
+FROM flags ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_curate_full", pipelineCurateFull, Some(pipelineCurateFullSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),
     QueryDef("curate_prune_quality", prunQuality, Some(prunQualitySql)),

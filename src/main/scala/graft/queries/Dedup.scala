@@ -145,10 +145,10 @@ object Dedup extends QueryModule {
   // op's signal is dense, but cross-set NEAR-dups at >= tau only appear
   // with a 40-doc slice at every SF — the two ops model two differently
   // sized eval suites, not one shared benchmark.
-  private val FuzzyBenchDocs = 40L
+  private[queries] val FuzzyBenchDocs = 40L
   private val FuzzyTau = 0.5
 
-  private def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val bands = minhashBands(s, dir)
     val bench = broadcast(bands.filter(col("doc_id") < FuzzyBenchDocs)
@@ -178,7 +178,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val decontaminateFuzzySql =
+  private[queries] val decontaminateFuzzySql =
     s"""WITH $minhashBandsCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS c_doc, b.doc_id AS bench_doc

@@ -295,7 +295,7 @@ object Text extends QueryModule {
   private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
   private val PhoneRe = "555-[0-9]{4}"
 
-  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def piiScrub(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents")
       .withColumn("inj", concat(col("text"),
         when(col("doc_id") % 5 === 0,
@@ -313,7 +313,7 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val piiScrubSql =
+  private[queries] val piiScrubSql =
     s"""WITH inj AS (
        |  SELECT doc_id,
        |    text

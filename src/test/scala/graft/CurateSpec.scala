@@ -64,6 +64,42 @@ class CurateSpec extends SparkSpec {
       run("text_token_count").filter(col("n_words") >= 2).count())
   }
 
+  test("pipeline_curate_full: every gate agrees with its standalone operator, keep is the product") {
+    val full = run("pipeline_curate_full").cache()
+    try {
+      // one row per document, keep partitions the corpus
+      assert(full.count() == Tables.load(spark, sfDir, "documents").count())
+      assert(full.filter(col("keep") === 1).count() > 0)
+      assert(full.filter(col("keep") === 0).count() > 0)
+      // keep is exactly the conjunction of the seven gates
+      assert(full.filter(col("keep") =!=
+        col("not_benchmark") * col("pass_quality") * col("pass_lang") *
+          col("exact_survivor") * col("neardup_survivor") *
+          col("not_contaminated") * col("pii_clean")).count() == 0)
+      // each gate agrees with the standalone operator it composes
+      val fz = run("decontaminate_fuzzy").select(col("doc_id"), lit(1L).as("c"))
+      assert(full.join(fz, Seq("doc_id"), "left")
+        .filter((col("c").isNotNull && col("not_contaminated") === 1) ||
+          (col("c").isNull && col("not_contaminated") === 0)).count() == 0)
+      val inferior = run("dedup_minhash_lsh").select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("inf", lit(1L))
+      assert(full.join(inferior, Seq("doc_id"), "left")
+        .filter((col("inf").isNotNull && col("neardup_survivor") === 1) ||
+          (col("inf").isNull && col("neardup_survivor") === 0)).count() == 0)
+      val pii = run("text_pii_scrub")
+      assert(full.join(pii, "doc_id")
+        .filter((col("n_emails") + col("n_phones") === 0) =!= (col("pii_clean") === 1))
+        .count() == 0)
+      val pc = run("pipeline_curate").select(col("doc_id"), lit(1L).as("kept3"))
+      // the three original gates embed unchanged: pipeline_curate's kept set
+      // == docs passing quality+lang+exact here
+      assert(full.join(pc, Seq("doc_id"), "left")
+        .filter((col("kept3").isNotNull) =!=
+          (col("pass_quality") === 1 && col("pass_lang") === 1 &&
+            col("exact_survivor") === 1)).count() == 0)
+    } finally full.unpersist()
+  }
+
   test("decontaminate_fuzzy: jaccard recomputes exactly, exact cross-set copies always caught") {
     val fz = run("decontaminate_fuzzy").cache()
     try {
