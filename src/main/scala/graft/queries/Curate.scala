@@ -408,7 +408,8 @@ object Curate extends QueryModule {
   // verified pair — min-label over edges); the transitive-closure form
   // is dedup_cluster's job and needs the recursive kernel.
   private def pipelineCurateFull(s: SparkSession, dir: String): DataFrame = {
-    val d = Docs.enriched(s, dir).select("doc_id")
+    // quality is one row per document (unfiltered scan), so it IS the base
+    // relation — no separate documents join needed.
     val q = Text.quality(s, dir).select("doc_id", "n_words", "quality_score")
     val lang = Text.langId(s, dir).select("doc_id", "predicted_lang")
     val ex = Text.dedupExact(s, dir)
@@ -418,7 +419,7 @@ object Curate extends QueryModule {
     val fz = Dedup.decontaminateFuzzy(s, dir)
       .select(col("doc_id"), lit(1L).as("fz1"))
     val pii = Text.piiScrub(s, dir).select("doc_id", "n_emails", "n_phones")
-    d.join(q, "doc_id").join(lang, "doc_id")
+    q.join(lang, "doc_id")
       .join(ex, Seq("doc_id"), "left")
       .join(inferior, Seq("doc_id"), "left")
       .join(fz, Seq("doc_id"), "left")
@@ -451,7 +452,7 @@ pii AS (SELECT * FROM (${Text.piiScrubSql})),
 inf AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
 flags AS (
   SELECT b.doc_id,
-    CASE WHEN b.doc_id >= 40 THEN 1 ELSE 0 END AS not_benchmark,
+    CASE WHEN b.doc_id >= ${Dedup.FuzzyBenchDocs} THEN 1 ELSE 0 END AS not_benchmark,
     CASE WHEN q.n_words >= $MinWords AND q.quality_score >= $MinQuality THEN 1 ELSE 0 END AS pass_quality,
     CASE WHEN l.predicted_lang <> 'unknown' THEN 1 ELSE 0 END AS pass_lang,
     CASE WHEN ex.survivor_doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_survivor,
