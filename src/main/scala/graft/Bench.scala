@@ -35,31 +35,40 @@ object Bench {
     // slow tail keeps total bench wall-time near a single pass. The
     // methodology is recorded in the emitted JSON.
     val RetimeAboveSec = 0.75
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws must never flatter the totals as a fail-fast
+    // near-zero time (the round-4 lesson: 16 broken ops "ran" in 0.05s
+    // each): failures are excluded from every total and named in a
+    // `failed` list on BOTH output lines.
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> time(fn) }.toMap
     var retimed = 0
-    val results = ordered.map { case (name, fn) =>
-      name -> (if (pass1(name) >= RetimeAboveSec) {
-        retimed += 1
-        math.min(pass1(name), time(fn))
-      } else pass1(name))
+    val results = ordered.flatMap { case (name, fn) =>
+      pass1(name).map { t1 =>
+        name -> (if (t1 >= RetimeAboveSec) {
+          retimed += 1
+          math.min(t1, time(fn).getOrElse(t1))
+        } else t1)
+      }
     }
+    val failed = ordered.map(_._1).filter(pass1(_).isEmpty)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val singlePassTotal = pass1.values.sum
+    val singlePassTotal = pass1.values.flatten.sum
     // Per-query detail first, compact totals-only line LAST: the driver's
     // artifact keeps the tail of the output, so the headline totals must be
     // on the final (short) line to survive truncation. Both statistics are
     // emitted so gate comparisons can use whichever matches the baseline's
     // methodology (single-pass vs best-of).
-    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","single_pass_total":$singlePassTotal,"best_of_total":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass","failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","single_pass_total":$singlePassTotal,"best_of_total":$total,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

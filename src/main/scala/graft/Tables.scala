@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Registry of the driver-generated source tables (TESTDATA.md).
   *
@@ -25,6 +27,38 @@ object Tables {
     * inference; JSON is JSON-lines with inference (inferred fields come
     * back alphabetically ordered — Spark's JSON contract).
     */
+  /** Canonical `tms` (epoch-millis BIGINT) from whatever physical type the
+    * driver shipped `ts` as. The testdata generator has already re-exported
+    * events.ts as parquet TIMESTAMP(NANOS) (read as epoch-nanos LONG under
+    * nanosAsLong) and later TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) — the
+    * reference never hard-codes source types either, it derives everything
+    * from the live catalog (extension/src/model/queries.rs:65-321), so graft
+    * branches on the observed Spark type:
+    *   - LongType          → epoch-nanos, `ts div 1e6` (exact for t > 0)
+    *   - Timestamp[NTZ]    → `unix_millis(cast(ts as timestamp))`. The NTZ
+    *     wall clock is interpreted via the session zone; every graft
+    *     entrypoint pins spark.sql.session.timeZone=UTC (Tables.sessionConfs),
+    *     which matches DuckDB's `epoch_ms(ts)` on the same naive value. The
+    *     cast is a no-op for LTZ input.
+    * Anything else is a drift shape we have not reasoned about — fail loudly
+    * by name rather than mis-time every downstream event op.
+    */
+  def tmsFromTs(dt: DataType): Column = dt match {
+    case LongType                          => expr("ts div 1000000")
+    case TimestampType | TimestampNTZType  => expr("unix_millis(cast(ts as timestamp))")
+    case other => throw new IllegalStateException(
+      s"events.ts arrived as unsupported physical type $other — extend Tables.tmsFromTs")
+  }
+
+  /** THE events reader: every batch consumer of the event feed goes through
+    * here and sees the canonical `tms` instead of the drift-prone raw `ts`
+    * (which is dropped so no downstream expression can re-bind to it).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.withColumn("tms", tmsFromTs(raw.schema("ts").dataType)).drop("ts")
+  }
+
   def loadAs(spark: SparkSession, path: String, format: String): DataFrame = format match {
     case "parquet" => spark.read.parquet(path)
     case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
@@ -33,9 +67,14 @@ object Tables {
   }
 
   /** Session defaults applied by every entrypoint (Verify/Bench/tests).
-    * nanosAsLong: events.ts is parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read it as epoch-nanos LONG instead and
-    * convert explicitly (ts div 1e6 == DuckDB epoch_ms, exact for t>0).
+    * nanosAsLong: kept DELIBERATELY even though current testdata ships
+    * TIMESTAMP(MICROS) — parquet TIMESTAMP(NANOS) (which earlier testdata
+    * exports used) is otherwise rejected outright by Spark's reader
+    * ("Illegal Parquet type"), so this conf is the only path that keeps a
+    * nanos re-export readable at all. It is a no-op for micros/LTZ data,
+    * and loadEvents normalizes whichever shape arrives (LONG when this conf
+    * fires on nanos, TIMESTAMP_NTZ for micros) into the same `tms`.
+    * timeZone=UTC is load-bearing for that normalization — see tmsFromTs.
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",

@@ -3,21 +3,36 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failures are LOUD, never absence (the round-4 lesson: 16 ops crashed at
+  * analysis time and silently vanished from the correctness artifact): a
+  * failed op leaves a `<name>._error` sidecar carrying the exception, the
+  * run prints a FAILED summary line, and the process exits non-zero.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = VerifyShared.session()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name._error"),
+          s"${e.getClass.getName}: ${e.getMessage}")
+        Some(name)
       }
     }
     VerifyShared.writeOracleJson(outDir)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} op(s) FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
 

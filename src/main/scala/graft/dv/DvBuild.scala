@@ -146,7 +146,7 @@ object DvBuild {
     * with first-seen time and observation count.
     */
   def scd2FromEvents(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    val ev = Tables.loadEvents(s, dir)
     ev.groupBy(col("user_id"), col("props"))
       .agg(min("tms").as("first_seen_ms"), count(lit(1)).as("n_obs"))
       .select(
@@ -169,7 +169,7 @@ object DvBuild {
 
   def pit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    val ev = Tables.loadEvents(s, dir)
       .select(col("user_id"), col("tms"), col("event_id"), col("props"))
     val dates = PitDates.toDF("asof_date")
       .withColumn("asof_ms", unix_millis(col("asof_date").cast("timestamp")))
@@ -189,7 +189,7 @@ object DvBuild {
     * via the same single-shuffle max(struct(...)) aggregation as pit.
     */
   def currentView(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    val ev = Tables.loadEvents(s, dir)
     ev.groupBy("user_id")
       .agg(max(struct(col("tms"), col("event_id"), col("props"))).as("m"))
       .select(

@@ -1,10 +1,13 @@
 package graft.dv
 
 /** Static registry of the source-table schemas as graft's readers observe
-  * them (events.ts arrives as epoch-nanos bigint — see Tables.sessionConfs).
-  * The runtime parquet introspection (Catalog.introspect) must agree with
-  * this registry — asserted in DvSpec — so oracle SQL can be generated
-  * without a live session.
+  * them. The runtime parquet introspection (Catalog.introspect) must agree
+  * with this registry — asserted column-by-column in DataVaultSpec, so a
+  * driver re-export that re-types any column fails ONE test that names the
+  * drifted column — and oracle SQL can be generated without a live session.
+  * events.ts: currently parquet TIMESTAMP(MICROS) (the 2026-08-13 testdata
+  * regeneration re-typed it from TIMESTAMP(NANOS)-read-as-bigint); both
+  * shapes normalize through Tables.loadEvents.
   */
 object SourceSchemas {
 
@@ -31,7 +34,7 @@ object SourceSchemas {
       Col("l_discount", "double"), Col("l_tax", "double"), Col("l_returnflag", "varchar"),
       Col("l_linestatus", "varchar"), Col("l_shipdate", "timestamp")),
     "events" -> Seq(
-      Col("event_id", "bigint"), Col("ts", "bigint"), Col("user_id", "bigint"),
+      Col("event_id", "bigint"), Col("ts", "timestamp"), Col("user_id", "bigint"),
       Col("event_type", "varchar"), Col("value", "double"), Col("props", "varchar")),
     "documents" -> Seq(
       Col("doc_id", "bigint"), Col("text", "varchar"), Col("lang", "varchar"),

@@ -21,9 +21,11 @@ object Analytics extends QueryModule with MoneyArithmetic {
   private def li(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
 
-  /** events.ts arrives as epoch-nanos LONG (see Tables.sessionConfs). */
+  /** Canonical event feed — `tms` epoch-millis via the schema-adaptive
+    * loader (Tables.loadEvents handles ts arriving as nanos LONG,
+    * TIMESTAMP_NTZ micros, or LTZ). */
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    Tables.loadEvents(s, dir)
 
   // ---------------------------------------------------------------- q1
   private def q1(s: SparkSession, dir: String): DataFrame = {

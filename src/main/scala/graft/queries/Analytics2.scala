@@ -266,8 +266,8 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   // Plan: one shuffle for the daily counts; the per-type stats are a
   // type-cardinality aggregate broadcast back into the daily side.
   private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.load(s, dir, "events")
-      .withColumn("day", expr("cast(cast(timestamp_millis(ts div 1000000) as date) as string)"))
+    val daily = Tables.loadEvents(s, dir)
+      .withColumn("day", expr("cast(cast(timestamp_millis(tms) as date) as string)"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("cnt").as("s"), sum(expr("cnt * cnt")).as("q"))
@@ -444,8 +444,7 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   // day offset k in 0..7, how many of the cohort were active again. Two
   // aggregations and one equi-join on user_id — co-partitioned at scale.
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .withColumn("tms", expr("ts div 1000000"))
+    Tables.loadEvents(s, dir)
       .withColumn("day", to_date(timestamp_millis(col("tms"))))
 
   private def retention(s: SparkSession, dir: String): DataFrame = {
@@ -680,7 +679,7 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   private val RangeWindowMs = 600000L // 10 minutes
 
   private def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "events").withColumn("tms", expr("ts div 1000000"))
+    val e = Tables.loadEvents(s, dir)
     val views = e.filter(col("event_type") === "view")
       .select(col("tms").as("vt"),
         expr("cast(floor(value * 1000) as bigint)").as("vmilli"))

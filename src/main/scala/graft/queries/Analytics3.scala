@@ -176,8 +176,8 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def eventsPivot(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "events")
-      .withColumn("day", to_date(timestamp_millis(expr("ts div 1000000"))).cast("string"))
+    Tables.loadEvents(s, dir)
+      .withColumn("day", to_date(timestamp_millis(col("tms"))).cast("string"))
       .groupBy("day").pivot("event_type", PivotTypes).agg(count(lit(1)))
       .na.fill(0L, PivotTypes)
       .select(col("day") +: PivotTypes.map(t => col(t).as(s"n_$t")): _*)
@@ -208,9 +208,8 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
     // batch replay reproduces the stream's pairs under same-ms ties.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("tms", "event_id")
-    val pairs = Tables.load(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000000").as("tms"),
-        col("event_id"), col("event_type"))
+    val pairs = Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("tms"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))

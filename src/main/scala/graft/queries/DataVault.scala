@@ -70,8 +70,7 @@ object DataVault extends QueryModule {
   private val SatIncrCutoff = "2024-01-15 00:00:00"
 
   private def satIncr(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.load(s, dir, "events")
-      .withColumn("tms", expr("ts div 1000000"))
+    val v = Tables.loadEvents(s, dir)
       .select(
         dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
         dvHash(Seq(col("props"))).as("sat_user_hd"),

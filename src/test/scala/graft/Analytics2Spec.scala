@@ -66,8 +66,8 @@ class Analytics2Spec extends SparkSpec {
       assert(r.getAs[Int]("p50_in_band") == 1, s"${r.getAs[String]("day")} p50 out of band")
       assert(r.getAs[Int]("p90_in_band") == 1, s"${r.getAs[String]("day")} p90 out of band")
     }
-    val exact = Tables.load(spark, sfDir, "events")
-      .withColumn("day", to_date(timestamp_millis(expr("ts div 1000000"))).cast("string"))
+    val exact = Tables.loadEvents(spark, sfDir)
+      .withColumn("day", to_date(timestamp_millis(col("tms"))).cast("string"))
       .groupBy("day").agg(countDistinct("user_id").as("users"))
       .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("users")).toMap
     rows.foreach { r =>
@@ -80,7 +80,7 @@ class Analytics2Spec extends SparkSpec {
     // the op must not be hollow: some purchases have preceding views
     assert(binned.filter(col("n_views") > 0).count() > 0)
     // direct formulation (range-predicate join — quadratic, test-SF only)
-    val e = Tables.load(spark, sfDir, "events").withColumn("tms", expr("ts div 1000000"))
+    val e = Tables.loadEvents(spark, sfDir)
     val views = e.filter(col("event_type") === "view")
       .select(col("tms").as("vt"), expr("cast(floor(value * 1000) as bigint)").as("vmilli"))
     val purchases = e.filter(col("event_type") === "purchase")

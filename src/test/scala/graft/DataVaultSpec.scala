@@ -6,13 +6,23 @@ import org.apache.spark.sql.functions._
 class DataVaultSpec extends SparkSpec {
 
   test("runtime catalog introspection agrees with the static schema registry") {
+    // Column-by-column, so a driver re-export that re-types ANY column of
+    // ANY table (events.ts bigint→timestamp happened between rounds 4 and
+    // 5) fails here first, naming the drifted column — not as 16 mysterious
+    // analysis errors downstream.
     val live = Catalog.introspect(spark, sfDir)
       .select("table_name", "column_name", "ordinal", "data_type")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getInt(2), r.getString(3))).toMap
     val static0 = SourceSchemas.tables.flatMap { case (t, cols) =>
-      cols.zipWithIndex.map { case (c, i) => (t, c.name, i + 1, c.typeName) }
-    }.toSet
-    assert(live == static0)
+      cols.zipWithIndex.map { case (c, i) => (t, c.name) -> (i + 1, c.typeName) }
+    }.toMap
+    val drifted = (live.keySet ++ static0.keySet).toSeq.sorted.flatMap { k =>
+      (live.get(k), static0.get(k)) match {
+        case (Some(l), Some(s)) if l == s => None
+        case (l, s) => Some(s"${k._1}.${k._2}: live=$l registry=$s")
+      }
+    }
+    assert(drifted.isEmpty, s"schema drift (update SourceSchemas + check typed readers):\n  ${drifted.mkString("\n  ")}")
   }
 
   test("hub: ghost records present, hash key unique, bk round-trips") {

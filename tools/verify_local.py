@@ -46,7 +46,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
-    names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    # ops that crashed in Verify leave a <name>._error sidecar — surface
+    # them as named failures, never as silent absence
+    for err in sorted(glob.glob(f"{out}/*._error")):
+        name = os.path.basename(err)[:-len("._error")]
+        msg = open(err).read().strip().splitlines()
+        print(f"  {name}: SPARK OP FAILED: {msg[0] if msg else '(no message)'}")
+        n_fail += 1
+    names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
+                   and not os.path.exists(os.path.join(out, d + "._error")))
     for name in names:
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
