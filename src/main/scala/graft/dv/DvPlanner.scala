@@ -363,8 +363,24 @@ object DvPlanner {
   def planFromClassification(s: SparkSession, dir: String, scope: Seq[String],
                              overrides: Classify.Overrides = Map.empty,
                              threshold: Double = Classify.Threshold,
-                             classifier: Classifier = RulesClassifier): DvPlan = {
-    val classified = classifier.respond(Classify.catalogProfile(s, dir, overrides))
+                             classifier: Classifier = RulesClassifier,
+                             typeOverride: Map[(String, String), String] = Map.empty): DvPlan = {
+    // typeOverride patches the profile's catalog types (and the
+    // type-derived signals) before classification — how the planner
+    // re-derives under a drifted-catalog world (Replan.replanDrift) without
+    // the testdata itself changing underneath the test.
+    val profile0 = Classify.catalogProfile(s, dir, overrides)
+    val profile = if (typeOverride.isEmpty) profile0 else {
+      import s.implicits._
+      val tov = typeOverride.toSeq.map { case ((t, c), ty) => (t, c, ty) }
+        .toDF("table_name", "column_name", "new_type")
+      profile0.join(broadcast(tov), Seq("table_name", "column_name"), "left")
+        .withColumn("data_type", coalesce(col("new_type"), col("data_type")))
+        .drop("new_type")
+        .withColumn("complex_t", !col("data_type").isin(SourceSchemas.atomicTypes.toSeq: _*))
+        .withColumn("uniq_ok_type", col("data_type").isin("bigint", "int", "varchar"))
+    }
+    val classified = classifier.respond(profile)
       .select(col("table_name"), col("column_name"), col("ordinal"), col("data_type"),
         col("category"), col("confidence"), col("ov_category").isNotNull.as("overridden"),
         (col("n_distinct").cast("double") / col("n_rows")).as("uniqueness"))

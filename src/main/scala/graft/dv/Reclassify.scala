@@ -32,8 +32,8 @@ object Reclassify {
   /** Catalog snapshot from the static registry, with optional per-column
     * type overrides standing in for upstream drift.
     */
-  private def snapshot(s: SparkSession,
-                       typeOverride: Map[(String, String), String]): DataFrame = {
+  private[dv] def snapshot(s: SparkSession,
+                           typeOverride: Map[(String, String), String]): DataFrame = {
     import s.implicits._
     Classify.signals.map { g =>
       val dt = typeOverride.getOrElse((g.table, g.column.name), g.column.typeName)

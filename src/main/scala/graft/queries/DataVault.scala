@@ -621,6 +621,13 @@ object DataVault extends QueryModule {
     // bgw_source_objects.rs + queries.rs:220-319).
     QueryDef("dv_reclassify_drift",
       (s, d) => Reclassify.reclassifyDrift(s, d), Some(Reclassify.reclassifyDriftSql)),
+    // Drift → re-plan: the SCD2 catalog merge detects the re-typed columns
+    // (incl. the REAL events.ts bigint→timestamp this round's testdata
+    // regeneration shipped), the planner re-derives under both catalog
+    // worlds, and each vault object gets keep/rebuild by whether the drift
+    // changed the canonicalization class of any of its hash inputs.
+    QueryDef("dv_replan_drift",
+      (s, d) => Replan.replanDrift(s, d), Some(Replan.replanDriftSql)),
     QueryDef("dv_sat_link_orders",
       (s, d) => DvBuild.sat(s, d, satLinkOrders), Some(DvSqlGen.satSql(satLinkOrders))),
     QueryDef("dv_bridge_customer_revenue", bridgeRevenue, Some(bridgeRevenueSql)),
