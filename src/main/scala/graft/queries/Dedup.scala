@@ -44,10 +44,12 @@ object Dedup extends QueryModule {
 
   // ------------------------------------------------ dedup_minhash_lsh
   // h32(t) = md5-long64(t) mod p32; k=16 permutations h_i = (2i+1)*h + c_i.
-  private val P32 = 4294967291L
-  private val NumPerm = 16
-  private val BandRows = 4
-  private val MinhashThreshold = 0.6
+  // private[graft]: the streaming near-dup gate (Streams.nearDupStream)
+  // computes the SAME signatures row-locally and joins the same index.
+  private[graft] val P32 = 4294967291L
+  private[graft] val NumPerm = 16
+  private[graft] val BandRows = 4
+  private[graft] val MinhashThreshold = 0.6
 
   /** (doc_id, band, sig) LSH band signatures — one shuffle with 16
     * map-side partial mins; shared by dedup_minhash_lsh and
@@ -71,6 +73,40 @@ object Dedup extends QueryModule {
       mins.select(col("doc_id"),
         expr(s"stack(${NumPerm / BandRows}, $bandSigs)").as(Seq("band", "sig")))
     }
+
+  // ------------------------------ row-local signatures (streaming twin)
+  /** Per-row LSH band signatures computed scan-locally with array HOFs —
+    * the exact hash/permutation/band constants of [[minhashBands]] with no
+    * explode and no shuffle, so a STREAMING document row carries its own
+    * signature (Streams.nearDupStream). Distinctness via array_distinct
+    * cannot change any permutation minimum, so the signatures are
+    * bit-identical to the batch frame — StreamingSpec pins the parity on
+    * the live corpus.
+    */
+  private[graft] val RowShinglesExpr: String =
+    "array_distinct(transform(sequence(1, size(toks)-2), k -> " +
+      "concat_ws(' ', element_at(toks,k), element_at(toks,k+1), element_at(toks,k+2))))"
+
+  /** md5-long64 mod p32 per shingle — the streaming form of h32. */
+  private[graft] val RowH32sExpr: String =
+    s"transform(shingles, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % ${P32}L)"
+
+  /** array<struct<band,sig>> over the h32 array. */
+  private[graft] def rowBandStructsExpr: String = {
+    def minExpr(i: Int) =
+      s"array_min(transform(h32s, h -> (${2 * i + 1}L * h + ${1000003L * i + 12345L}L) % ${P32}L))"
+    (0 until NumPerm / BandRows).map { b =>
+      val cs = (0 until BandRows).map(r => s"cast(${minExpr(b * BandRows + r)} as string)").mkString(", ")
+      s"named_struct('band', $b, 'sig', concat_ws(',', $cs))"
+    }.mkString("array(", ", ", ")")
+  }
+
+  /** The static corpus side of the streaming gate: the (doc_id, band, sig)
+    * index and the per-doc shingle sets the exact-verify join consumes.
+    */
+  private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame = minhashBands(s, dir)
+  private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).groupBy("doc_id").agg(collect_set("shingle").as("shingles"))
 
   private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)

@@ -267,6 +267,66 @@ object Streams {
       .withWatermark("ets", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** #49: streaming near-dup gate — the continuous-ingestion twin of
+    * dedup_minhash_lsh: is an arriving document a near-copy of anything
+    * already in the corpus? Each row computes its OWN minhash band
+    * signatures scan-locally (Dedup.rowBandStructsExpr — array HOFs, no
+    * shuffle, bit-identical constants to the batch index); candidates come
+    * from a stream-static equi-join on (band, sig) against the corpus band
+    * index, then exact shingle-set Jaccard against the static per-doc
+    * shingle sets decides. Stateless — streaming state never grows with
+    * corpus size; the corpus side is static frames re-resolved per
+    * micro-batch, at scale a bucketed band-keyed table. A pair matching in
+    * >1 band emits duplicate candidate rows (at-least-once); the sink
+    * collapses them with the same keyed anti-join append every vault load
+    * uses (exactly-once pairs).
+    */
+  def nearDupStream(docs: DataFrame, corpusBands: DataFrame,
+                    corpusShingles: DataFrame): DataFrame = {
+    val sigged = docs
+      .withColumn("toks", expr(graft.queries.Docs.toksSpark))
+      .withColumn("shingles", expr(graft.queries.Dedup.RowShinglesExpr))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("h32s", expr(graft.queries.Dedup.RowH32sExpr))
+      .select(col("doc_id").as("in_doc"), col("shingles"),
+        explode(expr(graft.queries.Dedup.rowBandStructsExpr)).as("bs"))
+      .select(col("in_doc"), col("shingles"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sigged
+      .join(corpusBands.withColumnRenamed("doc_id", "corpus_doc"), Seq("band", "sig"))
+      .filter(col("in_doc") =!= col("corpus_doc"))
+      .join(corpusShingles
+        .withColumnRenamed("doc_id", "corpus_doc")
+        .withColumnRenamed("shingles", "corpus_shingles"), Seq("corpus_doc"))
+      .withColumn("n_common", size(array_intersect(col("shingles"), col("corpus_shingles"))))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("shingles")) + size(col("corpus_shingles")) - col("n_common")))
+      .filter(col("jaccard") >= graft.queries.Dedup.MinhashThreshold)
+      .select(col("in_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
+  /** Exactly-once sink for [[nearDupStream]]: per micro-batch, distinct
+    * (in_doc, corpus_doc) pairs anti-joined against the flagged-pairs
+    * parquet — redelivered or multi-band-matched pairs never double-land.
+    */
+  def nearDupBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit = {
+    val pairs = batch.dropDuplicates("in_doc", "corpus_doc")
+    val novel =
+      try {
+        val existing = spark.read.parquet(outPath).select("in_doc", "corpus_doc")
+        pairs.join(existing, Seq("in_doc", "corpus_doc"), "left_anti")
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => pairs
+      }
+    novel.write.mode("append").parquet(outPath)
+  }
+
+  def nearDupSink(docs: DataFrame, corpusBands: DataFrame, corpusShingles: DataFrame,
+                  outPath: String, checkpoint: String) =
+    nearDupStream(docs, corpusBands, corpusShingles)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => nearDupBatch(b.sparkSession, b, outPath))
+
   /** #47: streaming information-mart maintenance — the consumer-facing
     * mart stays continuously fresh instead of being rebuilt on a
     * schedule: each micro-batch of order rows joins the (dimension-scale,

@@ -292,4 +292,55 @@ class StreamingSpec extends SparkSpec {
       .map(r => Streams.Transition(r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(out.toSet == batchPairs)
   }
+
+  final case class Doc(doc_id: Long, text: String)
+
+  test("row-local minhash signatures are bit-identical to the batch band index") {
+    // the streaming gate's whole correctness rests on this parity: the
+    // same (doc_id, band, sig) set must fall out of the scan-local HOF
+    // path as out of the batch explode+groupBy path
+    val rowSide = graft.queries.Docs.enriched(spark, sfDir)
+      .withColumn("shingles", expr(graft.queries.Dedup.RowShinglesExpr))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("h32s", expr(graft.queries.Dedup.RowH32sExpr))
+      .select(col("doc_id"), explode(expr(graft.queries.Dedup.rowBandStructsExpr)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .collect().map(_.toSeq).toSet
+    val batchSide = graft.queries.Dedup.bandIndex(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(rowSide == batchSide)
+  }
+
+  test("streaming near-dup gate flags a corpus copy exactly once, passes clean docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+    val src = docs.filter(length(col("text")) > 100)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    val dir = Files.createTempDirectory("graft_neardup").toString
+    val mem = MemoryStream[Doc]
+    val q = Streams.nearDupSink(mem.toDF(),
+      graft.queries.Dedup.bandIndex(spark, sfDir),
+      graft.queries.Dedup.shingleSets(spark, sfDir),
+      s"$dir/pairs", s"$dir/ckpt").start()
+    // a verbatim copy of a corpus doc + a clean gibberish doc
+    mem.addData(Doc(900001L, srcText),
+      Doc(900002L, "zq wv xk jn qp zr fz kv bn mq lx wz qy vt pk jx"))
+    q.processAllAvailable()
+    val flagged = spark.read.parquet(s"$dir/pairs")
+    val first = flagged.collect()
+    // the copy matches its source at jaccard 1.0; the clean doc never lands
+    assert(first.exists(r => r.getAs[Long]("in_doc") == 900001L &&
+      r.getAs[Long]("corpus_doc") == srcId && r.getAs[Double]("jaccard") == 1.0))
+    assert(!first.exists(_.getAs[Long]("in_doc") == 900002L))
+    // a 4-band match and any corpus-internal near-dups still land as ONE
+    // row per (in_doc, corpus_doc)
+    assert(flagged.count() == flagged.dropDuplicates("in_doc", "corpus_doc").count())
+    // redelivery: the same doc again must not double-land (exactly-once sink)
+    mem.addData(Doc(900001L, srcText))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/pairs").count() == first.length)
+  }
 }
