@@ -964,9 +964,67 @@ object Similarity extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ----------------------------------------------------- knn_label_vote
+  // Auto-labeling by neighborhood consensus — the weak-supervision
+  // primitive an embedding pipeline runs to propagate labels onto new
+  // data: each probe takes the majority label of its exact top-K cosine
+  // neighbors (ties: larger vote count, then smaller label — fully
+  // deterministic; the vote is integer counting over a top-K selection
+  // already proven bit-identical cross-engine by knn_cosine). Same scale
+  // shape as knn_cosine: constant-size probe broadcast, one corpus scan,
+  // vote aggregation over probes×K rows; at 100 TB the candidate
+  // generator swaps to the IVF/PQ path unchanged.
+  private def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qe"))
+    val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("label"),
+        col("vec_id").as("neighbor_id"), graftCosine(col("qe"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val votes = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy("query_id").orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"),
+        when(col("label") === col("true_label"), 1).otherwise(0).as("match_ind"))
+      .orderBy("query_id")
+  }
+
+  private val knnLabelVoteSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, label AS true_label, embedding AS qe, nrm AS qn
+       |  FROM vecs WHERE vec_id < $KnnQueries),
+       |pairs AS (
+       |  SELECT q.query_id, q.true_label, v.label, v.vec_id AS neighbor_id,
+       |         ${dotDuck("q.qe", "v.embedding")} / (sqrt(q.qn) * sqrt(v.nrm)) AS cosine
+       |  FROM vecs v JOIN queries q ON v.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, true_label, label,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM pairs),
+       |votes AS (
+       |  SELECT query_id, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM ranked WHERE rank <= $TopK GROUP BY query_id, true_label, label),
+       |best AS (
+       |  SELECT query_id, true_label, label, n_votes,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+       |  FROM votes)
+       |SELECT query_id, label AS pred_label, n_votes, true_label,
+       |       CASE WHEN label = true_label THEN 1 ELSE 0 END AS match_ind
+       |FROM best WHERE vr = 1
+       |ORDER BY query_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_maxsim", maxsim, Some(maxsimSql)),
     QueryDef("knn_cosine", knn, Some(knnSql)),
+    QueryDef("knn_label_vote", knnLabelVote, Some(knnLabelVoteSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
     QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),

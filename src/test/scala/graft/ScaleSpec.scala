@@ -43,6 +43,7 @@ class ScaleSpec extends SparkSpec {
     // specs pin against), never a data-sized side.
     val bnljExempt = Set(
       "knn_cosine",       // constant 50-query broadcast, vec_id =!= query_id (ground truth)
+      "knn_label_vote",   // same constant probe broadcast, vote layer on top
       "sim_maxsim",       // same constant query set, 16 sub-cosines per pair
       "ann_cosine_int8",  // same constant query set over the int8 corpus
       "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms

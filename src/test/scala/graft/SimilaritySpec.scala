@@ -271,4 +271,31 @@ class SimilaritySpec extends SparkSpec {
     // the signal partitions: flagged and clean vectors both exist
     assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L))
   }
+
+  test("knn_label_vote equals a driver-side vote over the knn_cosine neighbors") {
+    // the neighbor sets are already oracle-checked via knn_cosine; this
+    // pins the vote layer (count, tie-break by smaller label, match flag)
+    // against an independent Scala re-derivation
+    val knn = Similarity.defs.find(_.name == "knn_cosine").get.run(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = knn.groupBy(_._1).map { case (q, ns) =>
+      val byLabel = ns.map(n => labels(n._2)).groupBy(identity).map { case (l, o) => (l, o.length) }
+      val (pred, votes) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      q -> ((pred, votes.toLong, labels(q)))
+    }
+    val got = Similarity.defs.find(_.name == "knn_label_vote").get.run(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (pred, votes, tl) = expected(r.getAs[Long]("query_id"))
+      assert(r.getAs[Int]("pred_label") == pred && r.getAs[Long]("n_votes") == votes &&
+        r.getAs[Int]("true_label") == tl)
+      assert(r.getAs[Int]("match_ind") == (if (pred == tl) 1 else 0))
+    }
+    // non-hollow: real consensus exists (some query has >1 vote for the winner)
+    assert(got.exists(_.getAs[Long]("n_votes") >= 2L))
+  }
 }
