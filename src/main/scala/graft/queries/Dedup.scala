@@ -74,6 +74,65 @@ object Dedup extends QueryModule {
         expr(s"stack(${NumPerm / BandRows}, $bandSigs)").as(Seq("band", "sig")))
     }
 
+  // ------------------------------------------------ dedup_incremental
+  // Nightly-ingest dedup — the production shape a 100 TB pipeline actually
+  // runs: only the ARRIVING batch (doc_id % IncrMod == 0, an SF-stable
+  // 20% split standing in for today's crawl) is checked against the
+  // existing corpus. Candidate generation joins new-side band signatures
+  // against old-side signatures only, so per-ingest cost is O(batch)
+  // band lookups against the (at scale: bucketed, band-keyed) index —
+  // old↔old pairs are NEVER recomputed, unlike the full self-join
+  // dedup_minhash_lsh runs. Exact-Jaccard verification touches candidates
+  // only. The batch twin of stream_near_dup (same index, same verify).
+  private val IncrMod = 5
+
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bands = minhashBands(s, dir)
+    val isNew = col("doc_id") % IncrMod === 0
+    val cand = bands.filter(isNew).as("a")
+      .join(bands.filter(!isNew).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("ta"), col("ta.doc_id") === col("new_id"))
+      .join(sh.as("tb"), col("tb.doc_id") === col("old_id") &&
+        col("tb.shingle") === col("ta.shingle"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("sa.doc_id") === col("new_id"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("old_id"))
+      .select(col("new_id"), col("old_id"), col("n_common"),
+        col("sa.n").as("n_new"), col("sb.n").as("n_old"),
+        (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= MinhashThreshold)
+      .orderBy("new_id", "old_id")
+  }
+
+  // def, not val: minhashBandsCtes is declared further down the object —
+  // a val here would capture null during object init
+  private def dedupIncrementalSql =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id % $IncrMod = 0 AND b.doc_id % $IncrMod <> 0),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.new_id, c.old_id, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM cand c
+       |  JOIN sh ta ON ta.doc_id = c.new_id
+       |  JOIN sh tb ON tb.doc_id = c.old_id AND tb.shingle = ta.shingle
+       |  GROUP BY c.new_id, c.old_id)
+       |SELECT i.new_id, i.old_id, i.n_common, sa.n AS n_new, sb.n AS n_old,
+       |       CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.new_id
+       |JOIN sizes sb ON sb.doc_id = i.old_id
+       |WHERE CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common) >= $MinhashThreshold
+       |ORDER BY new_id, old_id""".stripMargin
+
   // ------------------------------ row-local signatures (streaming twin)
   /** Per-row LSH band signatures computed scan-locally with array HOFs —
     * the exact hash/permutation/band constants of [[minhashBands]] with no
@@ -574,6 +633,7 @@ object Dedup extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashSql)),
+    QueryDef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     QueryDef("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql)),

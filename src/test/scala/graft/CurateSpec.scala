@@ -30,6 +30,26 @@ class CurateSpec extends SparkSpec {
     assert(assign.groupBy("canon_id").count().agg(sum("count")).head.getLong(0) == total)
   }
 
+  test("dedup_incremental: exactly the cross-split slice of the full pair set, never old-old") {
+    val incr = run("dedup_incremental").collect()
+    assert(incr.nonEmpty, "the corpus plants near-dups crossing the 20% batch split")
+    // every returned pair crosses the split, oriented new-first
+    incr.foreach { r =>
+      assert(r.getAs[Long]("new_id") % 5 == 0 && r.getAs[Long]("old_id") % 5 != 0)
+    }
+    // restricting candidate generation to new↔old loses NOTHING: the
+    // result is exactly the cross-split slice of the full self-join pass
+    val expected = run("dedup_minhash_lsh").collect().flatMap { r =>
+      val (a, b, j) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b, j))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    val got = incr.map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"),
+      r.getAs[Double]("jaccard"))).toSet
+    assert(got == expected)
+  }
+
   test("pipeline_curate: kept docs pass every gate and survive exact dedup") {
     val kept = run("pipeline_curate").cache()
     assert(kept.count() > 0)
