@@ -241,7 +241,12 @@ object Curate extends QueryModule {
   private val ShardBudget = 2048L
   private val PrefixBuckets = 64
 
-  private def corpusShards(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_tokens, start): every doc's global token offset in the
+    * deterministic hash order, via the two-phase prefix sum — shared by
+    * corpus_shards (shard-level aggregate) and corpus_pack (per-doc
+    * sequence-span map).
+    */
+  private def tokenStarts(s: SparkSession, dir: String): DataFrame = {
     val docs = Docs.enriched(s, dir)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .withColumn("h", md5Long64(col("doc_id").cast("string")))
@@ -257,11 +262,15 @@ object Curate extends QueryModule {
       .select("b", "bucket_start")
     local.join(broadcast(offsets), "b")
       .withColumn("start", col("bucket_start") + col("local_end") - col("n_tokens"))
+      .select("doc_id", "n_tokens", "start")
+  }
+
+  private def corpusShards(s: SparkSession, dir: String): DataFrame =
+    tokenStarts(s, dir)
       .withColumn("shard_id", expr(s"start div $ShardBudget"))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("shard_id")
-  }
 
   private val corpusShardsSql =
     s"""WITH d AS (
@@ -277,6 +286,49 @@ object Curate extends QueryModule {
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM pre GROUP BY 1 ORDER BY shard_id""".stripMargin
+
+  // -------------------------------------------------------- corpus_pack
+  // Per-document sequence-span map for fixed-length training sequences —
+  // the last hop before a sequence writer materializes packed context
+  // windows: each doc occupies global token range [start, start+n) in the
+  // deterministic hash order, so it lands in sequences seq_first..seq_last
+  // (of length SeqLen = ShardBudget, so seq_first == corpus_shards'
+  // shard_id — the two ops mutually pin), entering the first one at
+  // offset_in_seq. Document-contiguous packing with splits allowed (the
+  // GPT-style pack-and-split regime); n_seqs > 1 marks docs a sequence
+  // boundary cuts. Same two-phase prefix sum as corpus_shards — no
+  // global-order window at any scale. Zero-token docs (empty after
+  // tokenization) carry no span and are excluded explicitly.
+  private val SeqLen = ShardBudget
+
+  private def corpusPack(s: SparkSession, dir: String): DataFrame =
+    tokenStarts(s, dir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_first", expr(s"start div $SeqLen"))
+      .withColumn("seq_last", expr(s"(start + n_tokens - 1) div $SeqLen"))
+      .withColumn("offset_in_seq", expr(s"start % $SeqLen"))
+      .withColumn("n_seqs", expr("seq_last - seq_first + 1"))
+      .select("doc_id", "n_tokens", "start", "seq_first", "offset_in_seq",
+        "seq_last", "n_seqs")
+      .orderBy("doc_id")
+
+  private val corpusPackSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(${Docs.toksDuck}) AS BIGINT) AS n_tokens,
+       |         ${md5Long64Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |keyed AS (SELECT *, h % $PrefixBuckets AS b FROM d),
+       |pre AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |    ORDER BY b, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM keyed)
+       |SELECT doc_id, n_tokens, start,
+       |  start // $SeqLen AS seq_first,
+       |  start % $SeqLen AS offset_in_seq,
+       |  (start + n_tokens - 1) // $SeqLen AS seq_last,
+       |  (start + n_tokens - 1) // $SeqLen - start // $SeqLen + 1 AS n_seqs
+       |FROM pre WHERE n_tokens > 0
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- corpus_mix
   // Mixture-weight downsampling: hit a target language mixture (integer
@@ -487,6 +539,7 @@ FROM flags ORDER BY doc_id"""
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
-    QueryDef("corpus_shards", corpusShards, Some(corpusShardsSql))
+    QueryDef("corpus_shards", corpusShards, Some(corpusShardsSql)),
+    QueryDef("corpus_pack", corpusPack, Some(corpusPackSql))
   )
 }

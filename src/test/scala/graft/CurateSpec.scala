@@ -232,6 +232,39 @@ class CurateSpec extends SparkSpec {
     } finally shards.unpersist()
   }
 
+  test("corpus_pack: starts tile the token stream, spans consistent, shard parity") {
+    val pack = run("corpus_pack").collect()
+    assert(pack.nonEmpty)
+    // the doc starts tile the global token stream with no gap or overlap:
+    // sorted by start, every doc begins exactly where the previous ended
+    val byStart = pack.sortBy(_.getAs[Long]("start"))
+    assert(byStart.head.getAs[Long]("start") == 0L)
+    byStart.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("start") == a.getAs[Long]("start") + a.getAs[Long]("n_tokens"))
+      case _ => ()
+    }
+    // span arithmetic is internally consistent
+    val L = 2048L
+    pack.foreach { r =>
+      val (start, n) = (r.getAs[Long]("start"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("offset_in_seq") == start % L)
+      assert(r.getAs[Long]("seq_first") == start / L)
+      assert(r.getAs[Long]("seq_last") == (start + n - 1) / L)
+      assert(r.getAs[Long]("n_seqs") == r.getAs[Long]("seq_last") - r.getAs[Long]("seq_first") + 1)
+    }
+    // mutual pin: seq_first IS corpus_shards' shard_id (same order, same
+    // budget), so re-aggregating the pack map reproduces the shard table
+    val reagg = pack.groupBy(_.getAs[Long]("seq_first")).map { case (s0, rs) =>
+      s0 -> ((rs.length.toLong, rs.map(_.getAs[Long]("n_tokens")).sum))
+    }
+    val shards = run("corpus_shards").collect().map(r =>
+      r.getAs[Long]("shard_id") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(reagg == shards)
+    // the packing is non-trivial: some doc crosses a sequence boundary
+    assert(pack.exists(_.getAs[Long]("n_seqs") > 1))
+  }
+
   test("corpus_mix: kept set is exactly the integer-threshold filter, binding lang survives whole") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
