@@ -592,6 +592,40 @@ object Dedup extends QueryModule {
        |FROM assign a JOIN sizes s ON s.canon_id = a.canon_id
        |ORDER BY a.doc_id""".stripMargin
 
+  // ------------------------------------------------ dedup_keep_best
+  // Quality-aware survivorship: production dedup keeps the BEST member of
+  // each near-dup cluster, not the lowest id — canonical-by-min-id is a
+  // stable label, not an editorial decision. Composes the CC cluster
+  // assignment with the text_quality score (both session-memoized passes)
+  // and picks the argmax by (quality_score desc, doc_id asc) under a
+  // CLUSTER-keyed window — never a global one. The quality doubles are
+  // bit-identical cross-engine (text_quality hash-matches), so the
+  // ordering — and with the doc_id tie-break, the keeper — is
+  // engine-stable.
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val q = Text.quality(s, dir).select("doc_id", "quality_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canon_id").orderBy(col("quality_score").desc, col("doc_id"))
+    dedupCluster(s, dir).drop("is_canonical").join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canon_id"), col("cluster_size"), col("quality_score"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("keep_ind"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupKeepBestSql =
+    s"""WITH r AS (
+       |  SELECT c.doc_id, c.canon_id, c.cluster_size, q.quality_score,
+       |         row_number() OVER (
+       |           PARTITION BY c.canon_id
+       |           ORDER BY q.quality_score DESC, c.doc_id) AS rk
+       |  FROM ($clusterSql) c
+       |  JOIN (SELECT doc_id, quality_score FROM (${Text.qualitySql}) qq) q
+       |    ON q.doc_id = c.doc_id)
+       |SELECT doc_id, canon_id, cluster_size, quality_score,
+       |  CASE WHEN rk = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep_ind
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- text_boilerplate
   // Corpus boilerplate mining (the CCNet/RefinedWeb "drop the navbars"
   // signal): a 3-gram appearing in ≥ BoilerMinDf distinct documents is
@@ -638,6 +672,7 @@ object Dedup extends QueryModule {
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterSql)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql))
   )
 }

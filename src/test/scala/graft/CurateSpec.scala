@@ -30,6 +30,30 @@ class CurateSpec extends SparkSpec {
     assert(assign.groupBy("canon_id").count().agg(sum("count")).head.getLong(0) == total)
   }
 
+  test("dedup_keep_best: one keeper per cluster, keeper maximizes quality, not min-id") {
+    val kb = run("dedup_keep_best").collect()
+    val clus = run("dedup_cluster").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    assert(kb.length == clus.size) // every doc decided
+    kb.foreach(r => assert(clus(r.getAs[Long]("doc_id")) == r.getAs[Long]("canon_id")))
+    kb.groupBy(_.getAs[Long]("canon_id")).foreach { case (_, rs) =>
+      assert(rs.forall(_.getAs[Long]("cluster_size") == rs.length))
+      val keepers = rs.filter(_.getAs[Long]("keep_ind") == 1L)
+      assert(keepers.length == 1, "exactly one survivor per cluster")
+      val k = keepers.head
+      rs.foreach { m =>
+        val cmp = java.lang.Double.compare(
+          k.getAs[Double]("quality_score"), m.getAs[Double]("quality_score"))
+        assert(cmp > 0 || (cmp == 0 && k.getAs[Long]("doc_id") <= m.getAs[Long]("doc_id")),
+          s"keeper ${k.getAs[Long]("doc_id")} not quality-maximal in its cluster")
+      }
+    }
+    // quality survivorship is a real decision, not min-id relabeled: some
+    // multi-doc cluster keeps a doc that is NOT its canonical label
+    assert(kb.exists(r => r.getAs[Long]("keep_ind") == 1L &&
+      r.getAs[Long]("cluster_size") > 1 && r.getAs[Long]("doc_id") != r.getAs[Long]("canon_id")))
+  }
+
   test("dedup_incremental: exactly the cross-split slice of the full pair set, never old-old") {
     val incr = run("dedup_incremental").collect()
     assert(incr.nonEmpty, "the corpus plants near-dups crossing the 20% batch split")
