@@ -102,6 +102,32 @@ class PropertySpec extends SparkSpec {
     samples.foreach(t => assert(rows(t) == direct(t), s"'$t'"))
   }
 
+  test("tms normalization: nanos-LONG, NTZ, and LTZ agree on arbitrary instants") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // arbitrary epoch-millis across 1970..2100, sub-second precision —
+    // every physical shape of events.ts must normalize to the SAME tms
+    // (the round-5 drift class: the driver re-types ts between rounds)
+    val ms = Gen.chooseNum(0L, 4102444800000L)
+    val samples = sampleOf(Gen.listOfN(300, ms)).distinct
+    val df = samples.toDF("ms")
+    // evaluate each branch against its own physical representation
+    val nanos = df.select(col("ms"), (col("ms") * 1000000L).as("ts"))
+      .select(col("ms"), Tables.tmsFromTs(LongType).as("tms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ntz = df.select(col("ms"), timestamp_millis(col("ms")).cast(TimestampNTZType).as("ts"))
+      .select(col("ms"), Tables.tmsFromTs(TimestampNTZType).as("tms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ltz = df.select(col("ms"), timestamp_millis(col("ms")).as("ts"))
+      .select(col("ms"), Tables.tmsFromTs(org.apache.spark.sql.types.TimestampType).as("tms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    samples.foreach { m =>
+      assert(nanos(m) == m, s"nanos branch: $m -> ${nanos(m)}")
+      assert(ntz(m) == m, s"ntz branch: $m -> ${ntz(m)}")
+      assert(ltz(m) == m, s"ltz branch: $m -> ${ltz(m)}")
+    }
+  }
+
   test("canon renders money doubles exactly like a scale-2 BigDecimal") {
     import spark.implicits._
     val cents = Gen.chooseNum(-10000000L, 10000000L)
