@@ -22,7 +22,9 @@ object PlanAudit {
         "dedup_cluster", "decontaminate", "text_lm_score", "mm_dedup",
         "q21_waiting_supplier", "events_anomaly",
         "dedup_embed_cosine_prod", "ann_cosine_lsh", "events_approx_stats",
-        "dv_reclassify_drift", "range_join_events", "emb_pq_codes", "ann_l2_pq")
+        "dv_reclassify_drift", "range_join_events", "emb_pq_codes", "ann_l2_pq",
+        "dedup_incremental", "dedup_keep_best", "knn_label_vote", "corpus_pack",
+        "dv_replan_drift")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(

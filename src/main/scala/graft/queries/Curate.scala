@@ -330,6 +330,56 @@ object Curate extends QueryModule {
        |FROM pre WHERE n_tokens > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ corpus_health
+  // The pipeline-side twin of dv_health: one queryable health table for
+  // the corpus — the monitoring surface a production training-data
+  // pipeline alerts on. Every metric is an exact BIGINT computed off the
+  // session-memoized passes (docs/quality/repetition/pii/near-dup), so
+  // the whole report adds ~zero corpus scans beyond what the pipeline
+  // already ran; thresholds sit on hash-stable values only. At 100 TB
+  // each row is a partial-agg scan or a count over an already-banded
+  // candidate set — no new shuffle shapes.
+  private val HealthLowQuality = 0.5
+
+  private def corpusHealth(s: SparkSession, dir: String): DataFrame = {
+    def row(area: String, metric: String, df: DataFrame): DataFrame =
+      df.select(lit(area).as("area"), lit(metric).as("metric"), col("value"))
+    val docs = Docs.enriched(s, dir)
+    row("corpus", "n_docs", docs.agg(count(lit(1)).as("value")))
+      .unionByName(row("corpus", "n_tokens",
+        docs.agg(sum(size(col("toks")).cast("long")).as("value"))))
+      .unionByName(row("corpus", "n_langs",
+        docs.agg(countDistinct(col("lang")).as("value"))))
+      .unionByName(row("dedup", "exact_dup_docs",
+        docs.agg((count(lit(1)) - countDistinct(expr("sha2(norm, 256)"))).as("value"))))
+      .unionByName(row("dedup", "near_dup_pairs",
+        Dedup.minhashLsh(s, dir).agg(count(lit(1)).as("value"))))
+      .unionByName(row("quality", "low_quality_docs",
+        Text.quality(s, dir).filter(col("quality_score") < HealthLowQuality)
+          .agg(count(lit(1)).as("value"))))
+      .unionByName(row("quality", "high_repetition_docs",
+        Text.repetition(s, dir).filter(col("flagged") === 1L)
+          .agg(count(lit(1)).as("value"))))
+      .unionByName(row("pii", "docs_with_pii",
+        Text.piiScrub(s, dir).filter(col("n_emails") + col("n_phones") > 0)
+          .agg(count(lit(1)).as("value"))))
+      .orderBy("area", "metric")
+  }
+
+  // plain concatenation, NOT an outer stripMargin: the embedded sub-SQLs
+  // contain '||' string concats at line starts, which an outer stripMargin
+  // would truncate to a lone '|' (a binder error in DuckDB)
+  private def corpusHealthSql = Seq(
+    "SELECT 'corpus' AS area, 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents",
+    s"UNION ALL SELECT 'corpus', 'n_tokens', CAST(sum(len(${Docs.toksDuck})) AS BIGINT) FROM documents",
+    "UNION ALL SELECT 'corpus', 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents",
+    s"UNION ALL SELECT 'dedup', 'exact_dup_docs', CAST(count(*) - count(DISTINCT sha256(${Docs.normDuck})) AS BIGINT) FROM documents",
+    s"UNION ALL SELECT 'dedup', 'near_dup_pairs', CAST(count(*) AS BIGINT) FROM (${Dedup.minhashSql})",
+    s"UNION ALL SELECT 'quality', 'low_quality_docs', CAST(count(*) AS BIGINT) FROM (${Text.qualitySql}) WHERE quality_score < $HealthLowQuality",
+    s"UNION ALL SELECT 'quality', 'high_repetition_docs', CAST(count(*) AS BIGINT) FROM (${Text.repetitionSql}) WHERE flagged = 1",
+    s"UNION ALL SELECT 'pii', 'docs_with_pii', CAST(count(*) AS BIGINT) FROM (${Text.piiScrubSql}) WHERE n_emails + n_phones > 0",
+    "ORDER BY area, metric").mkString("\n")
+
   // --------------------------------------------------------- corpus_mix
   // Mixture-weight downsampling: hit a target language mixture (integer
   // percents) by deterministic hash-threshold acceptance — the way a
@@ -540,6 +590,7 @@ FROM flags ORDER BY doc_id"""
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("corpus_shards", corpusShards, Some(corpusShardsSql)),
-    QueryDef("corpus_pack", corpusPack, Some(corpusPackSql))
+    QueryDef("corpus_pack", corpusPack, Some(corpusPackSql)),
+    QueryDef("corpus_health", corpusHealth, Some(corpusHealthSql))
   )
 }

@@ -214,7 +214,7 @@ object Text extends QueryModule {
   // ratio is one exact integer division per doc (engine-stable boundary).
   private val RepetitionFlagPct = 2L // flag when dup 3-grams > 2% (corpus-tuned, as the Gopher rules are)
 
-  private def repetition(s: SparkSession, dir: String): DataFrame =
+  private[queries] def repetition(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .filter(size(col("toks")) >= 3)
       .withColumn("g3", expr(
@@ -226,7 +226,7 @@ object Text extends QueryModule {
       .withColumn("flagged", when(col("dup_pct") > RepetitionFlagPct, 1L).otherwise(0L))
       .orderBy("doc_id")
 
-  private val repetitionSql = s"""
+  private[queries] val repetitionSql = s"""
     WITH g AS (
       SELECT doc_id,
              list_transform(range(1, len(toks)-1), k -> toks[k] || ' ' || toks[k+1] || ' ' || toks[k+2]) AS g3

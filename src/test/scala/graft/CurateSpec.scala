@@ -30,6 +30,28 @@ class CurateSpec extends SparkSpec {
     assert(assign.groupBy("canon_id").count().agg(sum("count")).head.getLong(0) == total)
   }
 
+  test("corpus_health: every metric equals its standalone derivation, signals non-zero") {
+    val h = run("corpus_health").collect()
+      .map(r => (r.getAs[String]("area"), r.getAs[String]("metric")) -> r.getAs[Long]("value")).toMap
+    assert(h.size == 8)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(h(("corpus", "n_docs")) == docs.count())
+    assert(h(("corpus", "n_langs")) == docs.select("lang").distinct().count())
+    assert(h(("dedup", "near_dup_pairs")) == run("dedup_minhash_lsh").count())
+    assert(h(("dedup", "exact_dup_docs")) == docs.count() - run("dedup_exact").count())
+    assert(h(("quality", "low_quality_docs")) ==
+      run("text_quality").filter(col("quality_score") < 0.5).count())
+    assert(h(("quality", "high_repetition_docs")) ==
+      run("text_repetition").filter(col("flagged") === 1L).count())
+    assert(h(("pii", "docs_with_pii")) ==
+      run("text_pii_scrub").filter(col("n_emails") + col("n_phones") > 0).count())
+    // a health report whose signals are all zero is hollow — the corpus
+    // plants near-dups and the pii demo injection guarantees hits
+    assert(h(("dedup", "near_dup_pairs")) > 0)
+    assert(h(("pii", "docs_with_pii")) > 0)
+    assert(h(("corpus", "n_tokens")) > h(("corpus", "n_docs")))
+  }
+
   test("dedup_keep_best: one keeper per cluster, keeper maximizes quality, not min-id") {
     val kb = run("dedup_keep_best").collect()
     val clus = run("dedup_cluster").collect()
