@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.Curate,
     _root_.graft.queries.Bpe,
     _root_.graft.queries.Dedup,
+    _root_.graft.queries.Spans,
     _root_.graft.queries.Rank,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.Pq,
