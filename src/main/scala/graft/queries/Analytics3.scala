@@ -244,8 +244,62 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
     FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
     ORDER BY p.prev_type, p.next_type"""
 
+  // --------------------------------------------------- events_attribution
+  // Last-touch marketing attribution — for every purchase, the most recent
+  // preceding click/view by the same user within a 30-minute window (the
+  // conversion-credit primitive behind funnel ROI). One keyed window per
+  // user carries the last touch forward (IGNORE NULLS last_value over an
+  // explicit ROWS frame — Spark's default RANGE frame would include
+  // same-ms ties, DuckDB's ROWS would not, so the frame is pinned to the
+  // sessionize-family (tms, event_id) ROWS order in both engines). All
+  // outputs BIGINT/string; unattributed purchases carry explicit 'none'
+  // / -1 sentinels, so both classes land in the oracle hash.
+  private val AttribWindowMs = 1800000L
+
+  private def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val isTouch = col("event_type").isin("click", "view")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tms", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tagged = Tables.loadEvents(s, dir)
+      .select(col("event_id"), col("user_id"), col("tms"), col("event_type"))
+      .withColumn("touch_tms", last(when(isTouch, col("tms")), ignoreNulls = true).over(w))
+      .withColumn("touch_type_raw", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+    val attributed = col("touch_tms").isNotNull &&
+      col("touch_tms") >= col("tms") - AttribWindowMs
+    tagged.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tms"),
+        when(attributed, col("touch_type_raw")).otherwise("none").as("touch_type"),
+        when(attributed, col("touch_tms")).otherwise(-1L).as("touch_tms"),
+        when(attributed, col("tms") - col("touch_tms")).otherwise(-1L).as("latency_ms"))
+      .orderBy("event_id")
+  }
+
+  private val eventsAttributionSql =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type FROM events),
+       |tagged AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN ('click','view') THEN tms END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_tms,
+       |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type_raw
+       |  FROM ev)
+       |SELECT event_id, user_id, tms,
+       |  CASE WHEN touch_tms IS NOT NULL AND touch_tms >= tms - $AttribWindowMs
+       |       THEN touch_type_raw ELSE 'none' END AS touch_type,
+       |  CASE WHEN touch_tms IS NOT NULL AND touch_tms >= tms - $AttribWindowMs
+       |       THEN touch_tms ELSE -1 END AS touch_tms,
+       |  CASE WHEN touch_tms IS NOT NULL AND touch_tms >= tms - $AttribWindowMs
+       |       THEN tms - touch_tms ELSE -1 END AS latency_ms
+       |FROM tagged WHERE event_type = 'purchase'
+       |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
+    QueryDef("events_attribution", eventsAttribution, Some(eventsAttributionSql)),
     QueryDef("q11_important_parts", q11, Some(q11Sql)),
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("events_pivot", eventsPivot, Some(eventsPivotSql)),

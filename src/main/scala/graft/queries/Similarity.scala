@@ -1021,8 +1021,47 @@ object Similarity extends QueryModule {
        |FROM best WHERE vr = 1
        |ORDER BY query_id""".stripMargin
 
+  // ----------------------------------------------------- emb_dim_stats
+  // Per-DIMENSION embedding QA — the dead-dimension / scale-drift detector
+  // an embedding pipeline runs before indexing (a dimension whose values
+  // collapse to a constant, or whose range dwarfs the others, poisons
+  // both quantization and cosine). Stats are on the shared 2^12
+  // fixed-point grid: sums are exact BIGINTs (headroom ~2e15 vectors per
+  // dimension at |q| <= 4096 before int64 pressure — switch to
+  // DECIMAL(38,0) partials past that, the emb_outliers pattern), the mean
+  // is one IEEE division of exact operands (the embCentroids convention).
+  // Plan: posexplode is pipelined inside the scan stage and the groupBy
+  // partial-aggregates to <= Dim rows per partition before the shuffle —
+  // only Dim x partitions rows ever move.
+  private def embDimStats(s: SparkSession, dir: String): DataFrame =
+    qVecs(s, dir)
+      .select(posexplode(col("q")))
+      .select((col("pos") + 1).cast("long").as("d"), col("col").as("qv"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"), sum("qv").as("sum_q"),
+        min("qv").as("min_q"), max("qv").as("max_q"),
+        sum(when(col("qv") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("d"), col("n"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n")).as("mean_q"),
+        col("min_q"), col("max_q"), col("n_zero"))
+      .orderBy("d")
+
+  private val embDimStatsSql =
+    s"""WITH vecs AS (
+       |  SELECT list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT dd.d, v.q[dd.d] AS qv
+       |  FROM vecs v CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d) dd)
+       |SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(qv) AS BIGINT) AS sum_q,
+       |       CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS mean_q,
+       |       min(qv) AS min_q, max(qv) AS max_q,
+       |       CAST(count(*) FILTER (qv = 0) AS BIGINT) AS n_zero
+       |FROM x GROUP BY d ORDER BY d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("sim_maxsim", maxsim, Some(maxsimSql)),
+    QueryDef("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     QueryDef("knn_cosine", knn, Some(knnSql)),
     QueryDef("knn_label_vote", knnLabelVote, Some(knnLabelVoteSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),

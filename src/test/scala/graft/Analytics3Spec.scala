@@ -122,4 +122,34 @@ class Analytics3Spec extends SparkSpec {
     assert(p11.contains("ExistingRDD"), s"q11 should read its checkpointed frame:\n$p11")
     assert(!p11.contains("BroadcastHashJoin"), s"q11 re-ran the corpus join:\n$p11")
   }
+
+  test("events_attribution: touch is the latest in-window preceding click/view, classes split") {
+    val got = SparkEntry.queries("events_attribution")(spark, sfDir).collect()
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select("event_id", "user_id", "tms", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("tms"), r.getAs[String]("event_type")))
+    val byUser = ev.groupBy(_._2).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._3, r._1))
+    }
+    val expected = byUser.values.flatten.toSeq
+    assert(got.length == ev.count(_._4 == "purchase"))
+    // driver-side re-derivation of every purchase's attribution
+    val exp = byUser.toSeq.flatMap { case (_, rows) =>
+      rows.zipWithIndex.collect { case ((eid, _, tms, "purchase"), i) =>
+        val touch = rows.take(i).filter(r => r._4 == "click" || r._4 == "view").lastOption
+          .filter(_._3 >= tms - 1800000L)
+        eid -> touch.map(t => (t._4, t._3, tms - t._3)).getOrElse(("none", -1L, -1L))
+      }
+    }.toMap
+    got.foreach { r =>
+      val e = exp(r.getAs[Long]("event_id"))
+      assert((r.getAs[String]("touch_type"), r.getAs[Long]("touch_tms"),
+        r.getAs[Long]("latency_ms")) == e, s"attribution mismatch for ${r}")
+    }
+    // both classes occur (window neither saturates nor starves)
+    assert(got.exists(_.getAs[String]("touch_type") != "none"))
+    assert(got.exists(_.getAs[String]("touch_type") == "none"))
+    assert(expected.nonEmpty)
+  }
 }

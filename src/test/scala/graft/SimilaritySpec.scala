@@ -298,4 +298,25 @@ class SimilaritySpec extends SparkSpec {
     // non-hollow: real consensus exists (some query has >1 vote for the winner)
     assert(got.exists(_.getAs[Long]("n_votes") >= 2L))
   }
+
+  test("emb_dim_stats: exact per-dimension moments match a driver-side re-derivation") {
+    val got = SparkEntry.queries("emb_dim_stats")(spark, sfDir).collect()
+    assert(got.length == 64)
+    val qs = Tables.load(spark, sfDir, "embeddings")
+      .select(expr("transform(embedding, e -> cast(floor(cast(e as double) * 4096) as bigint))").as("q"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("q").toVector)
+    got.foreach { r =>
+      val d = r.getAs[Long]("d").toInt
+      val col = qs.map(_(d - 1))
+      assert(r.getAs[Long]("n") == col.length)
+      assert(r.getAs[Long]("sum_q") == col.sum)
+      assert(r.getAs[Long]("min_q") == col.min)
+      assert(r.getAs[Long]("max_q") == col.max)
+      assert(r.getAs[Long]("n_zero") == col.count(_ == 0L))
+      assert(r.getAs[Double]("mean_q") == col.sum.toDouble / col.length)
+    }
+    // non-hollow: zeros exist somewhere and ranges are non-degenerate
+    assert(got.map(_.getAs[Long]("n_zero")).sum > 0)
+    assert(got.forall(r => r.getAs[Long]("min_q") < r.getAs[Long]("max_q")))
+  }
 }
