@@ -59,8 +59,8 @@ object Curate extends QueryModule {
   // call. Every signal is the already-oracle-checked operator's output;
   // the filters are joins, so at scale this is two hash-shuffles on
   // doc_id over signals that are each a single scan-bound pass.
-  private val MinWords = 20L
-  private val MinQuality = 0.40
+  private[graft] val MinWords = 20L
+  private[graft] val MinQuality = 0.40
 
   private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
     val q = Text.quality(s, dir).select("doc_id", "n_words", "quality_score")

@@ -47,9 +47,13 @@ object Text extends QueryModule {
     FROM documents ORDER BY doc_id"""
 
   // ----------------------------------------------------- text_quality
-  private[queries] def quality(s: SparkSession, dir: String): DataFrame = {
-    docs(s, dir)
-      .withColumn("n_words", expr("cast(size(toks) as bigint)"))
+  /** Row-local quality columns over any frame carrying `toks` — ONE
+    * definition shared by the batch text_quality op and the streaming
+    * admission gate (Streams.curateGateStream), so the stream's verdicts
+    * are bit-identical to the batch pipeline's by construction.
+    */
+  private[graft] def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("n_words", expr("cast(size(toks) as bigint)"))
       .withColumn("n_stop", expr(s"cast(size(filter(toks, x -> x IN ${inList(StopEn)})) as bigint)"))
       .withColumn("sum_len", expr("cast(aggregate(toks, 0, (a, x) -> a + length(x)) as bigint)"))
       .withColumn("stop_ratio", expr("cast(n_stop as double) / greatest(n_words, 1)"))
@@ -57,6 +61,9 @@ object Text extends QueryModule {
       .withColumn("quality_score", expr(
         "0.4 * stop_ratio + 0.3 * least(1.0, cast(n_words as double)/100.0) " +
           "+ 0.3 * (1.0 - least(1.0, abs(mean_word_len - 4.7)/10.0))"))
+
+  private[queries] def quality(s: SparkSession, dir: String): DataFrame = {
+    withQualityCols(docs(s, dir))
       .select("doc_id", "n_words", "n_stop", "stop_ratio", "mean_word_len", "quality_score")
       .orderBy("doc_id")
   }
@@ -81,10 +88,12 @@ object Text extends QueryModule {
     FROM r ORDER BY doc_id"""
 
   // ----------------------------------------------------- text_lang_id
-  private[queries] def langId(s: SparkSession, dir: String): DataFrame = {
+  /** Row-local language-ID columns over any frame carrying `toks` — the
+    * [[withQualityCols]] twin for the streaming admission gate.
+    */
+  private[graft] def withLangCols(df: DataFrame): DataFrame = {
     def hits(set: Seq[String]) = s"cast(size(filter(toks, x -> x IN ${inList(set)})) as bigint)"
-    docs(s, dir)
-      .withColumn("hits_en", expr(hits(StopEn)))
+    df.withColumn("hits_en", expr(hits(StopEn)))
       .withColumn("hits_fr", expr(hits(StopFr)))
       .withColumn("hits_de", expr(hits(StopDe)))
       .withColumn("hits_es", expr(hits(StopEs)))
@@ -94,6 +103,10 @@ object Text extends QueryModule {
           |     WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
           |     WHEN hits_es > 0 THEN 'es'
           |     ELSE 'unknown' END""".stripMargin))
+  }
+
+  private[queries] def langId(s: SparkSession, dir: String): DataFrame = {
+    withLangCols(docs(s, dir))
       .withColumn("is_match", when(col("predicted_lang") === col("lang"), 1).otherwise(0))
       .select("doc_id", "lang", "hits_en", "hits_fr", "hits_de", "hits_es", "predicted_lang", "is_match")
       .orderBy("doc_id")
@@ -190,6 +203,13 @@ object Text extends QueryModule {
   }
 
   // ---------------------------------------------------- dedup_exact
+  /** Distinct corpus norm-hashes — the static side of the streaming
+    * exact-dup gate (Streams.curateGateStream); at scale a bucketed
+    * hash-keyed table maintained by the batch dedup pass.
+    */
+  private[graft] def normHashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(expr("sha2(norm, 256)").as("norm_sha256")).distinct()
+
   private[queries] def dedupExact(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), expr("sha2(norm, 256)").as("norm_sha256"))
@@ -292,8 +312,8 @@ object Text extends QueryModule {
     * cross-engine proof the redaction produced byte-identical output;
     * shuffle-free scan, no UDFs.
     */
-  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-  private val PhoneRe = "555-[0-9]{4}"
+  private[graft] val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private[graft] val PhoneRe = "555-[0-9]{4}"
 
   private[queries] def piiScrub(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "documents")

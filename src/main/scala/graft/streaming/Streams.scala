@@ -456,4 +456,37 @@ object Streams {
           out.iterator
       }
   }
+
+  /** #50: streaming curation admission gate — the continuous twin of
+    * pipeline_curate: should an arriving document enter the corpus?
+    * Quality, language, and PII verdicts are computed scan-locally with
+    * the EXACT batch gate expressions (Text.withQualityCols /
+    * Text.withLangCols — shared column builders, not copies, so stream
+    * and batch verdicts are bit-identical by construction); novelty is a
+    * stream-static left join against the corpus norm-hash set
+    * (Text.normHashes — at scale a bucketed hash-keyed table the batch
+    * dedup pass maintains). STATELESS: no watermark state, corpus side
+    * re-resolved per micro-batch. keep = the conjunction of all gates,
+    * the same shape pipeline_curate_full reports in batch.
+    */
+  def curateGateStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    import graft.queries.{Curate, Docs, Text}
+    val scored = Text.withLangCols(Text.withQualityCols(
+        docs.withColumn("toks", expr(Docs.toksSpark))
+          .withColumn("norm", expr(Docs.normSpark))))
+      .withColumn("norm_sha256", expr("sha2(norm, 256)"))
+      .withColumn("n_pii",
+        regexp_count(lower(col("text")), lit(Text.EmailRe)).cast("long") +
+          regexp_count(lower(col("text")), lit(Text.PhoneRe)).cast("long"))
+    scored
+      .join(corpusHashes.withColumn("dup_hit", lit(1L)), Seq("norm_sha256"), "left")
+      .select(col("doc_id"),
+        when(col("n_words") >= Curate.MinWords &&
+          col("quality_score") >= Curate.MinQuality, 1L).otherwise(0L).as("pass_quality"),
+        when(col("predicted_lang") =!= "unknown", 1L).otherwise(0L).as("pass_lang"),
+        when(col("n_pii") === 0L, 1L).otherwise(0L).as("pass_pii"),
+        when(col("dup_hit").isNull, 1L).otherwise(0L).as("pass_novel"))
+      .withColumn("keep",
+        col("pass_quality") * col("pass_lang") * col("pass_pii") * col("pass_novel"))
+  }
 }

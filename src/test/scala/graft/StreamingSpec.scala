@@ -343,4 +343,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.read.parquet(s"$dir/pairs").count() == first.length)
   }
+
+  test("streaming curation gate: planted verdicts correct, batch parity on quality/lang") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.load(spark, sfDir, "documents")
+    val srcText = corpus.filter(length(col("text")) > 100)
+      .orderBy("doc_id").select("text").head().getString(0)
+    val good = ("the cat is on the mat and it is good that the day is long " +
+      "and the sun is warm for all of the people in the town today").toLowerCase
+    val mem = MemoryStream[Doc]
+    val outName = "curate_gate_out"
+    val q = Streams.curateGateStream(mem.toDF(),
+        graft.queries.Text.normHashes(spark, sfDir))
+      .writeStream.format("memory").queryName(outName).outputMode("append").start()
+    mem.addData(
+      Doc(900101L, srcText),                      // corpus copy: fails novelty only
+      Doc(900102L, good),                         // clean keeper
+      Doc(900103L, good + " contact me at bob@example.com please"), // PII
+      Doc(900104L, "zq wv xk jn"))                // short gibberish: quality+lang fail
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(outName).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pass_quality"), r.getAs[Long]("pass_lang"),
+          r.getAs[Long]("pass_pii"), r.getAs[Long]("pass_novel"), r.getAs[Long]("keep"))).toMap
+    assert(out(900101L)._4 == 0L && out(900101L)._5 == 0L) // copy rejected as non-novel
+    assert(out(900102L) == ((1L, 1L, 1L, 1L, 1L)))         // keeper passes every gate
+    assert(out(900103L)._3 == 0L && out(900103L)._5 == 0L) // pii rejected
+    assert(out(900104L)._1 == 0L && out(900104L)._2 == 0L && out(900104L)._5 == 0L)
+    // batch parity: the same function over the batch corpus must reproduce
+    // pipeline_curate_full's quality/lang verdicts exactly (shared builders)
+    val viaGate = Streams.curateGateStream(
+        corpus.select("doc_id", "text"), graft.queries.Text.normHashes(spark, sfDir))
+      .select("doc_id", "pass_quality", "pass_lang").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaBatch = SparkEntry.queries("pipeline_curate_full")(spark, sfDir)
+      .select("doc_id", "pass_quality", "pass_lang").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaGate == viaBatch)
+  }
 }
