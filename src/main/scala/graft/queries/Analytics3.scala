@@ -297,8 +297,93 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
        |FROM tagged WHERE event_type = 'purchase'
        |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------- orders_rfm
+  // RFM customer segmentation (recency / frequency / monetary quintiles)
+  // — the warehouse-side audience-building primitive. Quintiles do NOT
+  // use a global ntile (a single-partition window over every customer —
+  // the corpus_shards anti-pattern): each metric's quintile comes from a
+  // value HISTOGRAM (compact: day grid, order-count grid, 100-currency
+  // buckets), a cumulative window over the VALUE axis only, and an
+  // equi-join back — bounded by the score space, never the customer
+  // count. Floor arithmetic q = (cum_before·5) div n + 1 is exact BIGINT
+  // in both engines, and equal metric values always share a score (which
+  // ntile cannot promise). Money is decimal-first; the monetary DOUBLE is
+  // one exact decimal→double cast, and its bucket is derived from exact
+  // decimal cents, never from the double.
+  private def ordersRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+    val ref = o.agg(max("od").as("ref_date"), count(lit(1)).as("n_orders_all"))
+    val cust = o.groupBy("o_custkey")
+      .agg(max("od").as("last_od"), count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice"))).as("mon_dec"))
+      .crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_date"), col("last_od")).cast("long").as("recency_days"),
+        col("frequency"),
+        col("mon_dec").cast("double").as("monetary"),
+        expr("cast(mon_dec * 100 as bigint) div 10000").as("mon_bucket"))
+    val n = broadcast(cust.agg(count(lit(1)).as("n_cust")))
+    def qscore(metric: String, better: String): DataFrame = {
+      // cumulative count of customers with a STRICTLY SMALLER value; the
+      // window runs over the distinct-value histogram, not the customers
+      val hist = cust.groupBy(metric).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(metric)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      hist.withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+        .crossJoin(n)
+        .select(col(metric), expr("(cum_before * 5) div n_cust").as("q"))
+        .withColumn(s"${better}_score",
+          if (better == "r") lit(5L) - col("q") else col("q") + 1L)
+        .select(metric, s"${better}_score")
+    }
+    cust
+      .join(broadcast(qscore("recency_days", "r")), Seq("recency_days"))
+      .join(broadcast(qscore("frequency", "f")), Seq("frequency"))
+      .join(broadcast(qscore("mon_bucket", "m")), Seq("mon_bucket"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  private val ordersRfmSql =
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice FROM orders),
+       |ref AS (SELECT max(od) AS ref_date FROM o),
+       |cust AS MATERIALIZED (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', max(od), (SELECT ref_date FROM ref)) AS BIGINT) AS recency_days,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) // 10000 AS mon_bucket
+       |  FROM o GROUP BY o_custkey),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM cust),
+       |rh AS (
+       |  SELECT recency_days, 5 - (coalesce(sum(cnt) OVER (ORDER BY recency_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5 // (SELECT n_cust FROM n)) AS r_score
+       |  FROM (SELECT recency_days, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY recency_days)),
+       |fh AS (
+       |  SELECT frequency, (coalesce(sum(cnt) OVER (ORDER BY frequency
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5 // (SELECT n_cust FROM n)) + 1 AS f_score
+       |  FROM (SELECT frequency, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY frequency)),
+       |mh AS (
+       |  SELECT mon_bucket, (coalesce(sum(cnt) OVER (ORDER BY mon_bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5 // (SELECT n_cust FROM n)) + 1 AS m_score
+       |  FROM (SELECT mon_bucket, CAST(count(*) AS BIGINT) AS cnt FROM cust GROUP BY mon_bucket))
+       |SELECT c.o_custkey, c.recency_days, c.frequency, c.monetary,
+       |  CAST(rh.r_score AS BIGINT) AS r_score, CAST(fh.f_score AS BIGINT) AS f_score,
+       |  CAST(mh.m_score AS BIGINT) AS m_score,
+       |  CAST(rh.r_score AS VARCHAR) || CAST(fh.f_score AS VARCHAR) || CAST(mh.m_score AS VARCHAR) AS segment
+       |FROM cust c
+       |JOIN rh ON rh.recency_days = c.recency_days
+       |JOIN fh ON fh.frequency = c.frequency
+       |JOIN mh ON mh.mon_bucket = c.mon_bucket
+       |ORDER BY c.o_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
+    QueryDef("orders_rfm", ordersRfm, Some(ordersRfmSql)),
     QueryDef("events_attribution", eventsAttribution, Some(eventsAttributionSql)),
     QueryDef("q11_important_parts", q11, Some(q11Sql)),
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),

@@ -580,7 +580,48 @@ SELECT doc_id,
      * neardup_survivor * not_contaminated * pii_clean AS BIGINT) AS keep
 FROM flags ORDER BY doc_id"""
 
+  // ------------------------------------------------ corpus_source_stats
+  // Per-SOURCE observability — the table a mixture decision (corpus_mix)
+  // is actually made FROM: doc/token/language counts, corpus share, and
+  // mean quality per source. Determinism: quality_score is bit-identical
+  // cross-engine (text_quality's oracle hash proves it), so
+  // floor(q·1e6) is an exact BIGINT per doc and the per-source SUM is
+  // order-free — never a sum of raw doubles (SURVEY §5). One source-keyed
+  // shuffle over the memoized Docs pass; the corpus total is a 1-row
+  // broadcast.
+  private def corpusSourceStats(s: SparkSession, dir: String): DataFrame = {
+    val q = Text.withQualityCols(Docs.enriched(s, dir))
+      .select(col("source"), col("lang"), col("n_words"),
+        expr("cast(floor(quality_score * 1000000) as bigint)").as("q_micros"))
+    val total = broadcast(q.agg(count(lit(1)).as("n_total")))
+    q.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        countDistinct("lang").as("n_langs"), sum("q_micros").as("sum_q_micros"))
+      .crossJoin(total)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        expr("sum_q_micros div n_docs").as("mean_q_micros"),
+        expr("(n_docs * 1000000) div n_total").as("share_micros"))
+      .orderBy("source")
+  }
+
+  // reuses Text.qualitySql verbatim so the floor(q*1e6) operand is the
+  // SAME oracle-proven double text_quality hash-matches on
+  private val corpusSourceStatsSql =
+    s"""WITH tq AS (SELECT doc_id, n_words, quality_score FROM (${Text.qualitySql})),
+       |q AS (
+       |  SELECT d.source, d.lang, tq.n_words,
+       |    CAST(floor(tq.quality_score * 1000000) AS BIGINT) AS q_micros
+       |  FROM documents d JOIN tq ON tq.doc_id = d.doc_id),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(q_micros) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_q_micros,
+       |  (CAST(count(*) AS BIGINT) * 1000000) // (SELECT n_total FROM t) AS share_micros
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_source_stats", corpusSourceStats, Some(corpusSourceStatsSql)),
     QueryDef("pipeline_curate_full", pipelineCurateFull, Some(pipelineCurateFullSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("corpus_mix", corpusMix, Some(corpusMixSql)),

@@ -152,4 +152,38 @@ class Analytics3Spec extends SparkSpec {
     assert(got.exists(_.getAs[String]("touch_type") == "none"))
     assert(expected.nonEmpty)
   }
+
+  test("orders_rfm: scores are value-monotone quintiles, ties share scores, money exact") {
+    val rows = SparkEntry.queries("orders_rfm")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1L && v <= 5L, s"$c=$v out of range") }
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}")
+    }
+    // monotone: more orders never lowers f_score; fresher never lowers r_score
+    val byF = rows.sortBy(_.getAs[Long]("frequency"))
+    byF.sliding(2).foreach { case Array(a, b) =>
+      if (b.getAs[Long]("frequency") > a.getAs[Long]("frequency"))
+        assert(b.getAs[Long]("f_score") >= a.getAs[Long]("f_score"))
+      if (b.getAs[Long]("frequency") == a.getAs[Long]("frequency"))
+        assert(b.getAs[Long]("f_score") == a.getAs[Long]("f_score"), "tie split across scores")
+      case _ => }
+    val byR = rows.sortBy(_.getAs[Long]("recency_days"))
+    byR.sliding(2).foreach { case Array(a, b) =>
+      if (b.getAs[Long]("recency_days") > a.getAs[Long]("recency_days"))
+        assert(b.getAs[Long]("r_score") <= a.getAs[Long]("r_score"))
+      case _ => }
+    // quintile sizing: customers strictly below a value's cohort determine its
+    // score — re-derive f_score for every distinct frequency driver-side
+    val n = rows.length
+    val freqs = rows.map(_.getAs[Long]("frequency"))
+    val expected = freqs.distinct.map { f =>
+      f -> (freqs.count(_ < f).toLong * 5 / n + 1) }.toMap
+    rows.foreach(r => assert(r.getAs[Long]("f_score") ==
+      expected(r.getAs[Long]("frequency"))))
+    // scores genuinely spread (not all one bucket)
+    assert(rows.map(_.getAs[Long]("m_score")).distinct.length >= 3)
+  }
 }

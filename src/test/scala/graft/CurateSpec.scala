@@ -368,4 +368,24 @@ class CurateSpec extends SparkSpec {
       kept.unpersist()
     } finally dq.unpersist()
   }
+
+  test("corpus_source_stats: totals conserve the corpus, shares sum to ~1e6, mean bounded") {
+    val st = run("corpus_source_stats").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(st.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val shareSum = st.map(_.getAs[Long]("share_micros")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - st.length, s"share sum $shareSum")
+    // per-source doc counts match a direct groupBy, means sit inside [0, 1e6]
+    val direct = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    st.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == direct(r.getAs[String]("source")))
+      val m = r.getAs[Long]("mean_q_micros")
+      assert(m > 0L && m < 1000000L)
+      assert(r.getAs[Long]("n_tokens") > r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+    // the mixture signal is real: sources differ in mean quality
+    assert(st.map(_.getAs[Long]("mean_q_micros")).distinct.length > 1)
+  }
 }
