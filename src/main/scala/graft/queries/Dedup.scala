@@ -402,7 +402,7 @@ object Dedup extends QueryModule {
     * like the shingle set: the candidate join, the intersect join, and the
     * size aggregation all re-scan it, so one materialization serves all.
     */
-  private def bigrams(s: SparkSession, dir: String): DataFrame =
+  private[queries] def bigrams(s: SparkSession, dir: String): DataFrame =
     SessionCache.memo(s, "bigrams", dir)(
       Docs.enriched(s, dir)
         .filter(size(col("toks")) >= 2)
@@ -411,7 +411,7 @@ object Dedup extends QueryModule {
           .as("bg"))
         .distinct())
 
-  private val bigramsDuck =
+  private[queries] val bigramsDuck =
     s"""SELECT DISTINCT doc_id,
        |  unnest(list_transform(range(1, len(toks)), k -> toks[k] || ' ' || toks[k+1])) AS bg
        |FROM (SELECT doc_id, $toksDuck AS toks FROM documents)

@@ -289,9 +289,123 @@ object Rank extends QueryModule {
        |FROM i$PrIters ORDER BY rank_pico DESC, node_id""".stripMargin
   }
 
+  // --------------------------------------------------------- search_hybrid
+  // END-TO-END hybrid retrieval — the production "related documents"
+  // query: for each probe document, fuse a DENSE ranking (exact cosine
+  // over its embedding; doc_id and vec_id share an id space) with a
+  // SPARSE ranking (word-bigram Jaccard against the corpus bigram sets)
+  // by reciprocal-rank fusion. rank_fusion fuses two lexical rankers
+  // over one shared pass; this op is the real two-modality stack — the
+  // embedding side sees semantics the lexical side cannot, and the RRF
+  // combiner needs no score calibration between them. Scale: the probe
+  // set is a CONSTANT broadcast on both sides (the knn_cosine shape —
+  // corpus work is one scan per modality), the sparse candidate join is
+  // an equi-join on the bigram key, the fusion is a K-bounded
+  // constant-size full-outer join, and every output is BIGINT (jaccard
+  // in integer micro-units, cosine used for ordering only — the
+  // bit-identical-double knn convention).
+  private val HybridProbes = 20L
+  private val HybridDim = 64
+
+  private def searchHybrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftColumns.graftCosine
+    // dense ranking: exact cosine over the probe embeddings
+    val vecs = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val probes = vecs.filter(col("vec_id") < HybridProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wd = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    val rd = vecs.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rank_dense", row_number().over(wd).cast("long"))
+      .filter(col("rank_dense") <= Bm25K)
+      .select("query_id", "doc_id", "rank_dense")
+    // sparse ranking: bigram-set Jaccard against the probe docs
+    val bg = Dedup.bigrams(s, dir)
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pbg = broadcast(bg.filter(col("doc_id") < HybridProbes)
+      .select(col("doc_id").as("query_id"), col("bg")))
+    val psz = broadcast(sizes.filter(col("doc_id") < HybridProbes)
+      .select(col("doc_id").as("query_id"), col("n").as("n_q")))
+    val ws = Window.partitionBy("query_id").orderBy(col("jac_micro").desc, col("doc_id"))
+    val rs = bg.join(pbg, Seq("bg")).filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_common"))
+      .join(sizes, "doc_id").join(psz, "query_id")
+      .select(col("query_id").as("qb"), col("doc_id").as("db"),
+        expr("(n_common * 1000000) div (n_q + n - n_common)").as("jac_micro"))
+      .withColumn("rank_sparse", row_number().over(
+        Window.partitionBy("qb").orderBy(col("jac_micro").desc, col("db"))).cast("long"))
+      .filter(col("rank_sparse") <= Bm25K)
+      .select("qb", "db", "rank_sparse")
+    // reciprocal-rank fusion over the two K-bounded lists
+    val fused = rd.join(rs,
+        col("query_id") === col("qb") && col("doc_id") === col("db"), "full_outer")
+      .select(coalesce(col("query_id"), col("qb")).as("query_id"),
+        coalesce(col("doc_id"), col("db")).as("doc_id"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        coalesce(col("rank_sparse"), lit(0L)).as("rank_sparse"),
+        (coalesce(expr("1000000L div (60L + rank_dense)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + rank_sparse)"), lit(0L))).as("rrf_micro"))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= Bm25K)
+      .select("query_id", "rank", "doc_id", "rrf_micro", "rank_dense", "rank_sparse")
+      .orderBy("query_id", "rank")
+  }
+
+  private def hybDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $HybridDim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private val searchHybridSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding, ${hybDot("embedding", "embedding")} AS nrm FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id < $HybridProbes),
+       |rd AS (
+       |  SELECT query_id, doc_id, rank_dense FROM (
+       |    SELECT p.query_id, v.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${hybDot("p.qe", "v.embedding")} / (sqrt(p.qn) * sqrt(v.nrm)) DESC, v.vec_id) AS BIGINT) AS rank_dense
+       |    FROM vecs v JOIN probes p ON v.vec_id <> p.query_id)
+       |  WHERE rank_dense <= $Bm25K),
+       |bg AS MATERIALIZED ($bigramsDuckRef),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_id AS query_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM bg c JOIN bg p ON p.bg = c.bg
+       |  WHERE p.doc_id < $HybridProbes AND c.doc_id <> p.doc_id
+       |  GROUP BY p.doc_id, c.doc_id),
+       |rs AS (
+       |  SELECT query_id AS qb, doc_id AS db, rank_sparse FROM (
+       |    SELECT i.query_id, i.doc_id,
+       |      CAST(row_number() OVER (PARTITION BY i.query_id
+       |        ORDER BY (i.n_common * 1000000) // (sq.n + sc.n - i.n_common) DESC, i.doc_id) AS BIGINT) AS rank_sparse
+       |    FROM inter i
+       |    JOIN sizes sq ON sq.doc_id = i.query_id
+       |    JOIN sizes sc ON sc.doc_id = i.doc_id)
+       |  WHERE rank_sparse <= $Bm25K),
+       |fused AS (
+       |  SELECT coalesce(rd.query_id, rs.qb) AS query_id,
+       |         coalesce(rd.doc_id, rs.db) AS doc_id,
+       |         coalesce(rd.rank_dense, 0) AS rank_dense,
+       |         coalesce(rs.rank_sparse, 0) AS rank_sparse,
+       |         coalesce(1000000 // (60 + rd.rank_dense), 0)
+       |           + coalesce(1000000 // (60 + rs.rank_sparse), 0) AS rrf_micro
+       |  FROM rd FULL JOIN rs ON rs.qb = rd.query_id AND rs.db = rd.doc_id)
+       |SELECT query_id, rank, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |       rank_dense, rank_sparse
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+
+  private def bigramsDuckRef: String = Dedup.bigramsDuck
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_bm25", bm25, Some(bm25Sql)),
     QueryDef("rank_fusion", rankFusion, Some(rankFusionSql)),
+    QueryDef("search_hybrid", searchHybrid, Some(searchHybridSql)),
     QueryDef("graph_pagerank", pagerank, Some(pagerankSql))
   )
 }

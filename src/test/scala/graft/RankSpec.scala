@@ -146,4 +146,34 @@ class RankSpec extends SparkSpec {
     // are present in this one plan
     assert("Join".r.findAllIn(plan).size >= 2, s"expected >=2 joins in:\n$plan")
   }
+
+  test("search_hybrid: fusion arithmetic exact, dense side agrees with knn, both modalities live") {
+    val rows = SparkEntry.queries("search_hybrid")(spark, sfDir).collect()
+    // 20 probes x top-10
+    assert(rows.groupBy(_.getAs[Long]("query_id")).size == 20)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach(g => assert(g.length == 10))
+    // RRF is exactly the integer formula over the reported ranks
+    rows.foreach { r =>
+      val (rd, rs) = (r.getAs[Long]("rank_dense"), r.getAs[Long]("rank_sparse"))
+      val expect = (if (rd > 0) 1000000L / (60L + rd) else 0L) +
+        (if (rs > 0) 1000000L / (60L + rs) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == expect)
+      assert(rd > 0 || rs > 0)
+    }
+    // the two modalities genuinely both contribute
+    assert(rows.exists(r => r.getAs[Long]("rank_dense") > 0 && r.getAs[Long]("rank_sparse") > 0))
+    assert(rows.exists(r => r.getAs[Long]("rank_dense") > 0 && r.getAs[Long]("rank_sparse") == 0))
+    assert(rows.exists(r => r.getAs[Long]("rank_dense") == 0 && r.getAs[Long]("rank_sparse") > 0))
+    // dense ranks agree with the exact knn_cosine baseline where both report
+    val knn = SparkEntry.queries("knn_cosine")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Number]("rank").longValue).toMap
+    rows.filter(r => r.getAs[Long]("rank_dense") >= 1 && r.getAs[Long]("rank_dense") <= 5)
+      .foreach { r =>
+        knn.get((r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).foreach { kr =>
+          assert(kr == r.getAs[Long]("rank_dense"),
+            s"dense rank diverges from knn for ${r}")
+        }
+      }
+  }
 }
