@@ -47,7 +47,10 @@ class ScaleSpec extends SparkSpec {
       "sim_maxsim",       // same constant query set, 16 sub-cosines per pair
       "ann_cosine_int8",  // same constant query set over the int8 corpus
       "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms
-      "q22_idle_customers" // 1-row aggregate threshold broadcast (exact-decimal avg)
+      "q22_idle_customers", // 1-row aggregate threshold broadcast (exact-decimal avg)
+      "search_hybrid",    // constant 20-probe broadcast, vec_id =!= query_id (the knn shape)
+      "orders_rfm",       // 1-row ref-date/total-count broadcasts (histogram quintiles)
+      "corpus_source_stats" // 1-row corpus-total broadcast for the share denominator
     )
     // Eager build wrappers run their whole vault build during DataFrame
     // CONSTRUCTION and return a LocalTableScan summary — sweeping that
