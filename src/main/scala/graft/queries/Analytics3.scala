@@ -311,18 +311,23 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
   // one exact decimal→double cast, and its bucket is derived from exact
   // decimal cents, never from the double.
   private def ordersRfm(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
-      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
-    val ref = o.agg(max("od").as("ref_date"), count(lit(1)).as("n_orders_all"))
-    val cust = o.groupBy("o_custkey")
-      .agg(max("od").as("last_od"), count(lit(1)).as("frequency"),
-        sum(dec2(col("o_totalprice"))).as("mon_dec"))
-      .crossJoin(broadcast(ref))
-      .select(col("o_custkey"),
-        datediff(col("ref_date"), col("last_od")).cast("long").as("recency_days"),
-        col("frequency"),
-        col("mon_dec").cast("double").as("monetary"),
-        expr("cast(mon_dec * 100 as bigint) div 10000").as("mon_bucket"))
+    // memoized+cached: the three histogram builds, the n_cust aggregate,
+    // and the final three joins all re-reference this customer-scale frame
+    // — uncached, Spark would re-run the orders scan + aggregation ~8×
+    val cust = SessionCache.memo(s, "rfm_cust", dir) {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val ref = o.agg(max("od").as("ref_date"), count(lit(1)).as("n_orders_all"))
+      o.groupBy("o_custkey")
+        .agg(max("od").as("last_od"), count(lit(1)).as("frequency"),
+          sum(dec2(col("o_totalprice"))).as("mon_dec"))
+        .crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("ref_date"), col("last_od")).cast("long").as("recency_days"),
+          col("frequency"),
+          col("mon_dec").cast("double").as("monetary"),
+          expr("cast(mon_dec * 100 as bigint) div 10000").as("mon_bucket"))
+    }
     val n = broadcast(cust.agg(count(lit(1)).as("n_cust")))
     def qscore(metric: String, better: String): DataFrame = {
       // cumulative count of customers with a STRICTLY SMALLER value; the
