@@ -489,4 +489,59 @@ object Streams {
       .withColumn("keep",
         col("pass_quality") * col("pass_lang") * col("pass_pii") * col("pass_novel"))
   }
+
+  /** #51: stateful streaming last-touch attribution — the continuous twin
+    * of events_attribution: credit each purchase to the user's most
+    * recent click/view within the 30-minute window, as it happens. State
+    * is ONE last-touch tuple per RECENTLY ACTIVE user (the transitions
+    * shape); the EventTimeTimeout equals the attribution window, so
+    * expiring idle state can only drop touches that would have failed
+    * the window test anyway — the bound is correctness-free by
+    * construction, and state tracks active users, not all-time
+    * cardinality. Per-batch slices sort by (tms, event_id) — the batch
+    * twin's exact ROWS order — and chains cross micro-batch boundaries
+    * through the state, so replaying the whole log in one batch
+    * reproduces events_attribution row for row (StreamingSpec pins it).
+    */
+  val AttribWindowMs: Long = 1800000L
+
+  final case class LastTouch(tms: Long, event_type: String)
+  final case class Attribution(event_id: Long, user_id: Long, tms: Long,
+                               touch_type: String, touch_tms: Long, latency_ms: Long)
+
+  def attributionStream(events: DataFrame): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val wm = events
+      .withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", "1 hour")
+      .as[EvT]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[LastTouch]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, evs, state: GroupState[LastTouch]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
+          var touch = state.getOption
+          val out = sorted.flatMap { e =>
+            val res = if (e.event_type == "purchase") {
+              val hit = touch.filter(_.tms >= e.tms - AttribWindowMs)
+              Some(hit.map(t => Attribution(e.event_id, uid, e.tms, t.event_type, t.tms, e.tms - t.tms))
+                .getOrElse(Attribution(e.event_id, uid, e.tms, "none", -1L, -1L)))
+            } else None
+            if (e.event_type == "click" || e.event_type == "view")
+              touch = Some(LastTouch(e.tms, e.event_type))
+            res
+          }
+          touch match {
+            case Some(t) =>
+              state.update(t)
+              state.setTimeoutTimestamp(math.max(
+                t.tms + AttribWindowMs, state.getCurrentWatermarkMs() + 1))
+            case None => // no touch yet: nothing worth keeping
+          }
+          out.iterator
+      }
+  }
 }

@@ -383,4 +383,56 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(viaGate == viaBatch)
   }
+
+  test("streaming attribution: cross-batch state, window expiry, full-log batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.attributionStream(mem.toDF()).writeStream
+      .format("memory").queryName("attrib_out").outputMode("append").start()
+    // batch 1: user 1 click then purchase one minute later (attributed);
+    // user 2 bare purchase
+    val t0 = day(0, 1)
+    def m(k: Long) = t0 + k * 60000L
+    mem.addData(Ev(1, m(0), 1, "click", 0), Ev(2, m(1), 1, "purchase", 0),
+      Ev(3, m(0), 2, "purchase", 0))
+    q.processAllAvailable()
+    val b1 = spark.table("attrib_out").as[Streams.Attribution].collect()
+    assert(b1.toSet == Set(
+      Streams.Attribution(2, 1, m(1), "click", m(0), 60000L),
+      Streams.Attribution(3, 2, m(0), "none", -1L, -1L)))
+    // batch 2: user 1 purchases again shortly after — credits the STATE's
+    // click from batch 1 (cross-boundary); then a view re-touches and a
+    // third purchase credits the view, not the old click
+    mem.addData(Ev(4, m(2), 1, "purchase", 0),
+      Ev(5, m(3), 1, "view", 0), Ev(6, m(4), 1, "purchase", 0))
+    q.processAllAvailable()
+    val b2 = spark.table("attrib_out").as[Streams.Attribution].collect()
+    assert(b2.toSet.contains(Streams.Attribution(4, 1, m(2), "click", m(0), 120000L)))
+    assert(b2.toSet.contains(Streams.Attribution(6, 1, m(4), "view", m(3), 60000L)))
+    // a purchase 31+ minutes after the last touch gets none (window test)
+    mem.addData(Ev(7, m(4 + 31), 1, "purchase", 0))
+    q.processAllAvailable()
+    assert(spark.table("attrib_out").as[Streams.Attribution].collect().toSet
+      .contains(Streams.Attribution(7, 1, m(4 + 31), "none", -1L, -1L)))
+    q.stop()
+    // full-log parity: the ENTIRE sf events log in one batch reproduces
+    // the batch operator row for row
+    val evs = Tables.loadEvents(spark, sfDir)
+      .select("event_id", "tms", "user_id", "event_type").collect()
+      .map(r => Ev(r.getAs[Long]("event_id"), r.getAs[Long]("tms"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"), 0.0))
+    val mem2 = MemoryStream[Ev]
+    val q2 = Streams.attributionStream(mem2.toDF()).writeStream
+      .format("memory").queryName("attrib_out2").outputMode("append").start()
+    mem2.addData(evs.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.table("attrib_out2").as[Streams.Attribution].collect()
+      .map(a => (a.event_id, a.user_id, a.tms, a.touch_type, a.touch_tms, a.latency_ms)).toSet
+    val batch = SparkEntry.queries("events_attribution")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("tms"),
+        r.getAs[String]("touch_type"), r.getAs[Long]("touch_tms"), r.getAs[Long]("latency_ms"))).toSet
+    assert(streamed == batch, "stream replay diverges from the batch attribution")
+  }
 }
