@@ -25,7 +25,8 @@ object PlanAudit {
         "dv_reclassify_drift", "range_join_events", "emb_pq_codes", "ann_l2_pq",
         "dedup_incremental", "dedup_keep_best", "knn_label_vote", "corpus_pack",
         "dv_replan_drift", "dedup_substring", "dedup_span_mask", "corpus_ngrams",
-        "search_hybrid", "orders_rfm", "events_attribution", "corpus_source_stats")
+        "search_hybrid", "orders_rfm", "events_attribution", "corpus_source_stats",
+        "ann_ivf_pq")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(

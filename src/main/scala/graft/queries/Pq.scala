@@ -112,14 +112,20 @@ object Pq extends QueryModule {
   }
 
   // ---------------------------------------------------------- encoding
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
-    val books = pqCodebooks(s, dir)
+  /** Encode `base` (needs a `q` column) with the trained codebooks —
+    * shared by emb_pq_codes (over the memoized qVecs) and ann_ivf_pq
+    * (over a fresh scan: its corpus side must not share the cached
+    * frame's attribute ids — see the note there).
+    */
+  private def codesFrom(base: DataFrame, books: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
     val codeCols = (0 until M).map(m => expr(codeExpr("q", m, books(m))).cast("int"))
-    qVecs(s, dir)
+    base
       .select(col("vec_id"), array(codeCols: _*).as("codes"))
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
-      .orderBy("vec_id", "m")
   }
+
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    codesFrom(qVecs(s, dir), pqCodebooks(s, dir)).orderBy("vec_id", "m")
 
   // ------------------------------------------------------------ oracle
   private def dotList(a: String, b: String): String =
@@ -232,8 +238,127 @@ object Pq extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------- ann_ivf_pq
+  // The PRODUCTION composition (the FAISS IVFPQ shape): IVF routing
+  // prunes the corpus to the query's NProbe cells, then the ADC table
+  // scan scores ONLY the codes of those cells' members — neither tier
+  // alone is how a billion-vector index actually runs. Reuses the
+  // trained IVF centroids (Similarity.ivfCentroids — same training, same
+  // assignment) and the PQ codebooks/codes verbatim, so this op adds
+  // routing glue, not a third quantizer. Scale: probe cells and ADC
+  // tables are constant broadcasts; the candidate set is cell-member-
+  // scale (the whole point); distances are the same exact-BIGINT table
+  // sums ann_l2_pq hash-proves.
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.ivfCentroids(s, dir)
+    val books = pqCodebooks(s, dir)
+    // the annPq query shape — collected below, so it never joins
+    val queries = qVecs(s, dir).filter(col("vec_id") < PqQueries)
+    // Constant query-side artifacts, MATERIALIZED driver-side (the IVF
+    // centroid precedent — 50×NProbe and 50×M·K rows): computed by the
+    // same Spark expressions as everywhere else, but collected and
+    // re-broadcast as plain data so the lambda-heavy argmax/d2 projections
+    // never sit on two sides of a join (Catalyst's self-join attribute
+    // rewrite loses HOF lambda references → INTERNAL_ERROR otherwise).
+    import s.implicits._
+    // q is carried through the select (the ann_cosine_ivf probe shape):
+    // a Generate whose child projects NOTHING but the generator input
+    // trips a column-pruning binding bug on these lambda-heavy exprs
+    val probeCells = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("q"),
+          explode(expr(Similarity.topCellsExpr(cents, "q", Similarity.NProbe))).as("cell"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(2)))
+        .toDF("query_id", "cell"))
+    val tableEntries = (0 until M).flatMap { m =>
+      books(m).map { case (cid, c) =>
+        struct(lit(m).as("m"), lit(cid.toInt).as("code"), expr(d2Expr("q", m, c)).as("d2"))
+      }
+    }
+    val dtable = broadcast(
+      queries.select(col("vec_id").as("query_id"), explode(array(tableEntries: _*)).as("t"))
+        .select(col("query_id"), col("t.m").as("m"), col("t.code").as("code"), col("t.d2").as("d2"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toDF("query_id", "m", "code", "d2"))
+    // Corpus side: cell assignment routes, codes score — floats never
+    // read. The assignment is MATERIALIZED (what a real IVFPQ index does —
+    // the assignment IS the index structure) and then rebuilt from its raw
+    // RDD: Spark 4's localCheckpoint preserves the ORIGIN plan's
+    // constraints on the LogicalRDD, so the giant cell-defining argmax
+    // (over the cached q attribute, which the RDD no longer outputs)
+    // would otherwise leak through InferFiltersFromConstraints onto the
+    // probe-cell side of the join and crash binding (INTERNAL_ERROR
+    // ATTRIBUTE_NOT_FOUND). createDataFrame(rdd, schema) keeps the
+    // materialized rows and drops the haunted constraints.
+    val assignCk = Similarity.ivfAssignments(s, dir).localCheckpoint()
+    val assignments = s.createDataFrame(assignCk.rdd, assignCk.schema)
+    val candidates = assignments
+      .join(probeCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d2"), col("neighbor_id"))
+    // codes from a SECOND fresh scan: joining two lambda-heavy projections
+    // of the same cached relation trips Catalyst's self-join attribute
+    // rewrite (HOF lambda refs survive unrewritten → INTERNAL_ERROR), so
+    // neither corpus branch of this join reads the shared cache
+    val freshQ = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr(s"transform(embedding, e -> cast(floor(cast(e as double) * $Scale) as bigint))").as("q"))
+    candidates
+      .join(codesFrom(freshQ, books), Seq("vec_id"))
+      .join(dtable, Seq("query_id", "m", "code"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .groupBy("query_id", "neighbor_id", "cell")
+      .agg(sum("d2").as("approx_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select("query_id", "rank", "neighbor_id", "cell", "approx_d2")
+      .orderBy("query_id", "rank")
+  }
+
+  private def annIvfPqSql: String = {
+    val pqctes = (0 until M).map(subspaceCtes).mkString(",\n")
+    val unions = (0 until M).map(m => s"SELECT * FROM e$m").mkString("\nUNION ALL\n")
+    val tblUnions = (0 until M).map { m =>
+      s"""SELECT query_id, $m AS m, c.k AS code, ${dotList("sub", "c.c")} AS d2
+         |FROM (SELECT vec_id AS query_id,
+         |             list_transform(generate_series(1, $Dsub), d -> q[${m * Dsub} + d]) AS sub
+         |      FROM qv WHERE vec_id < $PqQueries) v CROSS JOIN c$m c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$pqctes,
+       |codes AS (
+       |$unions
+       |),
+       |dtable AS (
+       |$tblUnions
+       |),
+       |${Similarity.ivfChainCtes("iv")},
+       |probes AS (${Similarity.ivfProbesDuck("iv", s"v.vec_id < $PqQueries")}),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id, a.cell
+       |  FROM probes p JOIN ivassigned a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |dist AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id, any_value(cd.cell) AS cell,
+       |         CAST(sum(t.d2) AS BIGINT) AS approx_d2
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN dtable t ON t.query_id = cd.query_id AND t.m = c.m AND t.code = c.code
+       |  GROUP BY cd.query_id, cd.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, approx_d2,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_d2, neighbor_id) AS BIGINT) AS rank
+       |  FROM dist)
+       |SELECT query_id, rank, neighbor_id, cell, approx_d2
+       |FROM ranked WHERE rank <= $PqTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("emb_pq_codes", pqCodes, Some(pqCodesSql)),
-    QueryDef("ann_l2_pq", annPq, Some(annPqSql))
+    QueryDef("ann_l2_pq", annPq, Some(annPqSql)),
+    QueryDef("ann_ivf_pq", annIvfPq, Some(annIvfPqSql))
   )
 }

@@ -503,7 +503,7 @@ object Similarity extends QueryModule {
   // on cent_id. The oracle twin unrolls the same two Lloyd iterations as
   // SQL CTEs.
   private val IvfK = 16
-  private val NProbe = 2
+  private[queries] val NProbe = 2
   private val IvfTopK = 3
   private[queries] val IvfScale = 4096L
   private val IvfIters = 2
@@ -549,7 +549,7 @@ object Similarity extends QueryModule {
       "when l.negc > r.negc then -1 when l.negc < r.negc then 1 else 0 end), 1).negc"
 
   /** The NProbe best cells, as an array to explode on the query side. */
-  private def topCellsExpr(cents: Seq[(Long, Seq[Long])], qCol: String, n: Int): String =
+  private[queries] def topCellsExpr(cents: Seq[(Long, Seq[Long])], qCol: String, n: Int): String =
     s"transform(slice(array_sort(${centSimArray(cents, qCol)}, (l, r) -> " +
       "case when l.sim > r.sim then -1 when l.sim < r.sim then 1 " +
       "when l.negc > r.negc then -1 when l.negc < r.negc then 1 else 0 end), " +
@@ -645,24 +645,38 @@ object Similarity extends QueryModule {
        |    FROM $assignCte a CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d) dd
        |    GROUP BY a.cell, dd.d) s GROUP BY cell""".stripMargin
 
-  private val annIvfSql =
-    s"""WITH vecs AS (
+  /** The IVF training chain as prefix-parameterized CTE text (seed →
+    * 2 Lloyd iterations → final assignment), shared verbatim by the
+    * ann_cosine_ivf oracle and the composed ann_ivf_pq oracle (Pq) — one
+    * training definition, two consumers, no collision with the PQ
+    * subspace CTE names under a distinct prefix.
+    */
+  private[queries] def ivfChainCtes(p: String): String =
+    s"""${p}vecs AS (
        |  SELECT vec_id, embedding,
        |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q,
        |         ${dotDuck("embedding", "embedding")} AS nrm
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cent_id, q AS qc FROM vecs WHERE vec_id < $IvfK),
-       |a1 AS (${assignDuck("vecs", "c0")}),
-       |c1 AS (${resumDuck("a1")}),
-       |a2 AS (${assignDuck("vecs", "c1")}),
-       |c2 AS (${resumDuck("a2")}),
-       |assigned AS (${assignDuck("vecs", "c2")}),
-       |probes AS (
-       |  SELECT query_id, qe, qn, cell FROM (
+       |${p}c0 AS (SELECT vec_id AS cent_id, q AS qc FROM ${p}vecs WHERE vec_id < $IvfK),
+       |${p}a1 AS (${assignDuck(s"${p}vecs", s"${p}c0")}),
+       |${p}c1 AS (${resumDuck(s"${p}a1")}),
+       |${p}a2 AS (${assignDuck(s"${p}vecs", s"${p}c1")}),
+       |${p}c2 AS (${resumDuck(s"${p}a2")}),
+       |${p}assigned AS (${assignDuck(s"${p}vecs", s"${p}c2")})""".stripMargin
+
+  /** Probe CTE body: the [[NProbe]] best trained cells per query row
+    * (`filterSql` picks the query set against the prefixed vecs CTE).
+    */
+  private[queries] def ivfProbesDuck(p: String, filterSql: String): String =
+    s"""SELECT query_id, qe, qn, cell FROM (
        |    SELECT v.vec_id AS query_id, v.embedding AS qe, v.nrm AS qn, c.cent_id AS cell,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY ${simDuck("v.q", "c.qc")} DESC, c.cent_id) AS rk
-       |    FROM vecs v CROSS JOIN c2 c WHERE v.vec_id % $QueryMod = 0) t WHERE rk <= $NProbe),
+       |    FROM ${p}vecs v CROSS JOIN ${p}c2 c WHERE $filterSql) t WHERE rk <= $NProbe""".stripMargin
+
+  private val annIvfSql =
+    s"""WITH ${ivfChainCtes("")},
+       |probes AS (${ivfProbesDuck("", s"v.vec_id % $QueryMod = 0")}),
        |withnrm AS (
        |  SELECT a.vec_id, a.embedding, a.cell, v.nrm
        |  FROM assigned a JOIN vecs v ON v.vec_id = a.vec_id),

@@ -52,4 +52,28 @@ class PqSpec extends SparkSpec {
     // baseline with margin so training perturbations don't flake the suite
     assert(recall >= 0.05, s"ADC recall@5 = $recall")
   }
+
+  test("ann_ivf_pq: ADC distances agree with ann_l2_pq, routing bounds cells per query") {
+    val ivfpq = run("ann_ivf_pq").cache()
+    assert(ivfpq.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // per query: at most TopK rows and at most NProbe distinct cells
+    assert(ivfpq.groupBy("query_id").count()
+      .agg(max("count")).collect()(0).getLong(0) <= Pq.PqTopK)
+    assert(ivfpq.groupBy("query_id").agg(countDistinct("cell").as("nc"))
+      .agg(max("nc")).collect()(0).getLong(0) <= 2)
+    // the ADC arithmetic is the SAME table sum ann_l2_pq hash-proves:
+    // every (query, neighbor) both ops report must carry an identical
+    // approx_d2 (the IVF op only prunes candidates, never re-scores)
+    val full = run("ann_l2_pq")
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2").as("full_d2"))
+    val joined = ivfpq.join(full, Seq("query_id", "neighbor_id"))
+    assert(joined.count() > 0, "IVF-PQ and full-ADC top lists never overlap — routing broken")
+    assert(joined.filter(col("approx_d2") =!= col("full_d2")).count() == 0,
+      "IVF-PQ re-scored a pair differently from the full ADC scan")
+    // pruning is real: the probed candidate pool is smaller than the corpus,
+    // so some of the full scan's top-K escape the probed cells
+    val fullPairs = full.select("query_id", "neighbor_id").count()
+    val kept = joined.count()
+    assert(kept < fullPairs, "IVF probing pruned nothing — not an IVF index")
+  }
 }
