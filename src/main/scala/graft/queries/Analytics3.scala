@@ -386,9 +386,61 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
        |JOIN mh ON mh.mon_bucket = c.mon_bucket
        |ORDER BY c.o_custkey""".stripMargin
 
+  // ---------------------------------------------------- orders_cohort_ltv
+  // Cohort lifetime-value curves — the retention-economics table every
+  // warehouse keeps: customers cohorted by first-order month, revenue
+  // tracked by months-since-first-order, cumulative LTV per cohort.
+  // Scale: one custkey shuffle for first-order dates, a co-partitioned
+  // custkey join back, then aggregation and a cumulative window on the
+  // compact (cohort × age) month grid — never a customer-scale window.
+  // Money decimal-first; the cumulative sum accumulates DECIMAL inside
+  // the window and casts once at the edge (a running double sum would
+  // round stepwise).
+  private def ordersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        dec2(col("o_totalprice")).as("rev"))
+    val first = o.groupBy("o_custkey").agg(min("od").as("fod"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_month").orderBy("age_months")
+    o.join(first, "o_custkey")
+      .select(date_format(col("fod"), "yyyy-MM").as("cohort_month"),
+        ((year(col("od")) * 12 + month(col("od"))) -
+          (year(col("fod")) * 12 + month(col("fod")))).cast("long").as("age_months"),
+        col("o_custkey"), col("rev"))
+      .groupBy("cohort_month", "age_months")
+      .agg(countDistinct("o_custkey").as("n_customers"), sum("rev").as("rd"))
+      .select(col("cohort_month"), col("age_months"), col("n_customers"),
+        col("rd").cast("double").as("revenue"),
+        sum("rd").over(w).cast("double").as("cum_revenue"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  private val ordersCohortLtvSql =
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+       |         CAST(o_totalprice AS DECIMAL(12,2)) AS rev
+       |  FROM orders),
+       |f AS (SELECT o_custkey, min(od) AS fod FROM o GROUP BY o_custkey),
+       |j AS (
+       |  SELECT strftime(f.fod, '%Y-%m') AS cohort_month,
+       |         CAST((year(o.od)*12 + month(o.od)) - (year(f.fod)*12 + month(f.fod)) AS BIGINT) AS age_months,
+       |         o.o_custkey, o.rev
+       |  FROM o JOIN f USING (o_custkey)),
+       |a AS (
+       |  SELECT cohort_month, age_months,
+       |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       |         sum(rev) AS rd
+       |  FROM j GROUP BY cohort_month, age_months)
+       |SELECT cohort_month, age_months, n_customers,
+       |       CAST(rd AS DOUBLE) AS revenue,
+       |       CAST(sum(rd) OVER (PARTITION BY cohort_month ORDER BY age_months) AS DOUBLE) AS cum_revenue
+       |FROM a ORDER BY cohort_month, age_months""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
     QueryDef("orders_rfm", ordersRfm, Some(ordersRfmSql)),
+    QueryDef("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
     QueryDef("events_attribution", eventsAttribution, Some(eventsAttributionSql)),
     QueryDef("q11_important_parts", q11, Some(q11Sql)),
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),

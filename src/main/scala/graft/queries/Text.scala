@@ -112,6 +112,36 @@ object Text extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ text_lang_confusion
+  // Language-ID QA: the (true lang x predicted lang) confusion matrix with
+  // per-true-lang shares - the observability table that says WHERE the
+  // classifier fails (zh has no stopword list -> predicted 'unknown';
+  // short docs cross-fire between latin languages). Aggregation over the
+  // language-pair key space (bounded by the language vocabulary, never the
+  // corpus); the share window runs on the same compact axis. Integer
+  // micro-unit shares - nothing floating to hash.
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    langId(s, dir)
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_micros", expr("n_docs * 1000000 div sum(n_docs) over (partition by lang)"))
+      .withColumn("is_correct", when(col("lang") === col("predicted_lang"), 1L).otherwise(0L))
+      .select("lang", "predicted_lang", "n_docs", "share_micros", "is_correct")
+      .orderBy("lang", "predicted_lang")
+  }
+
+  // def, not val: langIdSql is declared below — a val here would capture
+  // null during object init (the Dedup lesson)
+  private def langConfusionSql = s"""
+    WITH l AS (SELECT lang, predicted_lang FROM ($langIdSql)),
+    g AS (
+      SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM l GROUP BY lang, predicted_lang)
+    SELECT lang, predicted_lang, n_docs,
+           n_docs * 1000000 // CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_micros,
+           CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END AS is_correct
+    FROM g ORDER BY lang, predicted_lang"""
+
   private[queries] val langIdSql = {
     def hits(set: Seq[String]) = s"CAST(len(list_filter(toks, x -> x IN ${inList(set)})) AS BIGINT)"
     s"""
@@ -357,6 +387,7 @@ object Text extends QueryModule {
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),
     QueryDef("text_quality", quality, Some(qualitySql)),
     QueryDef("text_lang_id", langId, Some(langIdSql)),
+    QueryDef("text_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("text_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("text_winnow", winnow, Some(winnowSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

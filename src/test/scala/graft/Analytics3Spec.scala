@@ -186,4 +186,29 @@ class Analytics3Spec extends SparkSpec {
     // scores genuinely spread (not all one bucket)
     assert(rows.map(_.getAs[Long]("m_score")).distinct.length >= 3)
   }
+
+  test("orders_cohort_ltv: revenue conserved, cumulative monotone, age-0 anchors every cohort") {
+    val lt = SparkEntry.queries("orders_cohort_ltv")(spark, sfDir).collect()
+    assert(lt.nonEmpty)
+    // total revenue across all (cohort, age) cells equals the orders total
+    val total = lt.map(_.getAs[Double]("revenue")).sum
+    val direct = Tables.load(spark, sfDir, "orders")
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")).head.getDouble(0)
+    assert(math.abs(total - direct) < 1e-6 * math.abs(direct))
+    lt.groupBy(_.getAs[String]("cohort_month")).foreach { case (c, rows) =>
+      val byAge = rows.sortBy(_.getAs[Long]("age_months"))
+      // every cohort starts at age 0 (the first order IS the cohort entry)
+      assert(byAge.head.getAs[Long]("age_months") == 0L, s"cohort $c missing age 0")
+      // cumulative revenue is the running sum of the revenue column
+      var run = 0.0
+      byAge.foreach { r =>
+        run += r.getAs[Double]("revenue")
+        assert(math.abs(r.getAs[Double]("cum_revenue") - run) < 1e-6,
+          s"cum_revenue diverges in cohort $c")
+      }
+      // age-0 active customers bounds every later age (retention can't grow)
+      val n0 = byAge.head.getAs[Long]("n_customers")
+      byAge.foreach(r => assert(r.getAs[Long]("n_customers") <= n0))
+    }
+  }
 }

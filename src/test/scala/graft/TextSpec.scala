@@ -112,4 +112,23 @@ class TextSpec extends SparkSpec {
         out.filter(col("n_emails") === 1).count())
     } finally out.unpersist()
   }
+
+  test("text_lang_confusion: conserves the corpus, shares sum per lang, zh never self-predicts") {
+    val cm = SparkEntry.queries("text_lang_confusion")(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(cm.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    cm.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val s = rows.map(_.getAs[Long]("share_micros")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$lang share sum $s")
+    }
+    // signal: zh has no stopword list, so it can never be predicted 'zh' —
+    // the matrix MUST show it as misclassified (that is what QA would flag)
+    assert(!cm.exists(r => r.getAs[String]("lang") == "zh" &&
+      r.getAs[String]("predicted_lang") == "zh"))
+    assert(cm.exists(r => r.getAs[String]("lang") == "zh" && r.getAs[Long]("n_docs") > 0))
+    // and the diagonal is non-trivial somewhere (the classifier does work)
+    assert(cm.exists(r => r.getAs[Long]("is_correct") == 1L && r.getAs[Long]("share_micros") > 500000L))
+    cm.foreach(r => assert((r.getAs[String]("lang") == r.getAs[String]("predicted_lang")) ==
+      (r.getAs[Long]("is_correct") == 1L)))
+  }
 }
