@@ -437,10 +437,50 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
        |       CAST(sum(rd) OVER (PARTITION BY cohort_month ORDER BY age_months) AS DOUBLE) AS cum_revenue
        |FROM a ORDER BY cohort_month, age_months""".stripMargin
 
+  // --------------------------------------------------- events_active_users
+  // DAU / WAU — the engagement dashboard's backbone. EXACT rolling
+  // distinct (approx sketches trade the oracle away): each (day, user)
+  // row fans out to the 7 target days its user counts toward, then one
+  // countDistinct per target day. The fanout is on the (day, user)
+  // DISTINCT frame (bounded by users × days, far below events), the
+  // target-day key space is the calendar — both compact at any event
+  // volume. Output days are restricted to days with events (the join
+  // back to the DAU frame), so trailing empty windows don't fabricate
+  // rows.
+  private def eventsActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.loadEvents(s, dir)
+      .select(to_date(timestamp_millis(col("tms"))).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = du
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("off"), col("day"))
+      .select(expr("date_add(day, off)").as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  private val eventsActiveUsersSql =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |dau AS (
+       |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+       |  FROM du GROUP BY day),
+       |wau AS (
+       |  SELECT tday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM (SELECT du.day + CAST(o.off AS INT) AS tday, du.user_id
+       |        FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o)
+       |  GROUP BY tday)
+       |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau
+       |FROM dau JOIN wau ON wau.day = dau.day
+       |ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q2_min_cost_supplier", q2, Some(q2Sql)),
     QueryDef("orders_rfm", ordersRfm, Some(ordersRfmSql)),
     QueryDef("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
+    QueryDef("events_active_users", eventsActiveUsers, Some(eventsActiveUsersSql)),
     QueryDef("events_attribution", eventsAttribution, Some(eventsAttributionSql)),
     QueryDef("q11_important_parts", q11, Some(q11Sql)),
     QueryDef("agg_grouping_sets", groupingSets, Some(groupingSetsSql)),

@@ -211,4 +211,24 @@ class Analytics3Spec extends SparkSpec {
       byAge.foreach(r => assert(r.getAs[Long]("n_customers") <= n0))
     }
   }
+
+  test("events_active_users: DAU/WAU match a driver-side exact rolling distinct") {
+    val got = SparkEntry.queries("events_active_users")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("day") -> (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val du = Tables.loadEvents(spark, sfDir)
+      .select(to_date(timestamp_millis(col("tms"))).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("user_id")))
+    val days = du.map(_._1).distinct
+    assert(got.size == days.length)
+    days.foreach { d =>
+      val dau = du.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = du.filter(t => !t._1.isAfter(d) && !t._1.isBefore(d.minusDays(6)))
+        .map(_._2).distinct.length.toLong
+      assert(got(d.toString) == ((dau, wau)), s"mismatch on $d")
+      assert(wau >= dau)
+    }
+    // the window genuinely widens reach somewhere (WAU > DAU)
+    assert(got.values.exists { case (d, w) => w > d })
+  }
 }
