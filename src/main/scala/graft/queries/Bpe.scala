@@ -202,7 +202,47 @@ object Bpe extends QueryModule {
          |FROM doc_words JOIN word_lens USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- bpe_fertility
+  // Tokenizer fertility by language — BPE tokens per word, the multilingual
+  // fairness metric tokenizer teams track: a vocabulary trained on a
+  // mostly-English mix fragments other languages into more pieces, which
+  // inflates their effective sequence length and training cost. Same
+  // corpus pass as bpe_tokenize (explode + broadcast word-length cache),
+  // aggregated on the bounded language axis; fertility in exact integer
+  // milli-units.
+  private def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val wordLens = trained(s, dir)._2.select(col("word"),
+      size(split(col("syms"), " ")).cast("long").as("n_syms"))
+    Docs.enriched(s, dir)
+      .select(col("lang"), explode(col("toks")).as("word"))
+      .join(broadcast(wordLens), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 1000) div n_words").as("fertility_milli"))
+      .orderBy("lang")
+  }
+
+  private def bpeFertilitySql: String =
+    "WITH " + trainCtes.mkString(",\n") + ",\n" +
+      s"""vocab_final AS (
+         |  SELECT word, cnt,
+         |         CASE WHEN b.l IS NULL THEN syms
+         |              ELSE ${foldDuck("b.l", "b.r")} END AS syms
+         |  FROM vocab$Merges LEFT JOIN best$Merges b ON TRUE),
+         |word_lens AS (
+         |  SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms
+         |  FROM vocab_final),
+         |doc_words AS (
+         |  SELECT lang, unnest(${Docs.toksDuck}) AS word FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       (CAST(sum(n_syms) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS fertility_milli
+         |FROM doc_words JOIN word_lens USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql))
   )

@@ -111,4 +111,23 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bpe_fertility: conserves bpe_tokenize totals, exact integer fertility") {
+    val f = SparkEntry.queries("bpe_fertility")(spark, sfDir).collect()
+    assert(f.length == 5)
+    f.foreach { r =>
+      assert(r.getAs[Long]("fertility_milli") ==
+        r.getAs[Long]("n_bpe_tokens") * 1000 / r.getAs[Long]("n_words"))
+      // BPE genuinely splits words (fertility > 1 token/word)
+      assert(r.getAs[Long]("fertility_milli") > 1000L)
+    }
+    // language totals conserve the corpus-wide tokenization
+    val totalBpe = SparkEntry.queries("bpe_tokenize")(spark, sfDir)
+      .agg(sum("n_tokens_bpe")).head.getLong(0)
+    assert(f.map(_.getAs[Long]("n_bpe_tokens")).sum == totalBpe)
+    val totalWords = Tables.load(spark, sfDir, "documents")
+      .select(expr(s"cast(size(${"filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"}) as bigint)").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(f.map(_.getAs[Long]("n_words")).sum == totalWords)
+  }
 }
