@@ -221,27 +221,51 @@ object Similarity extends QueryModule {
       s.read.parquet(path)
     }
 
-  private def embedDedup(s: SparkSession, dir: String): DataFrame = {
-    // All 16 band signatures packed into one BIGINT (2 bits per band): the
-    // candidate join carries only (vec_id, sigword) — the 64-float
-    // embeddings stay out of the (band, sig) shuffle and are re-attached
-    // to surviving pairs against the slim vector table (broadcast here; at
-    // warehouse scale a bucketed hash join). The 32 plane dots run in the
-    // native codegen kernel (bands in [0,4): bit r of sigs[b] set iff the
-    // dot against hyperplane band*DedupRows + r is positive — the same
-    // md5-derived `plane_` family as annLsh); only the 16-step packing
-    // fold is a HOF.
-    val dedupCoefs = (0 until DedupBands * DedupRows)
-      .map(p => (1 to Dim).map(d => coefScala(p, d).toDouble))
-    val wordCol = aggregate(sequence(lit(DedupBands - 1), lit(0), lit(-1)), lit(0L),
-      (acc, b) => acc * 4 + element_at(col("_sigs"), b + 1))
-    val sigs = SessionCache.memo(s, "embed_dedup_sigs", dir) {
-      emb(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          graft.functions.GraftColumns.graftHyperplaneSigs(col("embedding"), dedupCoefs, DedupRows)
-            .as("_sigs"))
-        .select(col("vec_id"), col("embedding"), wordCol.as("word"))
+  // All 16 band signatures packed into one BIGINT (2 bits per band): the
+  // candidate join carries only (vec_id, sigword) — the 64-float
+  // embeddings stay out of the (band, sig) shuffle and are re-attached
+  // to surviving pairs against the slim vector table (broadcast here; at
+  // warehouse scale a bucketed hash join). The 32 plane dots run in the
+  // native codegen kernel (bands in [0,4): bit r of sigs[b] set iff the
+  // dot against hyperplane band*DedupRows + r is positive — the same
+  // md5-derived `plane_` family as annLsh); only the 16-step packing
+  // fold is a HOF.
+  private lazy val dedupCoefs: Seq[Seq[Double]] = (0 until DedupBands * DedupRows)
+    .map(p => (1 to Dim).map(d => coefScala(p, d).toDouble))
+  private lazy val wordCol: Column = aggregate(
+    sequence(lit(DedupBands - 1), lit(0), lit(-1)), lit(0L),
+    (acc, b) => acc * 4 + element_at(col("_sigs"), b + 1))
+
+  /** Append the packed band-signature `word` for embedding column `e` —
+    * row-local (codegen kernel + one 16-step fold, no shuffle), the EXACT
+    * constants of the batch index. The streaming semantic-dedup gate
+    * computes an arriving vector's signatures with this.
+    */
+  private[graft] def withEmbedSigWord(df: DataFrame, e: String): DataFrame =
+    df.withColumn("_sigs",
+        graft.functions.GraftColumns.graftHyperplaneSigs(col(e), dedupCoefs, DedupRows))
+      .withColumn("word", wordCol).drop("_sigs")
+
+  private def embedSigs(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "embed_dedup_sigs", dir) {
+      withEmbedSigWord(emb(s, dir).select(col("vec_id"), col("embedding")), "embedding")
     }
+
+  /** The static corpus side of the streaming gate: (vec_id, band, sig)
+    * band index and the slim vector table the cosine verify reads.
+    */
+  private[graft] def embedBandIndex(s: SparkSession, dir: String): DataFrame =
+    embedSigs(s, dir)
+      .select(col("vec_id"), col("word"), explode(sequence(lit(0), lit(DedupBands - 1))).as("band"))
+      .withColumn("sig", expr("shiftright(word, 2 * band) & 3"))
+      .select("vec_id", "band", "sig")
+  private[graft] def embedVectors(s: SparkSession, dir: String): DataFrame =
+    embedSigs(s, dir).select(col("vec_id"), col("embedding"))
+  private[graft] val DedupTau: Double = NearDupCosine
+  private[graft] val EmbedBands: Int = DedupBands
+
+  private def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = embedSigs(s, dir)
     val exploded = sigs
       .select(col("vec_id"), col("word"), explode(sequence(lit(0), lit(DedupBands - 1))).as("band"))
       .withColumn("sig", expr("shiftright(word, 2 * band) & 3"))

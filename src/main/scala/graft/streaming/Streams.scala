@@ -544,4 +544,36 @@ object Streams {
           out.iterator
       }
   }
+
+  /** #52: streaming SEMANTIC dedup gate — the embedding twin of
+    * stream_near_dup: is an arriving vector a near-duplicate of anything
+    * already indexed? The arriving row computes its packed hyperplane
+    * band-signature word SCAN-LOCALLY with the batch index's exact codegen
+    * kernel and constants (Similarity.withEmbedSigWord), candidates come
+    * from a stream-static (band, sig) equi-join against the corpus band
+    * index, and the exact cosine against the slim vector table decides at
+    * the batch threshold. STATELESS — no watermark state; at scale the
+    * corpus side is a bucketed band-keyed table maintained by the batch
+    * indexer. A pair matching in >1 band emits duplicate rows
+    * (at-least-once) — sink with the keyed anti-join append like
+    * nearDupBatch for exactly-once pairs.
+    */
+  def semanticDedupStream(vecs: DataFrame, corpusIndex: DataFrame,
+                          corpusVecs: DataFrame): DataFrame = {
+    import graft.queries.Similarity
+    val sigged = Similarity.withEmbedSigWord(vecs, "embedding")
+      .select(col("vec_id").as("in_vec"), col("embedding"), col("word"))
+      .select(col("in_vec"), col("embedding"), col("word"),
+        explode(expr(s"sequence(0, ${Similarity.EmbedBands - 1})")).as("band"))
+      .withColumn("sig", expr("shiftright(word, 2 * band) & 3"))
+    sigged
+      .join(corpusIndex.withColumnRenamed("vec_id", "corpus_vec"), Seq("band", "sig"))
+      .filter(col("in_vec") =!= col("corpus_vec"))
+      .join(corpusVecs
+        .withColumnRenamed("vec_id", "corpus_vec")
+        .withColumnRenamed("embedding", "corpus_emb"), Seq("corpus_vec"))
+      .select(col("in_vec"), col("corpus_vec"),
+        graft.functions.GraftColumns.graftCosine(col("embedding"), col("corpus_emb")).as("cosine"))
+      .filter(col("cosine") >= Similarity.DedupTau)
+  }
 }

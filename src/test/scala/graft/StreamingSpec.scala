@@ -435,4 +435,41 @@ class StreamingSpec extends SparkSpec {
         r.getAs[String]("touch_type"), r.getAs[Long]("touch_tms"), r.getAs[Long]("latency_ms"))).toSet
     assert(streamed == batch, "stream replay diverges from the batch attribution")
   }
+
+  final case class SVec(vec_id: Long, embedding: Seq[Float])
+
+  test("streaming semantic dedup: batch parity with dedup_embed_cosine, copy flagged at 1.0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.queries.Similarity.embedBandIndex(spark, sfDir)
+    val cvecs = graft.queries.Similarity.embedVectors(spark, sfDir)
+    // BATCH parity: replaying the whole corpus through the stream function
+    // reproduces the batch op's verified pair set exactly (the stream emits
+    // per-band, both directions; restrict + distinct to compare)
+    val streamed = Streams.semanticDedupStream(
+        Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding"), idx, cvecs)
+      .filter(col("in_vec") < col("corpus_vec"))
+      .select(col("in_vec"), col("corpus_vec")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "stream replay diverges from the batch banded dedup")
+    // LIVE: a verbatim copy of a corpus vector must flag its source at 1.0
+    val srcRow = Tables.load(spark, sfDir, "embeddings")
+      .orderBy("vec_id").select("vec_id", "embedding").head()
+    val (srcId, srcEmb) =
+      (srcRow.getLong(0), srcRow.getAs[scala.collection.Seq[Float]](1).toSeq)
+    val mem = MemoryStream[SVec]
+    val q = Streams.semanticDedupStream(mem.toDF(), idx, cvecs).writeStream
+      .format("memory").queryName("semdedup_out").outputMode("append").start()
+    mem.addData(SVec(900001L, srcEmb))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("semdedup_out").collect()
+      .map(r => (r.getAs[Long]("in_vec"), r.getAs[Long]("corpus_vec"), r.getAs[Double]("cosine")))
+    assert(out.exists(t => t._1 == 900001L && t._2 == srcId && t._3 >= 0.9999),
+      s"copy did not flag its source: ${out.take(5).toSeq}")
+    out.foreach(t => assert(t._3 >= 0.4))
+  }
 }
