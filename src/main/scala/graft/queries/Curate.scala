@@ -620,7 +620,54 @@ FROM flags ORDER BY doc_id"""
        |  (CAST(count(*) AS BIGINT) * 1000000) // (SELECT n_total FROM t) AS share_micros
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------ corpus_length_hist
+  // Document-length distribution over power-of-two buckets — the
+  // observability table behind min-length filters, packing-window sizing,
+  // and truncation budgets. The bucket ladder is a FIXED CASE expression
+  // (log2 is libm — banned by the cross-engine determinism rules; a
+  // literal ladder is exact in both engines and bounded at 9 buckets);
+  // aggregation is one shuffle on the bucket key, shares come off a 1-row
+  // broadcast total.
+  private val LenBounds = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 4096L)
+
+  private def lenBucketCase(n: String): String = {
+    val cases = (0L +: LenBounds).zip(LenBounds :+ Long.MaxValue).map {
+      case (lo, hi) if hi != Long.MaxValue => s"WHEN $n < $hi THEN ${lo}L"
+      case (lo, _) => s"ELSE ${lo}L"
+    }
+    s"CASE ${cases.init.mkString(" ")} ${cases.last} END"
+  }
+
+  private def corpusLengthHist(s: SparkSession, dir: String): DataFrame = {
+    val n = Docs.enriched(s, dir)
+      .select(expr("cast(size(toks) as bigint)").as("n_words"))
+      .select(col("n_words"), expr(lenBucketCase("n_words")).as("bucket_lo"))
+    val total = broadcast(n.agg(count(lit(1)).as("t_docs"), sum("n_words").as("t_tokens")))
+    n.groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+      .crossJoin(total)
+      .select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000000) div t_docs").as("doc_share_micros"),
+        expr("(n_tokens * 1000000) div t_tokens").as("token_share_micros"))
+      .orderBy("bucket_lo")
+  }
+
+  private def corpusLengthHistSql = {
+    val caseSql = lenBucketCase("n_words").replace("L ", " ").replace("L\n", "\n")
+      .replaceAll("(\\d)L", "$1")
+    s"""WITH n AS (
+       |  SELECT CAST(len(${Docs.toksDuck}) AS BIGINT) AS n_words FROM documents),
+       |b AS (SELECT n_words, $caseSql AS bucket_lo FROM n),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS t_docs, CAST(sum(n_words) AS BIGINT) AS t_tokens FROM n)
+       |SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |       (CAST(count(*) AS BIGINT) * 1000000) // (SELECT t_docs FROM t) AS doc_share_micros,
+       |       (CAST(sum(n_words) AS BIGINT) * 1000000) // (SELECT t_tokens FROM t) AS token_share_micros
+       |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_length_hist", corpusLengthHist, Some(corpusLengthHistSql)),
     QueryDef("corpus_source_stats", corpusSourceStats, Some(corpusSourceStatsSql)),
     QueryDef("pipeline_curate_full", pipelineCurateFull, Some(pipelineCurateFullSql)),
     QueryDef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

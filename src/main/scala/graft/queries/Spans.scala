@@ -142,11 +142,11 @@ object Spans extends QueryModule {
     * from different partners merge via the running-max interval trick, so
     * a sequence writer can drop each masked range exactly once.
     */
-  private def dedupSpanMask(s: SparkSession, dir: String): DataFrame = {
-    val spans = spanRuns(s, dir)
-      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
-        (col("start_b") + col("span_tokens") - 1).as("e"))
-      .distinct()
+  /** Merge overlapping [s, e] intervals per doc_id via the running-max
+    * window trick — shared by the mask op and the generative property
+    * test (PropertySpec drives it over arbitrary interval sets).
+    */
+  private[graft] def mergeIntervals(spans: DataFrame): DataFrame = {
     val ord = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
     val grp = sum(when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
@@ -157,7 +157,14 @@ object Spans extends QueryModule {
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
-      .orderBy("doc_id", "span_start")
+  }
+
+  private def dedupSpanMask(s: SparkSession, dir: String): DataFrame = {
+    val spans = spanRuns(s, dir)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_tokens") - 1).as("e"))
+      .distinct()
+    mergeIntervals(spans).orderBy("doc_id", "span_start")
   }
 
   private val dedupSpanMaskSql =

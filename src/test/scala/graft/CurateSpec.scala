@@ -388,4 +388,20 @@ class CurateSpec extends SparkSpec {
     // the mixture signal is real: sources differ in mean quality
     assert(st.map(_.getAs[Long]("mean_q_micros")).distinct.length > 1)
   }
+
+  test("corpus_length_hist: buckets partition the corpus, shares and totals conserve") {
+    val h = run("corpus_length_hist").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(h.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalTokens = docs
+      .select(expr(s"cast(size(${queries.Docs.toksSpark}) as bigint)").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(h.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    val ds = h.map(_.getAs[Long]("doc_share_micros")).sum
+    assert(ds <= 1000000L && ds > 1000000L - h.length)
+    // buckets are genuine power-of-two lower bounds and the corpus spreads
+    h.foreach(r => assert(Seq(0L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L, 4096L)
+      .contains(r.getAs[Long]("bucket_lo"))))
+    assert(h.length >= 3, "length distribution collapsed to fewer than 3 buckets")
+  }
 }

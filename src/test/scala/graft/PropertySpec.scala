@@ -142,4 +142,42 @@ class PropertySpec extends SparkSpec {
       assert(rendered(d) == expected, s"cents=$c")
     }
   }
+
+  test("interval merge: window formulation equals a driver-side merge on arbitrary inputs") {
+    import spark.implicits._
+    val iv = for {
+      doc <- Gen.chooseNum(0L, 5L)
+      s0 <- Gen.chooseNum(1L, 200L)
+      len <- Gen.chooseNum(0L, 40L)
+    } yield (doc, s0, s0 + len)
+    val samples = sampleOf(Gen.listOfN(300, iv)).distinct
+    val got = graft.queries.Spans.mergeIntervals(
+        samples.toDF("doc_id", "s", "e"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+      .toSet
+    // reference merge: sort, fold, join overlapping (NOT merely adjacent)
+    val expected = samples.groupBy(_._1).flatMap { case (d, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).distinct.sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((ps, pe) :: tail), (s, e)) =>
+          if (s <= pe) (ps, math.max(pe, e)) :: tail else (s, e) :: acc
+        case (Nil, (s, e)) => List((s, e))
+      }.reverse
+      merged.map { case (s, e) => (d, s, e) }
+    }.toSet
+    assert(got == expected)
+    // invariants: disjoint and coverage-preserving per doc
+    got.groupBy(_._1).foreach { case (_, ivs) =>
+      val ss = ivs.toSeq.sortBy(_._2)
+      ss.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+    val coveredGot = got.toSeq.map { case (d, s, e) => (d, s, e) }
+      .flatMap { case (d, s, e) => (s to e).map(d -> _) }.toSet
+    val coveredIn = samples.flatMap { case (d, s, e) => (s to e).map(d -> _) }.toSet
+    assert(coveredGot == coveredIn, "merge changed the covered token set")
+  }
 }
