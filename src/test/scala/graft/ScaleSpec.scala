@@ -50,7 +50,8 @@ class ScaleSpec extends SparkSpec {
       "q22_idle_customers", // 1-row aggregate threshold broadcast (exact-decimal avg)
       "search_hybrid",    // constant 20-probe broadcast, vec_id =!= query_id (the knn shape)
       "orders_rfm",       // 1-row ref-date/total-count broadcasts (histogram quintiles)
-      "corpus_source_stats" // 1-row corpus-total broadcast for the share denominator
+      "corpus_source_stats", // 1-row corpus-total broadcast for the share denominator
+      "corpus_length_hist" // same 1-row totals broadcast (doc/token share denominators)
     )
     // Eager build wrappers run their whole vault build during DataFrame
     // CONSTRUCTION and return a LocalTableScan summary — sweeping that
