@@ -167,7 +167,10 @@ object Dedup extends QueryModule {
   private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir).groupBy("doc_id").agg(collect_set("shingle").as("shingles"))
 
-  private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** All LSH-candidate pairs with their exact Jaccard — the pre-threshold
+    * frame minhashLsh filters and the threshold-calibration curve bins.
+    */
+  private[graft] def scoredCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val bands = minhashBands(s, dir)
     val cand = bands.as("a")
@@ -185,9 +188,58 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sa.n").as("n_a"), col("sb.n").as("n_b"),
         (col("n_common").cast("double") / (col("sa.n") + col("sb.n") - col("n_common"))).as("jaccard"))
+  }
+
+  private[queries] def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    scoredCandidatePairs(s, dir)
       .filter(col("jaccard") >= MinhashThreshold)
       .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------- dedup_threshold_curve
+  // Threshold calibration: how many pairs would each Jaccard cutoff keep?
+  // The histogram production tunes τ against — bins are deciles of the
+  // exact Jaccard over the LSH CANDIDATE set (the same population any τ
+  // filter sees; pairs below the banding's reach are invisible to every
+  // threshold equally, so the curve is exactly the tunable region).
+  // floor(j·10) is one exact double op on a bit-identical input, the
+  // cumulative count runs over the bounded 11-bin axis.
+  private def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val binned = scoredCandidatePairs(s, dir)
+      .select(expr("cast(floor(jaccard * 10) as bigint)").as("bin_decile"))
+      .groupBy("bin_decile").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin_decile").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    binned
+      .withColumn("n_pairs_ge", sum("n_pairs").over(w))
+      .orderBy("bin_decile")
   }
+
+  // def, not val: minhashBandsCtes is declared further down (the
+  // dedupIncrementalSql lesson — a val here would capture null)
+  private def dedupThresholdCurveSql =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh ta ON ta.doc_id = c.doc_a
+       |  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |scored AS (
+       |  SELECT CAST(floor((CAST(i.n_common AS DOUBLE)/(sa.n + sb.n - i.n_common)) * 10) AS BIGINT) AS bin_decile
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b),
+       |binned AS (
+       |  SELECT bin_decile, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM scored GROUP BY bin_decile)
+       |SELECT bin_decile, n_pairs,
+       |       CAST(sum(n_pairs) OVER (ORDER BY bin_decile DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+       |FROM binned ORDER BY bin_decile""".stripMargin
 
   /** Oracle CTE chain through the band signatures — shared by
     * dedup_minhash_lsh and decontaminate_fuzzy (MATERIALIZED: both
@@ -673,6 +725,7 @@ object Dedup extends QueryModule {
     QueryDef("sim_ngram_jaccard", ngramJaccard, Some(ngramSql)),
     QueryDef("dedup_cluster", dedupCluster, Some(clusterSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
+    QueryDef("dedup_threshold_curve", dedupThresholdCurve, Some(dedupThresholdCurveSql)),
     QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql))
   )
 }

@@ -404,4 +404,22 @@ class CurateSpec extends SparkSpec {
       .contains(r.getAs[Long]("bucket_lo"))))
     assert(h.length >= 3, "length distribution collapsed to fewer than 3 buckets")
   }
+
+  test("dedup_threshold_curve: bins re-derive exactly, cum at bin>=6 equals the tau=0.6 op") {
+    val curve = run("dedup_threshold_curve").collect()
+      .map(r => r.getAs[Long]("bin_decile") -> (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_pairs_ge"))).toMap
+    val jaccards = queries.Dedup.scoredCandidatePairs(spark, sfDir)
+      .select("jaccard").collect().map(_.getDouble(0))
+    val expected = jaccards.groupBy(j => math.floor(j * 10).toLong).view.mapValues(_.length.toLong).toMap
+    assert(curve.view.mapValues(_._1).toMap == expected)
+    // cumulative-from-top arithmetic
+    curve.foreach { case (b, (_, ge)) =>
+      assert(ge == expected.filter(_._1 >= b).values.sum)
+    }
+    // tau = 0.6 cutoff consistency: pairs in bins >= 6 ARE the minhash op's output
+    val opCount = run("dedup_minhash_lsh").count()
+    assert(expected.filter(_._1 >= 6L).values.sum == opCount)
+    // the curve genuinely separates: candidates exist below the threshold too
+    assert(expected.keys.exists(_ < 6L), "no sub-threshold candidates — curve degenerate")
+  }
 }
