@@ -83,4 +83,32 @@ object Scale {
       .agg(count(lit(1)).as("_c"), sum("v").as("_s"))
       .groupBy("k")
       .agg(sum("_c").as("n"), sum("_s").as("sum_v"))
+
+  /** Two-phase salted top-K (VERDICT r5 #1): `row_number().over(partitionBy
+    * (partCols))` puts EVERY candidate row for a partition key into one
+    * reducer — for a constant-size query set scanning the whole corpus
+    * that is 50 partitions each holding n rows, a straggler/spill machine
+    * at 100×. Instead: salt each candidate by a deterministic function of
+    * its corpus-side id, take the local top-K inside every
+    * (partCols, salt) cell, and re-rank only the ≤ saltBuckets×K
+    * survivors per key in the merge window. Because `orderCols` must be a
+    * TOTAL order (ties broken by a unique id — the repo's standing
+    * determinism rule), the global top-K is a subset of the union of the
+    * local top-Ks, so the result is row-identical to the single-window
+    * form; the merge window's input is bounded by a constant independent
+    * of corpus size. ScaleSpec pins both properties.
+    */
+  def saltedTopK(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
+                 saltSrc: Column, k: Int, rankName: String = "rank",
+                 saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Window.partitionBy(partCols.map(col) :+ col("_tk_salt"): _*).orderBy(orderCols: _*)
+    val merge = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("_tk_salt", pmod(saltSrc, lit(saltBuckets)))
+      .withColumn("_tk_lr", row_number().over(local))
+      .filter(col("_tk_lr") <= k)
+      .drop("_tk_salt", "_tk_lr")
+      .withColumn(rankName, row_number().over(merge))
+      .filter(col(rankName) <= k)
+  }
 }

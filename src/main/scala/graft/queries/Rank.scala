@@ -313,12 +313,16 @@ object Rank extends QueryModule {
     val vecs = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val probes = vecs.filter(col("vec_id") < HybridProbes)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val wd = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
-    val rd = vecs.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+    // two-phase salted top-K (VERDICT r5 #1): the dense candidate stream is
+    // corpus-sized per probe, so the per-query ranking runs as local
+    // (query_id, doc-salt) top-Ks inside the scan, then a bounded merge —
+    // no window partition holds the corpus.
+    val densePairs = vecs.join(broadcast(probes), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         graftCosine(col("qe"), col("embedding")).as("cosine"))
-      .withColumn("rank_dense", row_number().over(wd).cast("long"))
-      .filter(col("rank_dense") <= Bm25K)
+    val rd = graft.dv.Scale.saltedTopK(densePairs, Seq("query_id"),
+        Seq(col("cosine").desc, col("doc_id")), col("doc_id"), Bm25K, "rank_dense_i")
+      .withColumn("rank_dense", col("rank_dense_i").cast("long"))
       .select("query_id", "doc_id", "rank_dense")
     // sparse ranking: bigram-set Jaccard against the probe docs
     val bg = Dedup.bigrams(s, dir)

@@ -41,7 +41,11 @@ object Similarity extends QueryModule {
   // Brute-force baseline over a CONSTANT-size query set (vec_id < 50): the
   // broadcast side is O(1) in the corpus size, so the operator stays a
   // single scan at any scale — the exact ground truth the ANN operators
-  // are judged against, not a path that grows with the data.
+  // are judged against, not a path that grows with the data. Top-K is the
+  // two-phase salted form (Scale.saltedTopK, VERDICT r5 #1): the local
+  // top-K runs inside the scan's (query_id, neighbor-salt) cells, so no
+  // window partition ever holds the corpus — the merge window sees at
+  // most saltBuckets×K rows per query.
   private def knn(s: SparkSession, dir: String): DataFrame = {
     // graftCosine (native codegen expression) accumulates in index order —
     // bit-identical to the oracle's precomputed-norm formula.
@@ -51,9 +55,8 @@ object Similarity extends QueryModule {
     val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graftCosine(col("qe"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    graft.dv.Scale.saltedTopK(pairs, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), col("neighbor_id"), TopK)
       .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
   }
@@ -1020,9 +1023,10 @@ object Similarity extends QueryModule {
     val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("true_label"), col("label"),
         col("vec_id").as("neighbor_id"), graftCosine(col("qe"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    val votes = pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    // two-phase salted top-K (VERDICT r5 #1) — see knn_cosine; the vote
+    // window below is naturally bounded (≤ TopK label rows per query)
+    val votes = graft.dv.Scale.saltedTopK(pairs, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), col("neighbor_id"), TopK)
       .groupBy("query_id", "true_label", "label")
       .agg(count(lit(1)).as("n_votes"))
     val vw = Window.partitionBy("query_id").orderBy(col("n_votes").desc, col("label"))

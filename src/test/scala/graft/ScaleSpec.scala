@@ -42,13 +42,14 @@ class ScaleSpec extends SparkSpec {
     // linear scan by construction, the exact ground truth the ANN recall
     // specs pin against), never a data-sized side.
     val bnljExempt = Set(
-      "knn_cosine",       // constant 50-query broadcast, vec_id =!= query_id (ground truth)
-      "knn_label_vote",   // same constant probe broadcast, vote layer on top
+      "knn_cosine",       // constant 50-query broadcast, vec_id =!= query_id (ground
+                          // truth); top-K is salted two-phase (no corpus-sized window)
+      "knn_label_vote",   // same constant probe broadcast + salted top-K, vote layer on top
       "sim_maxsim",       // same constant query set, 16 sub-cosines per pair
       "ann_cosine_int8",  // same constant query set over the int8 corpus
       "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms
       "q22_idle_customers", // 1-row aggregate threshold broadcast (exact-decimal avg)
-      "search_hybrid",    // constant 20-probe broadcast, vec_id =!= query_id (the knn shape)
+      "search_hybrid",    // constant 20-probe broadcast; dense ranking salted two-phase
       "orders_rfm",       // 1-row ref-date/total-count broadcasts (histogram quintiles)
       "corpus_source_stats", // 1-row corpus-total broadcast for the share denominator
       "corpus_length_hist" // same 1-row totals broadcast (doc/token share denominators)
@@ -85,6 +86,36 @@ class ScaleSpec extends SparkSpec {
     val knn = SparkEntry.queries("knn_cosine")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(knn.contains("BroadcastNestedLoopJoin"), "knn_cosine exemption is stale")
+  }
+
+  test("exact-top-K family: no window partition holds the corpus (salted two-phase)") {
+    import org.apache.spark.sql.expressions.Window
+    // VERDICT r5 #1: knn_cosine / knn_label_vote / search_hybrid's dense
+    // ranking must never window-partition by query_id alone over the raw
+    // corpus-sized candidate stream. The two-phase form shows up in the
+    // plan as a local window partitioned by (query_id, _tk_salt) plus a
+    // Filter on the local rank _tk_lr — the merge window's input is then
+    // ≤ saltBuckets×K rows per query BY CONSTRUCTION (the filter runs
+    // before the merge), independent of corpus size.
+    Seq("knn_cosine", "knn_label_vote", "search_hybrid").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("_tk_salt"), s"$name: no salted local top-K window in plan")
+      assert(plan.contains("_tk_lr"), s"$name: no local-rank bound filter in plan")
+    }
+    // row-identical to the single-window form (total order => local top-Ks
+    // cover the global top-K)
+    import spark.implicits._
+    val df = (for { q <- 0 until 3; n <- 0 until 200 }
+        yield (q.toLong, n.toLong, ((n * 37 + q * 11) % 100).toLong))
+      .toDF("query_id", "neighbor_id", "score")
+    val direct = df.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+    val salted = graft.dv.Scale.saltedTopK(df, Seq("query_id"),
+      Seq(col("score").desc, col("neighbor_id")), col("neighbor_id"), 5)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salted two-phase top-K diverged from the single-window form")
   }
 
   test("simhash pair-chunk blocking: 15 keys per doc, bounded bucket occupancy") {
