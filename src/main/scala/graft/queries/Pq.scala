@@ -113,9 +113,11 @@ object Pq extends QueryModule {
 
   // ---------------------------------------------------------- encoding
   /** Encode `base` (needs a `q` column) with the trained codebooks —
-    * shared by emb_pq_codes (over the memoized qVecs) and ann_ivf_pq
-    * (over a fresh scan: its corpus side must not share the cached
-    * frame's attribute ids — see the note there).
+    * shared by emb_pq_codes and ann_ivf_pq, BOTH over the memoized qVecs.
+    * ann_ivf_pq's self-join hazard (corpus and probe sides sharing the
+    * cached frame's attribute ids) is defused not here but in the
+    * ivfpq_codes memo: its localCheckpoint + createDataFrame rebuild
+    * scrubs the constraints and mints fresh attribute ids.
     */
   private def codesFrom(base: DataFrame, books: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
     val codeCols = (0 until M).map(m => expr(codeExpr("q", m, books(m))).cast("int"))

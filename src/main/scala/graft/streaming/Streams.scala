@@ -459,11 +459,16 @@ object Streams {
 
   /** #50: streaming curation admission gate — the continuous twin of
     * pipeline_curate: should an arriving document enter the corpus?
-    * Quality, language, and PII verdicts are computed scan-locally with
-    * the EXACT batch gate expressions (Text.withQualityCols /
-    * Text.withLangCols — shared column builders, not copies, so stream
-    * and batch verdicts are bit-identical by construction); novelty is a
-    * stream-static left join against the corpus norm-hash set
+    * Quality and language verdicts are computed scan-locally with the
+    * EXACT batch gate expressions (Text.withQualityCols /
+    * Text.withLangCols — shared column builders, not copies, so those two
+    * stream verdicts are bit-identical to batch by construction; the spec
+    * pins the parity). The PII gate shares only the regex CONSTANTS
+    * (Text.EmailRe/PhoneRe) — here they run over the raw lowercased text,
+    * while pipeline_curate_full's pii_clean counts over piiScrub's
+    * injected, non-lowercased column, so those verdicts can differ on
+    * uppercase emails (stream-only hit) or injected PII (batch-only).
+    * Novelty is a stream-static left join against the corpus norm-hash set
     * (Text.normHashes — at scale a bucketed hash-keyed table the batch
     * dedup pass maintains). STATELESS: no watermark state, corpus side
     * re-resolved per micro-batch. keep = the conjunction of all gates,
@@ -502,10 +507,19 @@ object Streams {
     * twin's exact ROWS order — and chains cross micro-batch boundaries
     * through the state, so replaying the whole log in one batch
     * reproduces events_attribution row for row (StreamingSpec pins it).
+    *
+    * Out-of-order limits (single-tuple state): a purchase must credit a
+    * STRICTLY PRECEDING touch — (t.tms, t.event_id) < (e.tms, e.event_id),
+    * the batch twin's ROWS ... 1 PRECEDING frame — so a late-arriving
+    * purchase (allowed by the 1-hour watermark) never credits a future
+    * touch already in state; it falls back to 'none'. That fallback is
+    * the honest answer the bounded state can give: the historically
+    * correct touch may already have been overwritten by a newer one, and
+    * recovering it would require keeping the full touch log per user.
     */
   val AttribWindowMs: Long = 1800000L
 
-  final case class LastTouch(tms: Long, event_type: String)
+  final case class LastTouch(tms: Long, event_id: Long, event_type: String)
   final case class Attribution(event_id: Long, user_id: Long, tms: Long,
                                touch_type: String, touch_tms: Long, latency_ms: Long)
 
@@ -526,12 +540,18 @@ object Streams {
           var touch = state.getOption
           val out = sorted.flatMap { e =>
             val res = if (e.event_type == "purchase") {
-              val hit = touch.filter(_.tms >= e.tms - AttribWindowMs)
+              // window test AND strictly-preceding test (see docstring):
+              // a late purchase must not credit a future touch in state
+              val hit = touch.filter(t => t.tms >= e.tms - AttribWindowMs &&
+                (t.tms < e.tms || (t.tms == e.tms && t.event_id < e.event_id)))
               Some(hit.map(t => Attribution(e.event_id, uid, e.tms, t.event_type, t.tms, e.tms - t.tms))
                 .getOrElse(Attribution(e.event_id, uid, e.tms, "none", -1L, -1L)))
             } else None
-            if (e.event_type == "click" || e.event_type == "view")
-              touch = Some(LastTouch(e.tms, e.event_type))
+            // monotone last-touch: a late-arriving OLDER touch must not
+            // overwrite a newer one already in state
+            if ((e.event_type == "click" || e.event_type == "view") &&
+                touch.forall(t => t.tms < e.tms || (t.tms == e.tms && t.event_id < e.event_id)))
+              touch = Some(LastTouch(e.tms, e.event_id, e.event_type))
             res
           }
           touch match {

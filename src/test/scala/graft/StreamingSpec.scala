@@ -436,6 +436,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "stream replay diverges from the batch attribution")
   }
 
+  test("streaming attribution: out-of-order purchase never credits a future touch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.attributionStream(mem.toDF()).writeStream
+      .format("memory").queryName("attrib_ooo").outputMode("append").start()
+    val t0 = day(0, 1)
+    def m(k: Long) = t0 + k * 60000L
+    // batch 1: a click at m(10) lands in state
+    mem.addData(Ev(1, m(10), 1, "click", 0))
+    q.processAllAvailable()
+    // batch 2: a purchase arrives LATE with tms m(5) — inside the 1-hour
+    // watermark, inside the 30-min window of the state's touch, but the
+    // touch is in its FUTURE: must fall back to 'none', never emit
+    // negative latency (ADVICE r5)
+    mem.addData(Ev(2, m(5), 1, "purchase", 0))
+    q.processAllAvailable()
+    val b2 = spark.table("attrib_ooo").as[Streams.Attribution].collect().toSet
+    assert(b2 == Set(Streams.Attribution(2, 1, m(5), "none", -1L, -1L)), b2.toString)
+    // batch 3: a late OLDER view (m(8)) must not overwrite the newer click
+    // in state; the next purchase still credits the m(10) click
+    mem.addData(Ev(3, m(8), 1, "view", 0))
+    q.processAllAvailable()
+    mem.addData(Ev(4, m(12), 1, "purchase", 0))
+    q.processAllAvailable()
+    assert(spark.table("attrib_ooo").as[Streams.Attribution].collect().toSet
+      .contains(Streams.Attribution(4, 1, m(12), "click", m(10), 120000L)))
+    q.stop()
+  }
+
   final case class SVec(vec_id: Long, embedding: Seq[Float])
 
   test("streaming semantic dedup: batch parity with dedup_embed_cosine, copy flagged at 1.0") {
