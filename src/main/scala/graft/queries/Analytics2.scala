@@ -165,18 +165,21 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
 
   // -------------------------------------------------- q15_top_supplier
   // Supplier(s) with the maximum quarterly revenue — the "view + max"
-  // form, decorrelated as an unpartitioned window max over the per-supplier
-  // aggregate (a few thousand rows at any SF; the detail scan stays
-  // distributed). Equality on exact decimals, so ties are engine-stable.
+  // form, decorrelated via the q11 bounded-1-row pattern (VERDICT r5 #3):
+  // the per-supplier aggregate localCheckpoints once, its global max is a
+  // ONE-ROW collect inlined as an exact decimal literal, and the filter
+  // runs over the compact frame — no empty-partition-spec window anywhere
+  // in the plan. Equality on exact decimals, so ties are engine-stable.
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val rev = li(s, dir)
       .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
         to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice).as("rev_dec"))
-    val withMax = rev.withColumn("max_rev", max(col("rev_dec")).over(Window.partitionBy()))
+      .localCheckpoint()
+    val maxRev = rev.agg(max(col("rev_dec"))).head().getDecimal(0)
     val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
-    withMax.filter(col("rev_dec") === col("max_rev"))
+    rev.filter(col("rev_dec") === lit(maxRev))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_revenue"))
       .orderBy("s_suppkey")

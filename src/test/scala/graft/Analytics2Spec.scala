@@ -27,6 +27,11 @@ class Analytics2Spec extends SparkSpec {
     assert(winners.nonEmpty)
     val revs = winners.map(_.getAs[Double]("total_revenue")).distinct
     assert(revs.length == 1, "all winners must share the max revenue")
+    // VERDICT r5 #3: the global max is a bounded 1-row collect inlined as
+    // a literal — no empty-partition-spec Window may appear in the plan
+    val plan = Analytics2.defs.find(_.name == "q15_top_supplier").get.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q15 must not use a window:\n$plan")
   }
 
   test("q14 promo share is a percentage in (0, 100)") {
