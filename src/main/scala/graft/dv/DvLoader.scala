@@ -174,18 +174,26 @@ object DvLoader {
       } catch {
         case e: org.apache.spark.sql.AnalysisException if isPathMissing(e) => b
       }
-    schema.hubs.filter(_.sourceTable == tableName).foreach { h =>
-      appendSide(s, repoDir, schema, s"hub_${h.name}",
-        novelAgainst(s"hub_${h.name}", Seq(h.hkName), DvBuild.hubFrom(s, batch, h, loadTs)))
-    }
-    schema.sats.filter(_.sourceTable == tableName).foreach { t =>
-      appendSide(s, repoDir, schema, s"sat_${t.name}",
-        novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs)))
-    }
-    schema.links.filter(_.sourceTable == tableName).foreach { l =>
-      appendSide(s, repoDir, schema, s"link_${l.name}",
-        novelAgainst(s"link_${l.name}", Seq(l.hkName), DvBuild.linkFrom(batch, l, loadTs)))
-    }
+    // The per-object loads are independent (distinct directories/catalog
+    // tables, shared read-only batch) — submit them concurrently like
+    // DvGo.go's builds; the scheduler interleaves their jobs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loads: Seq[() => Unit] =
+      schema.hubs.filter(_.sourceTable == tableName).map { h => () =>
+        appendSide(s, repoDir, schema, s"hub_${h.name}",
+          novelAgainst(s"hub_${h.name}", Seq(h.hkName), DvBuild.hubFrom(s, batch, h, loadTs)))
+      } ++
+      schema.sats.filter(_.sourceTable == tableName).map { t => () =>
+        appendSide(s, repoDir, schema, s"sat_${t.name}",
+          novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs)))
+      } ++
+      schema.links.filter(_.sourceTable == tableName).map { l => () =>
+        appendSide(s, repoDir, schema, s"link_${l.name}",
+          novelAgainst(s"link_${l.name}", Seq(l.hkName), DvBuild.linkFrom(batch, l, loadTs)))
+      }
+    Await.result(Future.sequence(loads.map(f => Future(f()))), Duration.Inf)
   }
 
   /** Re-register a bucketed vault table over its existing repo files —

@@ -642,6 +642,10 @@ object DataVault extends QueryModule {
     // go(): the one-click build — materializes the full vault, returns the
     // build summary the driver can check against source cardinalities.
     QueryDef("dv_go_build", (s, d) => DvGo.goSummary(s, d), Some(DvGo.goSummarySql)),
+    // The bucketed lifecycle E2E: go(bucketed) + two shifted-key customer
+    // micro-batches (second idempotent) + compaction + re-query through
+    // the bucketed catalog tables (VERDICT r5 #5 — timed, not just specced).
+    QueryDef("dv_go_build_bucketed", (s, d) => DvGo.goBucketedE2E(s, d), Some(DvGo.goBucketedSql)),
     // Derived-plan parity: the plan go() builds comes from classification
     // (planFromClassification), and this op PROVES it reproduces every
     // hand-written object — DataFrame-compared flags hash-checked TRUE.

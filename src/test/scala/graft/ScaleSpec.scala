@@ -70,8 +70,8 @@ class ScaleSpec extends SparkSpec {
     // the eager edge materialization + node count — a small real cost the
     // full-plan audit is worth. RankSpec additionally audits the
     // un-checkpointed edge-build joins that stay hidden here.
-    val eagerSummary = Set("dv_go_build", "dv_go_derived", "dv_build_history",
-      "dv_load_from_repo", "bpe_train")
+    val eagerSummary = Set("dv_go_build", "dv_go_build_bucketed", "dv_go_derived",
+      "dv_build_history", "dv_load_from_repo", "bpe_train")
     val failures = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
