@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Self-evidencing leak scan (VERDICT r4/r5 carry-over): the driver's
+LEAKCHECK.json reports hit counts but no scan metadata, so "0 hits" is
+not verifiable against the round's new code. This mirror scans every
+tracked source/doc file and stamps the artifact with the scan timestamp,
+file count, and LoC scanned — the evidence the bare counts lack.
+
+Usage: python3 tools/leakcheck_self.py   (writes LEAKCHECK_SELF.json)
+Exits non-zero on any hit.
+"""
+import datetime, json, os, re, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the same seven categories the driver scans, as regexes over file text
+PATTERNS = {
+    "internal-import": r"import\s+(com\.anthropic|anthropic[._])",
+    "internal-url": r"https?://[a-z0-9.-]*\b(anthropic|ant-internal|axon)\b",
+    "internal-pkg2": r"\b(claude[-_]cli[-_]internal|anthropics/)",
+    "internal-bucket": r"\b(s3|gs)://[a-z0-9.-]*(anthropic|axon|internal)",
+    "slack-link": r"slack\.com/archives|#claude-code",
+    "api-key": r"\b(sk-ant-[A-Za-z0-9_-]{8,}|ANTHROPIC_API_KEY)\b",
+    "axon-env": r"\bAXON_[A-Z_]+\b",
+}
+
+EXT = {".scala", ".sbt", ".py", ".md", ".json", ".sql", ".txt", ".conf", ".properties"}
+
+def tracked_files():
+    out = subprocess.run(["git", "-C", REPO, "ls-files"], capture_output=True, text=True)
+    return [f for f in out.stdout.splitlines()
+            if os.path.splitext(f)[1] in EXT and not f.startswith("LEAKCHECK")]
+
+def main():
+    files = tracked_files()
+    hits = {k: [] for k in PATTERNS}
+    n_loc = 0
+    for f in files:
+        path = os.path.join(REPO, f)
+        try:
+            text = open(path, encoding="utf-8", errors="replace").read()
+        except OSError:
+            continue
+        lines = text.splitlines()
+        n_loc += len(lines)
+        for cat, pat in PATTERNS.items():
+            for i, line in enumerate(lines, 1):
+                if re.search(pat, line):
+                    hits[cat].append(f"{f}:{i}")
+    n_hits = sum(len(v) for v in hits.values())
+    artifact = {
+        "scanned_at_utc": datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "git_head": subprocess.run(["git", "-C", REPO, "rev-parse", "HEAD"],
+                                   capture_output=True, text=True).stdout.strip(),
+        "n_files_scanned": len(files),
+        "n_loc_scanned": n_loc,
+        "categories": list(PATTERNS),
+        "n_hits": n_hits,
+        "hits": hits,
+    }
+    path = os.path.join(REPO, "LEAKCHECK_SELF.json")
+    json.dump(artifact, open(path, "w"), indent=2)
+    print(f"wrote {path}: {len(files)} files, {n_loc} LoC, {n_hits} hits")
+    sys.exit(1 if n_hits else 0)
+
+if __name__ == "__main__":
+    main()
