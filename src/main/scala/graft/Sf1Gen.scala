@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-equivalent dry-run data generator (VERDICT r5 #7): scales an
+  * existing SF directory 10x into `outDir` so the most expensive
+  * operators can be timed one SF step beyond the driver's largest gate —
+  * the cheapest way to catch the next sf-scaling surprise (the r4 ngram
+  * df-cap saturation class) before the driver regenerates data.
+  *
+  * Scaling is deterministic and FK-consistent: ten copies k=0..9, all
+  * entity keys shifted by k*1e9 together (customer/orders/lineitem key
+  * chains move as a unit), dimension tables (region/nation/part/supplier)
+  * kept 1x like TPC-H's fixed dimensions — so fact-per-dimension fan-out
+  * grows 10x, the realistic shape. Text is rotated word-wise per copy
+  * (so copies are NOT near-duplicates and dedup candidate volume scales
+  * linearly, not quadratically); embeddings get per-(vec,dim,copy)
+  * deterministic jitter for the same reason. The k=0 copy is verbatim,
+  * so constant probe sets (vec_id < 50) stay constant.
+  *
+  *   sbt "runMain graft.Sf1Gen /root/testdata/sf0.1 /tmp/sf1"
+  */
+object Sf1Gen {
+  private val Off = 1000000000L
+  private val Copies = 10
+
+  private def copies(s: SparkSession, base: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until Copies).map(k => f(base, k)).reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val in = args(0); val out = args(1)
+    val spark = Tables.applyConfs(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // dimensions: verbatim 1x
+    Seq("region", "nation", "part", "supplier").foreach(t => wr(rd(t), t))
+
+    wr(copies(spark, rd("customer"), (d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(k * Off))), "customer")
+    wr(copies(spark, rd("orders"), (d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * Off))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * Off))), "orders")
+    wr(copies(spark, rd("lineitem"), (d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off))), "lineitem")
+    wr(copies(spark, rd("events"), (d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k * Off))
+        .withColumn("user_id", col("user_id") + lit(k * Off))), "events")
+    // documents: rotate the word sequence by a copy-dependent stride so
+    // shingle/bigram sets diverge (copies must not be near-dups)
+    wr(copies(spark, rd("documents"), (d, k) =>
+      if (k == 0) d
+      else d.withColumn("doc_id", col("doc_id") + lit(k * Off))
+        .withColumn("text", expr(
+          s"""array_join(concat(slice(split(text, ' '), ${k * 7 + 3}, size(split(text, ' '))),
+             |            slice(split(text, ' '), 1, ${k * 7 + 2})), ' ')""".stripMargin))),
+      "documents")
+    // embeddings: per-copy DIMENSION ROTATION (stride 7k) — a vector and
+    // its rotated copy are generically near-orthogonal, so copies are NOT
+    // near-duplicates and near-dup pair volume scales linearly with the
+    // corpus (small additive jitter left copies at cosine≈1 and inflated
+    // dedup_embed_cosine 11x instead of 10x — the first dry-run lesson)
+    wr(copies(spark, rd("embeddings"), (d, k) =>
+      if (k == 0) d
+      else d.withColumn("vec_id", col("vec_id") + lit(k * Off))
+        .withColumn("embedding", expr(
+          s"transform(sequence(1, 64), i -> element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)))"))),
+      "embeddings")
+    println(s"[sf1gen] wrote 10x of $in to $out")
+    spark.stop()
+  }
+}
