@@ -12,6 +12,7 @@ object SparkEntry {
     _root_.graft.queries.Analytics,
     _root_.graft.queries.Analytics2,
     _root_.graft.queries.Analytics3,
+    _root_.graft.queries.Analytics4,
     _root_.graft.queries.DataVault,
     _root_.graft.queries.Text,
     _root_.graft.queries.Curate,

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B (fourth tranche) — three event/order mining operators
+  * added in round 6, each built on the bounded-reducer shapes the repo
+  * standardized (Scale.saltedTopK two-phase ranking; no global windows
+  * over data-scale inputs, no data-sized broadcast sides).
+  *
+  * Determinism (SURVEY §5): all outputs integer/string; every ranking has
+  * a total ORDER BY with a unique-key tie-break shared verbatim by the
+  * DuckDB twin.
+  */
+object Analytics4 extends QueryModule {
+
+  // ---------------------------------------------- events_heavy_hitters
+  // Exact top-20 users by event volume — the heavy-hitter report run
+  // before sharding/salting decisions (who are the skew keys?). The
+  // per-user count is one partial-aggregated shuffle (reducer input
+  // bounded by distinct keys per partition); the GLOBAL top-20 is the
+  // two-phase salted ranking, so the merge window sees at most
+  // saltBuckets x K rows — never the user dimension.
+  private val HhK = 20
+
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.loadEvents(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    graft.dv.Scale.saltedTopK(counts, Seq.empty,
+        Seq(col("n_events").desc, col("user_id")), col("user_id"), HhK)
+      .select(col("rank").cast("long").as("rank"), col("user_id"), col("n_events"))
+      .orderBy("rank")
+  }
+
+  private val heavyHittersSql =
+    s"""WITH counts AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id),
+       |r AS (
+       |  SELECT user_id, n_events,
+       |         row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+       |  FROM counts)
+       |SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events
+       |FROM r WHERE rank <= $HhK ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------- orders_basket_pairs
+  // Market-basket co-occurrence: the top-50 part pairs ordered together.
+  // Candidate volume is bounded by construction — pairs form only WITHIN
+  // an order (equi-join on the order key), and per-order distinct-part
+  // counts are small and data-independent of corpus size, so pair volume
+  // is ~n_orders x C(basket,2): LINEAR in the data, never all-pairs over
+  // the part dimension. The global top-50 is the salted two-phase rank.
+  private val BasketK = 50
+
+  private def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val support = a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+    graft.dv.Scale.saltedTopK(support, Seq.empty,
+        Seq(col("support").desc, col("p1"), col("p2")),
+        col("p1") * lit(1000003L) + col("p2"), BasketK)
+      .select(col("rank").cast("long").as("rank"), col("p1"), col("p2"), col("support"))
+      .orderBy("rank")
+  }
+
+  private val basketPairsSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |cnt AS (
+       |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS support FROM pairs GROUP BY p1, p2),
+       |r AS (
+       |  SELECT p1, p2, support,
+       |         row_number() OVER (ORDER BY support DESC, p1, p2) AS rank
+       |  FROM cnt)
+       |SELECT CAST(rank AS BIGINT) AS rank, p1, p2, support
+       |FROM r WHERE rank <= $BasketK ORDER BY rank""".stripMargin
+
+  // -------------------------------------------- events_path_conversion
+  // Conversion-path mining: among per-(user, day) event sequences (capped
+  // at the first 12 events — both engines cap identically), the top-20
+  // paths that contain a purchase, by frequency. The sequence builder is
+  // one keyed aggregation (collect + array_sort — index-ordered, total
+  // order via the unique event_id); path cardinality is what the final
+  // aggregation keys on, and the top-20 is the salted two-phase rank.
+  private val PathLen = 12
+  private val PathK = 20
+
+  private def pathConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+      .select(col("user_id"), to_date(timestamp_millis(col("tms"))).as("day"),
+        col("tms"), col("event_id"), col("event_type"))
+    val paths = ev.groupBy("user_id", "day")
+      .agg(collect_list(struct(col("tms"), col("event_id"), col("event_type"))).as("evs"))
+      .select(expr(s"transform(slice(array_sort(evs), 1, $PathLen), x -> x.event_type)").as("types"))
+      .select(array_join(col("types"), ">").as("path"),
+        array_contains(col("types"), "purchase").as("converted"))
+      .filter(col("converted"))
+      .groupBy("path").agg(count(lit(1)).as("n_user_days"))
+    graft.dv.Scale.saltedTopK(paths, Seq.empty,
+        Seq(col("n_user_days").desc, col("path")), xxhash64(col("path")), PathK)
+      .select(col("rank").cast("long").as("rank"), col("path"), col("n_user_days"))
+      .orderBy("rank")
+  }
+
+  private val pathConversionSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_ms(ts) AS tms, event_id, event_type
+       |  FROM events),
+       |seq AS (
+       |  SELECT user_id, day, tms, event_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id, day ORDER BY tms, event_id) AS rn
+       |  FROM ev),
+       |paths AS (
+       |  SELECT user_id, day,
+       |         string_agg(event_type, '>' ORDER BY tms, event_id) AS path,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM seq WHERE rn <= $PathLen GROUP BY user_id, day),
+       |cnt AS (
+       |  SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+       |  FROM paths WHERE converted = 1 GROUP BY path),
+       |r AS (
+       |  SELECT path, n_user_days,
+       |         row_number() OVER (ORDER BY n_user_days DESC, path) AS rank
+       |  FROM cnt)
+       |SELECT CAST(rank AS BIGINT) AS rank, path, n_user_days
+       |FROM r WHERE rank <= $PathK ORDER BY rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("orders_basket_pairs", basketPairs, Some(basketPairsSql)),
+    QueryDef("events_path_conversion", pathConversion, Some(pathConversionSql))
+  )
+}

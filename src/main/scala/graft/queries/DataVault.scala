@@ -546,7 +546,50 @@ object DataVault extends QueryModule {
        |  '${DvDefaults.recordSource("customer")}' AS record_source
        |FROM u ORDER BY load_ts, hub_customer_hk""".stripMargin
 
+  // ---------------------------------------------------- dv_computed_sat
+  // DV 2.0 BUSINESS-VAULT computed satellite: derived attributes (order
+  // count, lifetime spend, last order time) computed from the raw vault's
+  // sources land as an insert-only satellite on hub_customer with their
+  // own hash-diff — soft business rules stay OUT of the raw vault and
+  // re-derive on rule changes (Linstedt's raw/business separation; the
+  // reference has no analogue because its scope stops at the raw vault).
+  // One keyed aggregation of orders; exact integer/decimal attributes so
+  // the hash-diff is engine-stable (cents as BIGINT, epoch-ms as BIGINT).
+  private def computedSat(s: SparkSession, dir: String): DataFrame = {
+    def dec2(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val agg = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_cnt"),
+        (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("total_cents"),
+        max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_order_ms"))
+    agg.select(
+        dvHash(Seq(col("o_custkey").cast("string"))).as("hub_customer_hk"),
+        lit(DvDefaults.LoadTs).as("load_ts"),
+        lit("business_vault.orders").as("record_source"),
+        dvHash(Seq(col("order_cnt").cast("string"), col("total_cents").cast("string"),
+          col("last_order_ms").cast("string"))).as("sat_customer_bv_hd"),
+        col("order_cnt"), col("total_cents"), col("last_order_ms"))
+      .orderBy("hub_customer_hk")
+  }
+
+  private val computedSatSql =
+    s"""WITH agg AS (
+       |  SELECT CAST(o_custkey AS VARCHAR) AS ck,
+       |         CAST(count(*) AS BIGINT) AS order_cnt,
+       |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_cents,
+       |         CAST(max(epoch_ms(o_orderdate)) AS BIGINT) AS last_order_ms
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT ${dvHashSql(Seq("ck"))} AS hub_customer_hk,
+       |  '${DvDefaults.LoadTs}' AS load_ts,
+       |  'business_vault.orders' AS record_source,
+       |  ${dvHashSql(Seq("CAST(order_cnt AS VARCHAR)", "CAST(total_cents AS VARCHAR)", "CAST(last_order_ms AS VARCHAR)"))} AS sat_customer_bv_hd,
+       |  order_cnt, total_cents, last_order_ms
+       |FROM agg
+       |ORDER BY hub_customer_hk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dv_computed_sat", computedSat, Some(computedSatSql)),
     QueryDef("dv_source_catalog",
       (s, d) => Catalog.introspect(s, d), Some(DvSqlGen.catalogSql)),
     QueryDef("dv_source_column_status",

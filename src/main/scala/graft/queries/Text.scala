@@ -381,7 +381,40 @@ object Text extends QueryModule {
        |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
        |FROM inj ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- text_feature_hash
+  // Hashing-trick featurization (the Weinberger-et-al. shape): each token
+  // hashes into a fixed 256-bin space, per-doc term frequencies become the
+  // sparse feature vector a downstream classifier/quality model consumes.
+  // No vocabulary pass, no driver state — one scan + one keyed aggregation,
+  // dimensionality constant at any corpus size. The shared md5-long64 hash
+  // (always positive, 60 bits) keeps bins identical cross-engine; a
+  // deterministic doc sample (doc_id % 29) keeps the checked output
+  // row-bounded while exercising the full pipeline shape.
+  private val FhBins = 256
+
+  private def featureHash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Long64
+    Docs.enriched(s, dir)
+      .filter(pmod(col("doc_id"), lit(29L)) === 0L)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), pmod(md5Long64(col("tok")), lit(FhBins.toLong)).as("dim"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "dim")
+  }
+
+  private val featureHashSql = {
+    import graft.functions.GraftFunctions.md5Long64Sql
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Docs.toksDuck}) AS tok
+       |  FROM documents WHERE doc_id % 29 = 0)
+       |SELECT doc_id, CAST(${md5Long64Sql("tok")} % $FhBins AS BIGINT) AS dim,
+       |       CAST(count(*) AS BIGINT) AS tf
+       |FROM toks GROUP BY doc_id, dim
+       |ORDER BY doc_id, dim""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("text_tfidf", tfidf, Some(tfidfSql)),

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.{Analytics4, DataVault, Text}
+import org.apache.spark.sql.functions._
+
+class Analytics4Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("events_heavy_hitters: min(20, users) rows, ranked by count with real variation") {
+    val rows = run("events_heavy_hitters").collect()
+    val users = Tables.loadEvents(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length == math.min(20L, users))
+    val counts = rows.map(_.getAs[Long]("n_events"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length.toLong), "ranks not dense")
+    assert(counts.head > counts.last, "no count variation — hollow ranking")
+  }
+
+  test("orders_basket_pairs: pairs well-formed, support positive, co-occurrence real") {
+    val rows = run("orders_basket_pairs").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(r => r.getAs[Long]("p1") < r.getAs[Long]("p2")))
+    val support = rows.map(_.getAs[Long]("support"))
+    assert(support.forall(_ >= 1))
+    assert(support.zip(support.tail).forall { case (a, b) => a >= b })
+    // non-hollow: the pair universe is larger than the emitted top-K
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val nPairs = op.as("a").join(op.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") < col("b.l_partkey")).count()
+    assert(nPairs >= rows.length, s"pair universe $nPairs smaller than output")
+  }
+
+  test("events_path_conversion: every path converts and multi-step paths exist") {
+    val rows = run("events_path_conversion").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("path").split(">").contains("purchase")),
+      "non-converting path in output")
+    assert(rows.exists(_.getAs[String]("path").contains(">")), "no multi-event path")
+    assert(rows.forall(_.getAs[Long]("n_user_days") >= 1))
+  }
+
+  test("text_feature_hash: bins bounded, per-doc vectors sparse and non-trivial") {
+    val rows = run("text_feature_hash").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => { val d = r.getAs[Long]("dim"); d >= 0 && d < 256 }))
+    assert(rows.forall(_.getAs[Long]("tf") >= 1))
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id")).map(_._2.length)
+    assert(perDoc.exists(_ > 4), "feature vectors trivially small")
+    assert(perDoc.forall(_ <= 256))
+  }
+
+  test("dv_computed_sat: hub-key parity with hub_customer, exact attributes, hd tracks attrs") {
+    val sat = run("dv_computed_sat")
+    // every computed-sat key exists in hub_customer (the satellite hangs
+    // off the raw hub; hash convention must match exactly)
+    val hub = SparkEntry.queries("dv_hub_customer")(spark, sfDir)
+      .select(col("hub_customer_hk"))
+    val orphans = sat.select("hub_customer_hk").distinct()
+      .join(hub, Seq("hub_customer_hk"), "left_anti").count()
+    assert(orphans == 0, s"$orphans computed-sat keys missing from hub_customer")
+    // attributes recompute: spot-check one customer end-to-end
+    val row = sat.orderBy("hub_customer_hk").limit(1).collect()(0)
+    assert(row.getAs[Long]("order_cnt") >= 1)
+    assert(row.getAs[Long]("total_cents") > 0)
+    // hash-diff is a function of the attributes: same attrs -> same hd
+    val dup = sat.groupBy("sat_customer_bv_hd", "order_cnt", "total_cents", "last_order_ms")
+      .count()
+    val conflicting = sat.select("sat_customer_bv_hd", "order_cnt", "total_cents", "last_order_ms")
+      .distinct().groupBy("sat_customer_bv_hd").count().filter(col("count") > 1).count()
+    assert(conflicting == 0, "one hash-diff maps to two attribute tuples")
+    dup.unpersist()
+  }
+}
