@@ -1101,7 +1101,56 @@ object Similarity extends QueryModule {
        |       CAST(count(*) FILTER (qv = 0) AS BIGINT) AS n_zero
        |FROM x GROUP BY d ORDER BY d""".stripMargin
 
+  // --------------------------------------------------- knn_recall_report
+  // "Measure, don't guess" as a first-class operator: recall of each ANN
+  // tier against the exact brute-force ground truth, per tier, over the
+  // tier's own query set (LSH and int8 answer the same constant 50 probes
+  // as exact; IVF probes vec_id % 10 == 0, so its recall is measured on
+  // the intersection). A query the tier fails to answer (empty LSH
+  // bucket) counts AGAINST recall — the denominator is the exact top-K,
+  // never the tier's answered subset. All integer outputs
+  // (hits/total/recall in micro-units); each tier contributes one 1-row
+  // aggregate, so the report adds three bounded aggregations on top of
+  // the tier scans themselves.
+  private def knnRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = knn(s, dir).select(col("query_id"), col("neighbor_id"), col("rank"))
+    def tierRecall(tierName: String, t: DataFrame, k: Int, qpred: Column): DataFrame =
+      exact.filter(col("rank") <= k && qpred)
+        .join(t.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(coalesce(sum("hit"), lit(0L)).as("hits"), count(lit(1)).as("total"))
+        .select(lit(tierName).as("tier"), col("hits"), col("total"),
+          expr("hits * 1000000 div total").as("recall_micro"))
+    tierRecall("ann_cosine_int8", annInt8(s, dir), TopK, col("query_id") < KnnQueries)
+      .unionByName(tierRecall("ann_cosine_ivf", annIvf(s, dir), IvfTopK,
+        col("query_id") < KnnQueries && col("query_id") % QueryMod === 0))
+      .unionByName(tierRecall("ann_cosine_lsh", annLsh(s, dir), AnnTopK,
+        col("query_id") < KnnQueries))
+      .orderBy("tier")
+  }
+
+  private def knnRecallSql: String = {
+    def tier(name: String, tierSql: String, k: Int, qpred: String): String =
+      s"""SELECT '$name' AS tier, hits, total FROM (
+         |  SELECT CAST(coalesce(sum(hit), 0) AS BIGINT) AS hits,
+         |         CAST(count(*) AS BIGINT) AS total FROM (
+         |    SELECT CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END AS hit
+         |    FROM (SELECT * FROM ($knnSql) WHERE rank <= $k AND $qpred) e
+         |    LEFT JOIN (SELECT query_id, neighbor_id FROM ($tierSql)) t
+         |      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id))""".stripMargin
+    s"""SELECT tier, hits, total, CAST(hits * 1000000 // total AS BIGINT) AS recall_micro
+       |FROM (
+       |${tier("ann_cosine_int8", annInt8Sql, TopK, s"query_id < $KnnQueries")}
+       |UNION ALL
+       |${tier("ann_cosine_ivf", annIvfSql, IvfTopK, s"query_id < $KnnQueries AND query_id % $QueryMod = 0")}
+       |UNION ALL
+       |${tier("ann_cosine_lsh", annSql, AnnTopK, s"query_id < $KnnQueries")}
+       |)
+       |ORDER BY tier""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("knn_recall_report", knnRecallReport, Some(knnRecallSql)),
     QueryDef("sim_maxsim", maxsim, Some(maxsimSql)),
     QueryDef("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     QueryDef("knn_cosine", knn, Some(knnSql)),

@@ -565,6 +565,45 @@ object Streams {
       }
   }
 
+  /** #53: streaming effectivity satellite (r6) — the continuous twin of
+    * dv_eff_sat: per DRIVING key (part), supplier assignments become
+    * effective at their first-seen shipment, as shipments arrive. State is
+    * the SET of supplier bks already effective for the part — bounded by
+    * the per-part supplier cardinality (a domain constant, the
+    * stream_anomaly type-space shape), NOT by event volume; re-delivered
+    * shipments of a known assignment emit nothing. Per-batch slices sort
+    * by (ship_day, supplier bk) — the batch twin's exact window order —
+    * so replaying the whole shipment log in event order reproduces
+    * dv_eff_sat's (part, supplier, eff_from) rows exactly (validity-window
+    * closure stays a query-time LEAD, as in the batch object; an
+    * insert-only stream cannot revise emitted rows, so an out-of-order
+    * earlier shipment for an ALREADY-effective assignment cannot move its
+    * eff_from back — the attribution-stream honesty rule).
+    */
+  final case class EffIn(part: Long, supp: Long, ship_day: String)
+  final case class EffAssign(p_partkey_bk: String, s_suppkey_bk: String, eff_from: String)
+
+  def effSatStream(assignments: DataFrame): Dataset[EffAssign] = {
+    import assignments.sparkSession.implicits._
+    assignments.as[EffIn]
+      .groupByKey(_.part)
+      .flatMapGroupsWithState[Set[String], EffAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (part, evs, state: GroupState[Set[String]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[String])
+          val sorted = evs.toSeq.sortBy(e => (e.ship_day, e.supp.toString))
+          val out = sorted.flatMap { e =>
+            val bk = e.supp.toString
+            if (!seen(bk)) {
+              seen += bk
+              Some(EffAssign(part.toString, bk, e.ship_day))
+            } else None
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** #52: streaming SEMANTIC dedup gate — the embedding twin of
     * stream_near_dup: is an arriving vector a near-duplicate of anything
     * already indexed? The arriving row computes its packed hyperplane

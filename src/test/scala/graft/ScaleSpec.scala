@@ -50,6 +50,7 @@ class ScaleSpec extends SparkSpec {
       "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms
       "q22_idle_customers", // 1-row aggregate threshold broadcast (exact-decimal avg)
       "search_hybrid",    // constant 20-probe broadcast; dense ranking salted two-phase
+      "knn_recall_report", // composes knn/int8 (constant probe broadcasts) as sub-plans
       "orders_rfm",       // 1-row ref-date/total-count broadcasts (histogram quintiles)
       "corpus_source_stats", // 1-row corpus-total broadcast for the share denominator
       "corpus_length_hist" // same 1-row totals broadcast (doc/token share denominators)

@@ -186,6 +186,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall@5 = $recall") // measured 0.988 at sf0.001
   }
 
+  test("knn_recall_report: one row per tier, micro-recall consistent with its own counts") {
+    val rows = Similarity.defs.find(_.name == "knn_recall_report").get.run(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[String]("tier")).toSeq ==
+      Seq("ann_cosine_int8", "ann_cosine_ivf", "ann_cosine_lsh"))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits"); val total = r.getAs[Long]("total")
+      val micro = r.getAs[Long]("recall_micro")
+      assert(total > 0 && hits >= 0 && hits <= total)
+      assert(micro == hits * 1000000L / total, s"micro mismatch in $r")
+    }
+    // the int8 row must agree with the standing >=90% recall pin
+    val int8 = rows.find(_.getAs[String]("tier") == "ann_cosine_int8").get
+    assert(int8.getAs[Long]("recall_micro") >= 900000L)
+  }
+
   test("ann candidates share the query's bucket") {
     val ann = Similarity.defs.find(_.name == "ann_cosine_lsh").get.run(spark, sfDir)
     assert(ann.count() > 0)

@@ -466,6 +466,46 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming effectivity sat: batch parity on replay, no re-insert across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // cross-batch behavior on a hand-built chain
+    val mem = MemoryStream[Streams.EffIn]
+    val q = Streams.effSatStream(mem.toDF()).writeStream
+      .format("memory").queryName("eff_out").outputMode("append").start()
+    mem.addData(Streams.EffIn(1, 10, "1996-01-05"), Streams.EffIn(1, 10, "1996-01-09"))
+    q.processAllAvailable()
+    val b1 = spark.table("eff_out").as[Streams.EffAssign].collect().toSet
+    assert(b1 == Set(Streams.EffAssign("1", "10", "1996-01-05")),
+      s"first assignment wrong: $b1")
+    // batch 2: new supplier opens; re-delivered supplier 10 emits nothing
+    mem.addData(Streams.EffIn(1, 7, "1996-02-01"), Streams.EffIn(1, 10, "1996-03-01"))
+    q.processAllAvailable()
+    val b2 = spark.table("eff_out").as[Streams.EffAssign].collect().toSet
+    assert(b2 == Set(
+      Streams.EffAssign("1", "10", "1996-01-05"),
+      Streams.EffAssign("1", "7", "1996-02-01")), s"cross-batch chain wrong: $b2")
+    q.stop()
+    // full-log parity: the entire lineitem shipment log in one batch
+    // reproduces dv_eff_sat's (part, supplier, eff_from) rows exactly
+    val ships = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"),
+        to_date(col("l_shipdate")).cast("string").as("ship_day"))
+      .as[Streams.EffIn].collect()
+    val mem2 = MemoryStream[Streams.EffIn]
+    val q2 = Streams.effSatStream(mem2.toDF()).writeStream
+      .format("memory").queryName("eff_out2").outputMode("append").start()
+    mem2.addData(ships.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.table("eff_out2").as[Streams.EffAssign].collect()
+      .map(a => (a.p_partkey_bk, a.s_suppkey_bk, a.eff_from)).toSet
+    val batch = SparkEntry.queries("dv_eff_sat")(spark, sfDir)
+      .select("p_partkey_bk", "s_suppkey_bk", "eff_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch, "stream replay diverges from dv_eff_sat")
+  }
+
   final case class SVec(vec_id: Long, embedding: Seq[Float])
 
   test("streaming semantic dedup: batch parity with dedup_embed_cosine, copy flagged at 1.0") {
