@@ -1101,6 +1101,72 @@ object Similarity extends QueryModule {
        |       CAST(count(*) FILTER (qv = 0) AS BIGINT) AS n_zero
        |FROM x GROUP BY d ORDER BY d""".stripMargin
 
+  // ------------------------------------------------------ emb_covariance
+  // Upper-triangle covariance matrix of the embedding dimensions (the
+  // whitening/PCA input and the correlated-dimension detector emb_dim_stats
+  // cannot see): all sums are exact BIGINTs on the shared 2^12 fixed-point
+  // grid, the numerator n·Σqiqj − Σqi·Σqj is combined in DECIMAL(38,0)/
+  // HUGEINT (it overflows int64 once the e6 scaling lands), and the final
+  // micro-unit value divides as sign·(|num|·1e6 div |den|) — truncation
+  // spelled out explicitly because Spark's `div` truncates toward zero
+  // while DuckDB's `//` floors, and covariance is signed. Plan: one
+  // flatten(transform×transform) per row pipelined in the scan, explode to
+  // n×2080 product rows, one partial-aggregated groupBy — Dim²/2 ×
+  // partitions rows cross the wire, nothing else.
+  private def embCovariance(s: SparkSession, dir: String): DataFrame = {
+    val prods = qVecs(s, dir).select(explode(expr(
+      s"""flatten(transform(sequence(1, $Dim), i ->
+         |  transform(sequence(i, $Dim), j ->
+         |    named_struct('d1', i, 'd2', j,
+         |      'v', element_at(q, i) * element_at(q, j)))))""".stripMargin)).as("p"))
+      .select(col("p.d1").cast("long").as("d1"), col("p.d2").cast("long").as("d2"),
+        col("p.v").as("v"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n"), sum("v").as("spp"))
+    val dims = qVecs(s, dir)
+      .select(posexplode(col("q")))
+      .select((col("pos") + 1).cast("long").as("d"), col("col").as("qv"))
+      .groupBy("d").agg(sum("qv").as("sq"))
+    prods
+      .join(broadcast(dims.select(col("d").as("d1"), col("sq").as("s1"))), Seq("d1"))
+      .join(broadcast(dims.select(col("d").as("d2"), col("sq").as("s2"))), Seq("d2"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * spp - CAST(s1 AS DECIMAL(38,0)) * s2"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * n"))
+      .select(col("d1"), col("d2"), col("n"), col("spp"), col("s1"), col("s2"),
+        expr("""CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |  ((abs(num) * 1000000) div den) AS BIGINT)""".stripMargin).as("cov_micro"))
+      .orderBy("d1", "d2")
+  }
+
+  private val embCovarianceSql =
+    s"""WITH vecs AS (
+       |  SELECT list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |prods AS (
+       |  SELECT u.d1 AS d1, u.d2 AS d2, u.v AS v FROM (
+       |    SELECT unnest(flatten(list_transform(generate_series(1, $Dim), i ->
+       |      list_transform(generate_series(i, $Dim), j ->
+       |        struct_pack(d1 := CAST(i AS BIGINT), d2 := CAST(j AS BIGINT),
+       |                    v := q[i] * q[j]))))) AS u
+       |    FROM vecs)),
+       |pair_sums AS (
+       |  SELECT d1, d2, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS spp
+       |  FROM prods GROUP BY d1, d2),
+       |dims AS (
+       |  SELECT dd.d AS d, CAST(sum(v.q[dd.d]) AS BIGINT) AS sq
+       |  FROM vecs v CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS d) dd
+       |  GROUP BY dd.d),
+       |combined AS (
+       |  SELECT p.d1, p.d2, p.n, p.spp, a.sq AS s1, b.sq AS s2,
+       |         CAST(p.n AS HUGEINT) * p.spp - CAST(a.sq AS HUGEINT) * b.sq AS num,
+       |         CAST(p.n AS HUGEINT) * p.n AS den
+       |  FROM pair_sums p JOIN dims a ON a.d = p.d1 JOIN dims b ON b.d = p.d2)
+       |SELECT d1, d2, n, spp, s1, s2,
+       |       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+       |            ((abs(num) * 1000000) // den) AS BIGINT) AS cov_micro
+       |FROM combined
+       |ORDER BY d1, d2""".stripMargin
+
   // --------------------------------------------------- knn_recall_report
   // "Measure, don't guess" as a first-class operator: recall of each ANN
   // tier against the exact brute-force ground truth, per tier, over the
@@ -1151,6 +1217,7 @@ object Similarity extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("knn_recall_report", knnRecallReport, Some(knnRecallSql)),
+    QueryDef("emb_covariance", embCovariance, Some(embCovarianceSql)),
     QueryDef("sim_maxsim", maxsim, Some(maxsimSql)),
     QueryDef("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     QueryDef("knn_cosine", knn, Some(knnSql)),

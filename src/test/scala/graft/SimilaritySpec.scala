@@ -186,6 +186,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall@5 = $recall") // measured 0.988 at sf0.001
   }
 
+  test("emb_covariance: full upper triangle, non-negative diagonal, exact stats") {
+    val rows = Similarity.defs.find(_.name == "emb_covariance").get.run(spark, sfDir)
+      .collect()
+    assert(rows.length == 64 * 65 / 2, s"expected 2080 pairs, got ${rows.length}")
+    assert(rows.forall(r => r.getAs[Long]("d1") <= r.getAs[Long]("d2")))
+    val diag = rows.filter(r => r.getAs[Long]("d1") == r.getAs[Long]("d2"))
+    assert(diag.length == 64)
+    assert(diag.forall(_.getAs[Long]("cov_micro") >= 0L), "negative variance")
+    assert(diag.exists(_.getAs[Long]("cov_micro") > 0L), "all-zero variances — hollow")
+    // off-diagonal covariances must carry BOTH signs on a generic corpus
+    val off = rows.filter(r => r.getAs[Long]("d1") != r.getAs[Long]("d2"))
+      .map(_.getAs[Long]("cov_micro"))
+    assert(off.exists(_ > 0) && off.exists(_ < 0),
+      "off-diagonal signs not mixed — truncation convention untested")
+    // n is the corpus size on every pair
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.forall(_.getAs[Long]("n") == n))
+  }
+
   test("knn_recall_report: one row per tier, micro-recall consistent with its own counts") {
     val rows = Similarity.defs.find(_.name == "knn_recall_report").get.run(spark, sfDir)
       .collect()
