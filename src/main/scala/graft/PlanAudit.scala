@@ -26,7 +26,10 @@ object PlanAudit {
         "dedup_incremental", "dedup_keep_best", "knn_label_vote", "corpus_pack",
         "dv_replan_drift", "dedup_substring", "dedup_span_mask", "corpus_ngrams",
         "search_hybrid", "orders_rfm", "events_attribution", "corpus_source_stats",
-        "ann_ivf_pq")
+        "ann_ivf_pq",
+        // r6 additions
+        "events_heavy_hitters", "orders_basket_pairs", "events_path_conversion",
+        "text_feature_hash", "dv_computed_sat", "emb_covariance", "knn_recall_report")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(
