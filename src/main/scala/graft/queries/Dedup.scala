@@ -678,6 +678,61 @@ object Dedup extends QueryModule {
        |  CASE WHEN rk = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep_ind
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ pipeline_dedup_full
+  // The END-TO-END dedup disposition — the three-layer production pass a
+  // corpus runs before training, composed from the checked components
+  // (the pipeline_curate_full pattern applied to dedup): per document,
+  //   exact_dup       — not the min-id survivor of its norm-hash group
+  //                     (dedup_exact's grouping),
+  //   near_dup_drop   — lost the quality-aware survivorship inside its
+  //                     minhash-LSH connected component (dedup_keep_best),
+  //   substr_victim   — the higher-id side of a long exactly-shared token
+  //                     span (dedup_substring / the span-mask convention),
+  //   keep            — none of the above.
+  // All component passes are session-memoized, so this op adds only the
+  // final per-doc joins; the oracle inlines all three component SQLs.
+  private def pipelineDedupFull(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_sha256")
+    val exact = Docs.enriched(s, dir)
+      .select(col("doc_id"), expr("sha2(norm, 256)").as("norm_sha256"))
+      .withColumn("exact_dup",
+        when(col("doc_id") === min("doc_id").over(w), 0L).otherwise(1L))
+      .select("doc_id", "exact_dup")
+    val nd = dedupKeepBest(s, dir)
+      .select(col("doc_id"), (lit(1L) - col("keep_ind")).as("near_dup_drop"))
+    val victims = Spans.dedupSubstring(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("substr_victim", lit(1L))
+    exact.join(nd, "doc_id")
+      .join(victims, Seq("doc_id"), "left")
+      .withColumn("substr_victim", coalesce(col("substr_victim"), lit(0L)))
+      .withColumn("keep",
+        when(col("exact_dup") + col("near_dup_drop") + col("substr_victim") === 0L, 1L)
+          .otherwise(0L))
+      .select("doc_id", "exact_dup", "near_dup_drop", "substr_victim", "keep")
+      .orderBy("doc_id")
+  }
+
+  private def pipelineDedupFullSql =
+    s"""WITH ex AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY sha256(${graft.queries.Docs.normDuck}))
+       |              THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS exact_dup
+       |  FROM documents),
+       |kb AS (
+       |  SELECT doc_id, CAST(1 - keep_ind AS BIGINT) AS near_dup_drop
+       |  FROM ($dedupKeepBestSql)),
+       |v AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${Spans.dedupSubstringSql}))
+       |SELECT ex.doc_id, ex.exact_dup, kb.near_dup_drop,
+       |  CASE WHEN v.doc_id IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS substr_victim,
+       |  CASE WHEN ex.exact_dup + kb.near_dup_drop +
+       |            (CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM ex JOIN kb ON kb.doc_id = ex.doc_id
+       |LEFT JOIN v ON v.doc_id = ex.doc_id
+       |ORDER BY ex.doc_id""".stripMargin
+
   // ----------------------------------------------------- text_boilerplate
   // Corpus boilerplate mining (the CCNet/RefinedWeb "drop the navbars"
   // signal): a 3-gram appearing in ≥ BoilerMinDf distinct documents is
@@ -726,6 +781,7 @@ object Dedup extends QueryModule {
     QueryDef("dedup_cluster", dedupCluster, Some(clusterSql)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_threshold_curve", dedupThresholdCurve, Some(dedupThresholdCurveSql)),
+    QueryDef("pipeline_dedup_full", pipelineDedupFull, Some(pipelineDedupFullSql)),
     QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql))
   )
 }

@@ -112,7 +112,7 @@ object Spans extends QueryModule {
     * many distinct long spans the pair shares). The detector — its output
     * says WHERE the copy sits, which doc-level Jaccard cannot.
     */
-  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     val runs = spanRuns(s, dir)
     val w = Window.partitionBy("doc_a", "doc_b")
       .orderBy(col("span_tokens").desc, col("start_a"), col("start_b"))
@@ -124,7 +124,7 @@ object Spans extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val dedupSubstringSql =
+  private[queries] val dedupSubstringSql =
     s"""WITH $spanRunsCtes,
        |r AS (
        |  SELECT doc_a, doc_b, span_tokens, start_a, start_b,

@@ -51,6 +51,29 @@ class Analytics4Spec extends SparkSpec {
     assert(perDoc.forall(_ <= 256))
   }
 
+  test("pipeline_dedup_full: flags consistent with their component operators") {
+    val full = run("pipeline_dedup_full").collect()
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(full.length == docs, "one row per document")
+    // keep is exactly the conjunction of the three gates
+    full.foreach { r =>
+      val keep = r.getAs[Long]("keep")
+      val drops = r.getAs[Long]("exact_dup") + r.getAs[Long]("near_dup_drop") +
+        r.getAs[Long]("substr_victim")
+      assert((keep == 1L) == (drops == 0L), s"keep inconsistent: $r")
+    }
+    // non-hollow: the near-dup and substring gates each drop someone
+    assert(full.map(_.getAs[Long]("near_dup_drop")).sum > 0, "near-dup gate hollow")
+    assert(full.map(_.getAs[Long]("substr_victim")).sum > 0, "substring gate hollow")
+    // component parity: near_dup_drop == 1 - keep_ind from dedup_keep_best
+    val kb = run("dedup_keep_best").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_ind")).toMap
+    full.foreach { r =>
+      assert(r.getAs[Long]("near_dup_drop") == 1L - kb(r.getAs[Long]("doc_id")),
+        s"near-dup flag diverges from dedup_keep_best at $r")
+    }
+  }
+
   test("dv_computed_sat: hub-key parity with hub_customer, exact attributes, hd tracks attrs") {
     val sat = run("dv_computed_sat")
     // every computed-sat key exists in hub_customer (the satellite hangs
