@@ -604,6 +604,49 @@ object Streams {
       }
   }
 
+  /** #54: streaming BUSINESS-vault computed satellite (r6) — the
+    * continuous twin of dv_computed_sat: per customer, the computed
+    * attributes (order count, lifetime cents, last-order ms) update as
+    * order rows arrive, and every CHANGE emits a new insert-only
+    * satellite version with its own hash-diff — the streaming SCD2 shape
+    * (a re-delivered identical batch changes nothing, so it emits
+    * nothing... but note a re-delivered ORDER ROW is indistinguishable
+    * from a new order at this state size; exactly-once ingestion is the
+    * upstream dedup gate's job, stream_dedup_exact). State is one
+    * 3-number tuple per customer — bounded by customer cardinality, the
+    * stream_anomaly shape. Replaying the whole orders log yields, per
+    * customer, a version chain whose LAST row equals dv_computed_sat's
+    * row for that customer (StreamingSpec pins it).
+    */
+  final case class OrderEv(o_orderkey: Long, o_custkey: Long, total_cents: Long, order_ms: Long)
+  final case class BvState(order_cnt: Long, total_cents: Long, last_order_ms: Long)
+  final case class BvVersion(o_custkey: Long, order_cnt: Long, total_cents: Long,
+                             last_order_ms: Long, hd: String)
+
+  def computedSatStream(orders: DataFrame): Dataset[BvVersion] = {
+    import orders.sparkSession.implicits._
+    orders.as[OrderEv]
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[BvState, BvVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (ck, evs, state: GroupState[BvState]) =>
+          var st = state.getOption.getOrElse(BvState(0L, 0L, Long.MinValue))
+          // deterministic per-batch order: (order_ms, o_orderkey) — ties
+          // and replays sequence identically on every run
+          val sorted = evs.toSeq.sortBy(e => (e.order_ms, e.o_orderkey))
+          val out = sorted.map { e =>
+            st = BvState(st.order_cnt + 1L, st.total_cents + e.total_cents,
+              math.max(st.last_order_ms, e.order_ms))
+            val hd = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(s"${st.order_cnt},${st.total_cents},${st.last_order_ms}"
+                .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+            BvVersion(ck, st.order_cnt, st.total_cents, st.last_order_ms, hd)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** #52: streaming SEMANTIC dedup gate — the embedding twin of
     * stream_near_dup: is an arriving vector a near-duplicate of anything
     * already indexed? The arriving row computes its packed hyperplane

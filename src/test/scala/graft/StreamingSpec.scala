@@ -506,6 +506,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "stream replay diverges from dv_eff_sat")
   }
 
+  test("streaming computed sat: one version per order, last version equals dv_computed_sat") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ords = Tables.load(spark, sfDir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("total_cents"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+      .as[Streams.OrderEv].collect().sortBy(e => (e.order_ms, e.o_orderkey))
+    val mem = MemoryStream[Streams.OrderEv]
+    val q = Streams.computedSatStream(mem.toDF()).writeStream
+      .format("memory").queryName("bv_out").outputMode("append").start()
+    // two micro-batches split mid-log: version chains cross the boundary
+    val (b1, b2) = ords.splitAt(ords.length / 2)
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val versions = spark.table("bv_out").as[Streams.BvVersion].collect()
+    // every order emitted exactly one version
+    assert(versions.length == ords.length, s"${versions.length} versions for ${ords.length} orders")
+    // per customer the version chain is strictly increasing in order_cnt
+    versions.groupBy(_.o_custkey).foreach { case (_, vs) =>
+      assert(vs.map(_.order_cnt).sorted.toSeq == (1L to vs.length.toLong))
+    }
+    // the LAST version per customer equals the batch business-vault row
+    val last = versions.groupBy(_.o_custkey).map { case (ck, vs) => ck -> vs.maxBy(_.order_cnt) }
+    val sha = (s: String) => java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val batch = SparkEntry.queries("dv_computed_sat")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("hub_customer_hk") ->
+        (r.getAs[Long]("order_cnt"), r.getAs[Long]("total_cents"),
+          r.getAs[Long]("last_order_ms"), r.getAs[String]("sat_customer_bv_hd"))).toMap
+    assert(last.nonEmpty)
+    last.foreach { case (ck, v) =>
+      val b = batch(sha(ck.toString))
+      assert((v.order_cnt, v.total_cents, v.last_order_ms, v.hd) == b,
+        s"customer $ck diverges from dv_computed_sat: $v vs $b")
+    }
+  }
+
   final case class SVec(vec_id: Long, embedding: Seq[Float])
 
   test("streaming semantic dedup: batch parity with dedup_embed_cosine, copy flagged at 1.0") {
