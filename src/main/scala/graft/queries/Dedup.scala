@@ -733,6 +733,59 @@ object Dedup extends QueryModule {
        |LEFT JOIN v ON v.doc_id = ex.doc_id
        |ORDER BY ex.doc_id""".stripMargin
 
+  // ------------------------------------------------ corpus_source_overlap
+  // Cross-SOURCE contamination matrix — which sources copy from each
+  // other: for every source pair, how many distinct 3-gram shingles they
+  // share, plus each side's share of its own shingle vocabulary in exact
+  // micro-units. The basket-pairs shape on the shingle axis: one keyed
+  // aggregation collects each shingle's (small, domain-bounded) source
+  // set, pairs explode scan-locally — never a shingle-keyed self-join.
+  // Output is #sources², a constant; the corpus-scale work is one
+  // distinct + one aggregation over the memoized shingle pass.
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = shingles(s, dir)
+      .join(Docs.enriched(s, dir).select("doc_id", "source"), "doc_id")
+      .select("shingle", "source").distinct()
+    val perSource = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = ss.groupBy("shingle").agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .select(explode(expr(
+        """CASE WHEN size(srcs) < 2 THEN array()
+          |ELSE flatten(transform(sequence(1, size(srcs) - 1), i ->
+          |  transform(sequence(i + 1, size(srcs)), j ->
+          |    named_struct('a', srcs[i - 1], 'b', srcs[j - 1]))))
+          |END""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSource.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(perSource.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("n_shared * 1000000 div n_a").as("share_a_micro"),
+        expr("n_shared * 1000000 div n_b").as("share_b_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH sh AS (
+       |$shinglesDuck
+       |), ss AS (
+       |  SELECT DISTINCT sh.shingle, d.source
+       |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+       |per_source AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT p.source_a, p.source_b, p.n_shared, pa.n AS n_a, pb.n AS n_b,
+       |       p.n_shared * 1000000 // pa.n AS share_a_micro,
+       |       p.n_shared * 1000000 // pb.n AS share_b_micro
+       |FROM pairs p
+       |JOIN per_source pa ON pa.source = p.source_a
+       |JOIN per_source pb ON pb.source = p.source_b
+       |ORDER BY p.source_a, p.source_b""".stripMargin
+
   // ----------------------------------------------------- text_boilerplate
   // Corpus boilerplate mining (the CCNet/RefinedWeb "drop the navbars"
   // signal): a 3-gram appearing in ≥ BoilerMinDf distinct documents is
@@ -782,6 +835,7 @@ object Dedup extends QueryModule {
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     QueryDef("dedup_threshold_curve", dedupThresholdCurve, Some(dedupThresholdCurveSql)),
     QueryDef("pipeline_dedup_full", pipelineDedupFull, Some(pipelineDedupFullSql)),
+    QueryDef("corpus_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql))
   )
 }

@@ -74,6 +74,21 @@ class Analytics4Spec extends SparkSpec {
     }
   }
 
+  test("corpus_source_overlap: full pair matrix, bounded shares, real variation") {
+    val rows = run("corpus_source_overlap").collect()
+    val nSrc = Tables.load(spark, sfDir, "documents").select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, s"expected C($nSrc,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared >= 0 && shared <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      assert(r.getAs[Long]("share_a_micro") <= 1000000L &&
+        r.getAs[Long]("share_b_micro") <= 1000000L)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+    val shares = rows.map(_.getAs[Long]("share_a_micro"))
+    assert(shares.max > shares.min, "no overlap variation — hollow matrix")
+  }
+
   test("dv_computed_sat: hub-key parity with hub_customer, exact attributes, hd tracks attrs") {
     val sat = run("dv_computed_sat")
     // every computed-sat key exists in hub_customer (the satellite hangs
