@@ -666,7 +666,39 @@ FROM flags ORDER BY doc_id"""
        |FROM b GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin
   }
 
+  // ------------------------------------------------ corpus_split_safe
+  // LEAKAGE-SAFE train/val/test split: the split hash keys on the
+  // near-dup CLUSTER's canonical id, not the document id, so a document
+  // and its near-duplicates always land in the SAME split — the
+  // evaluation-leakage rule from the dedup literature (a val doc whose
+  // near-copy sits in train is a leaked answer). Buckets are md5-long64
+  // mod 100 (deterministic, engine-identical, no RNG): <90 train,
+  // 90-94 val, 95+ test. One join against the memoized cluster labels;
+  // the output is per-doc and the spec pins that no cluster straddles
+  // splits.
+  private def corpusSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    val assign = Dedup.dedupCluster(s, dir).select("doc_id", "canon_id")
+    assign
+      .withColumn("bucket", pmod(md5Long64(concat(lit("split_"), col("canon_id"))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 90L, "train").when(col("bucket") < 95L, "val").otherwise("test"))
+      .select("doc_id", "canon_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  private def corpusSplitSafeSql =
+    s"""WITH assign AS (
+       |  SELECT doc_id, canon_id FROM (${Dedup.clusterSql}))
+       |SELECT doc_id, canon_id,
+       |  ${md5Long64Sql("'split_' || CAST(canon_id AS VARCHAR)")} % 100 AS bucket,
+       |  CASE WHEN ${md5Long64Sql("'split_' || CAST(canon_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+       |       WHEN ${md5Long64Sql("'split_' || CAST(canon_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assign
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_split_safe", corpusSplitSafe, Some(corpusSplitSafeSql)),
     QueryDef("corpus_length_hist", corpusLengthHist, Some(corpusLengthHistSql)),
     QueryDef("corpus_source_stats", corpusSourceStats, Some(corpusSourceStatsSql)),
     QueryDef("pipeline_curate_full", pipelineCurateFull, Some(pipelineCurateFullSql)),

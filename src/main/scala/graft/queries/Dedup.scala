@@ -607,7 +607,7 @@ object Dedup extends QueryModule {
       labels
     }
 
-  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     val labels = ccLabels(s, dir)
     val assign = Docs.enriched(s, dir).select("doc_id")
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -619,7 +619,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val clusterSql =
+  private[queries] val clusterSql =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM ($minhashSql)
        |), edges AS (

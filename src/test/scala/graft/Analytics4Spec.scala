@@ -74,6 +74,23 @@ class Analytics4Spec extends SparkSpec {
     }
   }
 
+  test("corpus_split_safe: no near-dup cluster straddles splits, proportions sane") {
+    val rows = run("corpus_split_safe").collect()
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == docs)
+    // leakage safety: every member of a cluster carries the same split
+    rows.groupBy(_.getAs[Long]("canon_id")).foreach { case (c, vs) =>
+      assert(vs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"cluster $c straddles splits")
+    }
+    // a real multi-member cluster exists (the guarantee is non-vacuous)
+    assert(rows.groupBy(_.getAs[Long]("canon_id")).exists(_._2.length > 1),
+      "no multi-member cluster — leakage guarantee vacuous")
+    val bySplit = rows.groupBy(_.getAs[String]("split")).map { case (k, v) => k -> v.length }
+    assert(bySplit.keySet == Set("train", "val", "test"), s"missing split: $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("corpus_source_overlap: full pair matrix, bounded shares, real variation") {
     val rows = run("corpus_source_overlap").collect()
     val nSrc = Tables.load(spark, sfDir, "documents").select("source").distinct().count()
