@@ -786,6 +786,45 @@ object Dedup extends QueryModule {
        |JOIN per_source pb ON pb.source = p.source_b
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // --------------------------------------------------- corpus_novelty
+  // Per-document NOVELTY — what fraction of a doc's 3-gram shingles has
+  // never appeared in any earlier document (ingestion order = doc_id):
+  // the burn-down curve that says when a crawl stops contributing new
+  // content. A shingle is novel exactly in the doc that is its
+  // min-doc_id carrier, so one (shingle → min doc) aggregation + one
+  // per-doc rollup answers it — no ordered scan, no window over the
+  // corpus, fully parallel. Exact integer micro-ratios.
+  private def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val firstSeen = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.join(firstSeen, "shingle")
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_micros", expr("n_novel * 1000000 div n_shingles"))
+      .select("doc_id", "n_shingles", "n_novel", "novelty_micros")
+      .orderBy("doc_id")
+  }
+
+  private val corpusNoveltySql =
+    s"""WITH sh AS (
+       |$shinglesDuck
+       |), first_seen AS (
+       |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id),
+       |novel AS (
+       |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       |  FROM sh JOIN first_seen f ON f.shingle = sh.shingle AND f.first_doc = sh.doc_id
+       |  GROUP BY sh.doc_id)
+       |SELECT p.doc_id, p.n_shingles,
+       |  coalesce(n.n_novel, 0) AS n_novel,
+       |  coalesce(n.n_novel, 0) * 1000000 // p.n_shingles AS novelty_micros
+       |FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   // ----------------------------------------------------- text_boilerplate
   // Corpus boilerplate mining (the CCNet/RefinedWeb "drop the navbars"
   // signal): a 3-gram appearing in ≥ BoilerMinDf distinct documents is
@@ -836,6 +875,7 @@ object Dedup extends QueryModule {
     QueryDef("dedup_threshold_curve", dedupThresholdCurve, Some(dedupThresholdCurveSql)),
     QueryDef("pipeline_dedup_full", pipelineDedupFull, Some(pipelineDedupFullSql)),
     QueryDef("corpus_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    QueryDef("corpus_novelty", corpusNovelty, Some(corpusNoveltySql)),
     QueryDef("text_boilerplate", boilerplate, Some(boilerplateSql))
   )
 }

@@ -91,6 +91,20 @@ class Analytics4Spec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("corpus_novelty: doc 0 fully novel, ratios bounded, burn-down real") {
+    val rows = run("corpus_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("novelty_micros") <= 1000000L)
+    }
+    // the first doc's shingles are all first-seen by construction
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_micros") == 1000000L, s"doc 0 not fully novel: $first")
+    // burn-down is real: some later doc is mostly non-novel
+    assert(rows.exists(_.getAs[Long]("novelty_micros") < 500000L), "no repetition observed")
+  }
+
   test("corpus_source_overlap: full pair matrix, bounded shares, real variation") {
     val rows = run("corpus_source_overlap").collect()
     val nSrc = Tables.load(spark, sfDir, "documents").select("source").distinct().count()
