@@ -137,7 +137,44 @@ object Analytics4 extends QueryModule {
        |SELECT CAST(rank AS BIGINT) AS rank, path, n_user_days
        |FROM r WHERE rank <= $PathK ORDER BY rank""".stripMargin
 
+  // -------------------------------------------- events_inter_arrival
+  // Inter-arrival cadence per event type — the feed-health metric a
+  // pipeline watches for stalls and bursts: gaps are computed under
+  // (user, type)-KEYED lag windows (never a type-partitioned window over
+  // the whole corpus), then summarized per type with exact interpolated
+  // percentiles (the stats_percentiles cross-engine convention:
+  // percentile() and quantile_cont interpolate bit-identically).
+  private def interArrival(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("tms", "event_id")
+    Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("event_type"), col("tms"), col("event_id"))
+      .withColumn("prev", lag("tms", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_ms", col("tms") - col("prev"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_ms, 0.5)").as("p50_ms"),
+        expr("percentile(gap_ms, 0.9)").as("p90_ms"),
+        expr("percentile(gap_ms, 0.99)").as("p99_ms"))
+      .orderBy("event_type")
+  }
+
+  private val interArrivalSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+      |           PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id) AS gap_ms
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       quantile_cont(gap_ms, 0.5) AS p50_ms,
+      |       quantile_cont(gap_ms, 0.9) AS p90_ms,
+      |       quantile_cont(gap_ms, 0.99) AS p99_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("events_inter_arrival", interArrival, Some(interArrivalSql)),
     QueryDef("events_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("orders_basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("events_path_conversion", pathConversion, Some(pathConversionSql))

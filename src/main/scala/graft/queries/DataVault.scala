@@ -588,8 +588,79 @@ object DataVault extends QueryModule {
        |FROM agg
        |ORDER BY hub_customer_hk""".stripMargin
 
+  // --------------------------------------------------- dv_quality_checks
+  // Declarative data-quality rule engine over the SOURCES — the
+  // pre-load gate a warehouse runs before trusting a delivery (dv_health
+  // audits the built vault; this audits what feeds it): per (table, rule),
+  // row count, violation count, and a pass flag. Each rule is one
+  // aggregate or one anti-join count — scan-bounded, no rule ever joins
+  // data-to-data except the FK probes (hash equi-joins on the key).
+  private def qualityChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    def check(table: String, rule: String, nRows: Long, nViol: Long) =
+      (table, rule, nRows, nViol, if (nViol == 0L) 1L else 0L)
+    val nOrders = orders.count(); val nCust = customer.count(); val nLi = lineitem.count()
+    val rows = Seq(
+      check("orders", "o_totalprice_positive", nOrders,
+        orders.filter(col("o_totalprice") <= 0).count()),
+      check("orders", "o_custkey_fk_customer", nOrders,
+        orders.select("o_custkey")
+          .join(customer.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+          .count()),
+      check("lineitem", "l_orderkey_fk_orders", nLi,
+        lineitem.select("l_orderkey")
+          .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+          .count()),
+      check("lineitem", "l_quantity_range_1_50", nLi,
+        lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count()),
+      check("customer", "c_custkey_unique", nCust,
+        nCust - customer.select("c_custkey").distinct().count()),
+      check("customer", "c_acctbal_not_null", nCust,
+        customer.filter(col("c_acctbal").isNull).count()))
+    rows.toDF("table_name", "rule", "n_rows", "n_violations", "pass")
+      .orderBy("table_name", "rule")
+  }
+
+  private val qualityChecksSql =
+    """WITH checks AS (
+      |SELECT 'orders' AS table_name, 'o_totalprice_positive' AS rule,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0) AS n_violations
+      |UNION ALL
+      |SELECT 'orders', 'o_custkey_fk_customer',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL
+      |SELECT 'lineitem', 'l_orderkey_fk_orders',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL
+      |SELECT 'lineitem', 'l_quantity_range_1_50',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |UNION ALL
+      |SELECT 'customer', 'c_custkey_unique',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer) -
+      |    (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+      |UNION ALL
+      |SELECT 'customer', 'c_acctbal_not_null',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_acctbal IS NULL)
+      |)
+      |SELECT table_name, rule, n_rows, n_violations,
+      |  CASE WHEN n_violations = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pass
+      |FROM checks
+      |ORDER BY table_name, rule""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("dv_computed_sat", computedSat, Some(computedSatSql)),
+    QueryDef("dv_quality_checks", qualityChecks, Some(qualityChecksSql)),
     QueryDef("dv_source_catalog",
       (s, d) => Catalog.introspect(s, d), Some(DvSqlGen.catalogSql)),
     QueryDef("dv_source_column_status",

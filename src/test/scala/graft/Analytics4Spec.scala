@@ -120,6 +120,53 @@ class Analytics4Spec extends SparkSpec {
     assert(shares.max > shares.min, "no overlap variation — hollow matrix")
   }
 
+  test("events_inter_arrival: one row per type, percentile ordering holds") {
+    val rows = run("events_inter_arrival").collect()
+    val types = Tables.loadEvents(spark, sfDir).select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") > 0)
+      val (p50, p90, p99) = (r.getAs[Double]("p50_ms"), r.getAs[Double]("p90_ms"),
+        r.getAs[Double]("p99_ms"))
+      assert(p50 <= p90 && p90 <= p99 && p50 >= 0.0, s"percentiles disordered: $r")
+    }
+  }
+
+  test("dv_quality_checks: clean data passes; planted violations are counted") {
+    val clean = run("dv_quality_checks").collect()
+    assert(clean.length == 6)
+    assert(clean.forall(_.getAs[Long]("pass") == 1L), "clean sf data should pass all rules")
+    // plant violations in a tampered copy of the three tables: a negative
+    // order price with a dangling custkey, an orphaned lineitem with an
+    // out-of-range quantity, a duplicated customer key
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dq_").toString
+    try {
+      Seq("region", "nation", "supplier", "part", "events", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t).write.parquet(s"$tmp/$t.parquet"))
+      val orders = Tables.load(spark, sfDir, "orders")
+      val badOrder = orders.limit(1)
+        .withColumn("o_orderkey", lit(999999999L))
+        .withColumn("o_custkey", lit(888888888L))
+        .withColumn("o_totalprice", lit(-5.0))
+      orders.unionByName(badOrder).write.parquet(s"$tmp/orders.parquet")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val badLine = li.limit(1)
+        .withColumn("l_orderkey", lit(777777777L))
+        .withColumn("l_quantity", lit(99.0))
+      li.unionByName(badLine).write.parquet(s"$tmp/lineitem.parquet")
+      val cust = Tables.load(spark, sfDir, "customer")
+      cust.unionByName(cust.limit(1)).write.parquet(s"$tmp/customer.parquet")
+      val tampered = SparkEntry.queries("dv_quality_checks")(spark, tmp).collect()
+        .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+      assert(tampered("o_totalprice_positive") == 1L, tampered.toString)
+      assert(tampered("o_custkey_fk_customer") == 1L)
+      assert(tampered("l_orderkey_fk_orders") == 1L)
+      assert(tampered("l_quantity_range_1_50") == 1L)
+      assert(tampered("c_custkey_unique") == 1L)
+      assert(tampered("c_acctbal_not_null") == 0L)
+    } finally graft.dv.DvLoader.deletePath(java.nio.file.Paths.get(tmp))
+  }
+
   test("dv_computed_sat: hub-key parity with hub_customer, exact attributes, hd tracks attrs") {
     val sat = run("dv_computed_sat")
     // every computed-sat key exists in hub_customer (the satellite hangs
