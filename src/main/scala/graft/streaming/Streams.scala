@@ -604,6 +604,25 @@ object Streams {
       }
   }
 
+  /** #55: streaming source data-quality gate (r6) — the continuous twin
+    * of dv_quality_checks: every arriving order row is checked
+    * scan-locally against the scalar rules (price positivity) and
+    * against the customer dimension by a STATELESS stream-static left
+    * join (the FK probe); rows violating any rule land on the quarantine
+    * stream with per-rule verdicts, clean rows pass through silently.
+    * No state, no watermark — the corpus side re-resolves per
+    * micro-batch (the curate-gate shape); at scale the dimension side is
+    * the broadcast customer hub.
+    */
+  def qualityGateStream(orders: DataFrame, customers: DataFrame): DataFrame =
+    orders
+      .withColumn("bad_price", when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+      .join(customers.select(col("c_custkey").as("o_custkey"))
+        .withColumn("fk_hit", lit(1L)), Seq("o_custkey"), "left")
+      .withColumn("dangling_custkey", when(col("fk_hit").isNull, 1L).otherwise(0L))
+      .filter(col("bad_price") + col("dangling_custkey") > 0L)
+      .select("o_orderkey", "o_custkey", "bad_price", "dangling_custkey")
+
   /** #54: streaming BUSINESS-vault computed satellite (r6) — the
     * continuous twin of dv_computed_sat: per customer, the computed
     * attributes (order count, lifetime cents, last-order ms) update as

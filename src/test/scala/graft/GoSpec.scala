@@ -108,6 +108,15 @@ class GoSpec extends SparkSpec {
     assert(schema.bucketing.nonEmpty && schema.bucketing.get.buckets == 8)
     val prefix = schema.bucketing.get.tablePrefix
     try {
+      // r6: the initial bucketed build pre-repartitions by the bucket
+      // keys, so each object starts at ONE file per bucket (no
+      // tasks-x-buckets fragmentation; compaction is for post-append
+      // debris only)
+      Seq("hub_customer", "sat_customer").foreach { obj =>
+        val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/$obj"))
+          .filter(p => p.getFileName.toString.startsWith("part-")).count()
+        assert(files <= 8, s"$obj: initial build wrote $files files for 8 buckets")
+      }
       // end-to-end plan audit: the loader's own anti-join against the
       // stored side must have no Exchange there (only the batch side may
       // shuffle into the bucketing) — the reference's indexed insert-only

@@ -546,6 +546,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  final case class QOrder(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
+  test("streaming quality gate: planted violations quarantined with correct verdicts, clean rows pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Tables.load(spark, sfDir, "customer")
+    val someCust = customers.select("c_custkey").limit(1).collect()(0).getLong(0)
+    val mem = MemoryStream[QOrder]
+    val q = Streams.qualityGateStream(mem.toDF(), customers).writeStream
+      .format("memory").queryName("dq_out").outputMode("append").start()
+    mem.addData(
+      QOrder(1, someCust, 100.0),       // clean
+      QOrder(2, someCust, -5.0),        // bad price
+      QOrder(3, 888888888L, 50.0),      // dangling FK
+      QOrder(4, 888888888L, 0.0))       // both
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dq_out").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Long]("bad_price"), r.getAs[Long]("dangling_custkey"))).toMap
+    assert(!out.contains(1L), "clean row quarantined")
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((0L, 1L)))
+    assert(out(4L) == ((1L, 1L)))
+    assert(out.size == 3)
+  }
+
   final case class SVec(vec_id: Long, embedding: Seq[Float])
 
   test("streaming semantic dedup: batch parity with dedup_embed_cosine, copy flagged at 1.0") {
