@@ -87,6 +87,57 @@ object Analytics4 extends QueryModule {
        |SELECT CAST(rank AS BIGINT) AS rank, p1, p2, support
        |FROM r WHERE rank <= $BasketK ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------- orders_assoc_rules
+  // Association-rule mining over the basket pairs: for the top-50
+  // co-ordered part pairs, directed confidence (P(b|a), P(a|b)) and lift
+  // — all in exact integer micro-units (n_ab·1e6 div n_a;
+  // n_ab·n_orders·1e6 div n_a·n_b — products stay far inside int64 at
+  // any SF since n_ab ≤ n_a ≤ n_orders). Adds one per-part order-count
+  // aggregation and two broadcast joins on top of the basket-pairs
+  // pipeline; the pair set is K-bounded before the joins, so the rule
+  // computation is constant work.
+  private def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrdersDf = op.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+    val nOrders = nOrdersDf.head.getLong(0) // 1-row bounded collect
+    val perPart = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val top = basketPairs(s, dir)
+    top
+      .join(broadcast(perPart.select(col("l_partkey").as("p1"), col("n_part").as("n_a"))), "p1")
+      .join(broadcast(perPart.select(col("l_partkey").as("p2"), col("n_part").as("n_b"))), "p2")
+      .select(col("rank"), col("p1"), col("p2"), col("support"), col("n_a"), col("n_b"),
+        expr("support * 1000000 div n_a").as("conf_a_to_b_micro"),
+        expr("support * 1000000 div n_b").as("conf_b_to_a_micro"),
+        expr(s"support * $nOrders * 1000000 div (n_a * n_b)").as("lift_micro"))
+      .orderBy("rank")
+  }
+
+  private val assocRulesSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+       |per_part AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM op GROUP BY l_partkey),
+       |pairs AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |cnt AS (
+       |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS support FROM pairs GROUP BY p1, p2),
+       |r AS (
+       |  SELECT p1, p2, support,
+       |         row_number() OVER (ORDER BY support DESC, p1, p2) AS rank
+       |  FROM cnt)
+       |SELECT CAST(r.rank AS BIGINT) AS rank, r.p1, r.p2, r.support,
+       |  pa.n_part AS n_a, pb.n_part AS n_b,
+       |  r.support * 1000000 // pa.n_part AS conf_a_to_b_micro,
+       |  r.support * 1000000 // pb.n_part AS conf_b_to_a_micro,
+       |  r.support * (SELECT n FROM n_orders) * 1000000 // (pa.n_part * pb.n_part) AS lift_micro
+       |FROM r
+       |JOIN per_part pa ON pa.l_partkey = r.p1
+       |JOIN per_part pb ON pb.l_partkey = r.p2
+       |WHERE r.rank <= $BasketK
+       |ORDER BY r.rank""".stripMargin
+
   // -------------------------------------------- events_path_conversion
   // Conversion-path mining: among per-(user, day) event sequences (capped
   // at the first 12 events — both engines cap identically), the top-20
@@ -176,6 +227,7 @@ object Analytics4 extends QueryModule {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("events_inter_arrival", interArrival, Some(interArrivalSql)),
     QueryDef("events_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("orders_assoc_rules", assocRules, Some(assocRulesSql)),
     QueryDef("orders_basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("events_path_conversion", pathConversion, Some(pathConversionSql))
   )

@@ -697,8 +697,37 @@ FROM flags ORDER BY doc_id"""
        |FROM assign
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- curate_importance_sample
+  // Deterministic IMPORTANCE resampling — keep each document with
+  // probability equal to its quality score, with no RNG: keep iff
+  // md5-long64('imp_'+doc_id) mod 1e6 < floor(quality·1e6). The hash is
+  // uniform and independent of quality, so the kept set is an exact
+  // quality-weighted downsample, reproducible across engines, retries,
+  // and cluster sizes (the sample_stratified determinism convention
+  // applied to per-doc weights). Scan-local per doc — no shuffle beyond
+  // the memoized quality pass.
+  private def importanceSample(s: SparkSession, dir: String): DataFrame =
+    Text.quality(s, dir).select(col("doc_id"), col("quality_score"))
+      .withColumn("q_micros", floor(col("quality_score") * 1000000).cast("long"))
+      .withColumn("h_micros", pmod(md5Long64(concat(lit("imp_"), col("doc_id"))), lit(1000000L)))
+      .withColumn("keep", when(col("h_micros") < col("q_micros"), 1L).otherwise(0L))
+      .select("doc_id", "q_micros", "h_micros", "keep")
+      .orderBy("doc_id")
+
+  private def importanceSampleSql =
+    s"""WITH q AS (SELECT doc_id, quality_score FROM (${Text.qualitySql})),
+       |w AS (
+       |  SELECT doc_id,
+       |    CAST(floor(quality_score * 1000000) AS BIGINT) AS q_micros,
+       |    ${md5Long64Sql("'imp_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h_micros
+       |  FROM q)
+       |SELECT doc_id, q_micros, h_micros,
+       |  CASE WHEN h_micros < q_micros THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("corpus_split_safe", corpusSplitSafe, Some(corpusSplitSafeSql)),
+    QueryDef("curate_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("corpus_length_hist", corpusLengthHist, Some(corpusLengthHistSql)),
     QueryDef("corpus_source_stats", corpusSourceStats, Some(corpusSourceStatsSql)),
     QueryDef("pipeline_curate_full", pipelineCurateFull, Some(pipelineCurateFullSql)),

@@ -91,6 +91,35 @@ class Analytics4Spec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("orders_assoc_rules: confidences bounded by 1, lift consistent with counts") {
+    val rows = run("orders_assoc_rules").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (s, na, nb) = (r.getAs[Long]("support"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(s <= na && s <= nb, s"support exceeds a side's order count: $r")
+      assert(r.getAs[Long]("conf_a_to_b_micro") == s * 1000000L / na)
+      assert(r.getAs[Long]("conf_b_to_a_micro") == s * 1000000L / nb)
+      assert(r.getAs[Long]("conf_a_to_b_micro") <= 1000000L)
+      assert(r.getAs[Long]("lift_micro") > 0L)
+    }
+  }
+
+  test("curate_importance_sample: kept fraction tracks mean weight, hash independent of quality") {
+    val rows = run("curate_importance_sample").collect()
+    val n = rows.length
+    assert(n > 0)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("keep") == 1L) ==
+        (r.getAs[Long]("h_micros") < r.getAs[Long]("q_micros")))
+    }
+    val kept = rows.map(_.getAs[Long]("keep")).sum.toDouble / n
+    val meanW = rows.map(_.getAs[Long]("q_micros")).sum.toDouble / n / 1e6
+    // the uniform hash makes E[kept] = mean weight; allow generous slack
+    assert(math.abs(kept - meanW) < 0.1, s"kept $kept vs mean weight $meanW")
+    // both classes exist (non-hollow gate)
+    assert(kept > 0.0 && kept < 1.0)
+  }
+
   test("corpus_novelty: doc 0 fully novel, ratios bounded, burn-down real") {
     val rows = run("corpus_novelty").collect()
     assert(rows.nonEmpty)
