@@ -654,7 +654,7 @@ object Dedup extends QueryModule {
   // bit-identical cross-engine (text_quality hash-matches), so the
   // ordering — and with the doc_id tie-break, the keeper — is
   // engine-stable.
-  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val q = Text.quality(s, dir).select("doc_id", "quality_score")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("canon_id").orderBy(col("quality_score").desc, col("doc_id"))
@@ -665,7 +665,7 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private def dedupKeepBestSql =
+  private[queries] def dedupKeepBestSql =
     s"""WITH r AS (
        |  SELECT c.doc_id, c.canon_id, c.cluster_size, q.quality_score,
        |         row_number() OVER (

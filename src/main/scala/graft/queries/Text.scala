@@ -413,7 +413,61 @@ object Text extends QueryModule {
        |ORDER BY doc_id, dim""".stripMargin
   }
 
+  // ------------------------------------------- text_quality_calibration
+  // Does the quality score PREDICT anything? Per quality decile: doc
+  // count, exact token totals, the unknown-language rate, and the
+  // near-dup drop rate (from the quality-aware survivorship) — the
+  // calibration table that justifies (or indicts) a quality threshold
+  // before curation gates on it. The decile is floor(score·10) on the
+  // bit-identical cross-engine double; rates are exact integer
+  // micro-units. One pass over the memoized quality+lang columns joined
+  // with the memoized survivorship — aggregation on a 10-row key.
+  private def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val base = withLangCols(withQualityCols(docs(s, dir)))
+      .select(col("doc_id"), col("n_words"),
+        least(floor(col("quality_score") * 10), lit(9)).cast("long").as("decile"),
+        when(col("predicted_lang") === "unknown", 1L).otherwise(0L).as("lang_unknown"))
+    base
+      .join(Dedup.dedupKeepBest(s, dir)
+        .select(col("doc_id"), (lit(1L) - col("keep_ind")).as("near_dup_drop")), "doc_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        sum("lang_unknown").as("n_lang_unknown"), sum("near_dup_drop").as("n_near_dup_drop"))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        col("n_lang_unknown"), col("n_near_dup_drop"),
+        expr("n_lang_unknown * 1000000 div n_docs").as("lang_unknown_micro"),
+        expr("n_near_dup_drop * 1000000 div n_docs").as("near_dup_micro"))
+      .orderBy("decile")
+  }
+
+  private def qualityCalibrationSql =
+    s"""WITH q AS (
+       |  SELECT doc_id, n_words, quality_score FROM ($qualitySql)),
+       |l AS (
+       |  SELECT doc_id, predicted_lang FROM ($langIdSql)),
+       |kb AS (
+       |  SELECT doc_id, CAST(1 - keep_ind AS BIGINT) AS near_dup_drop
+       |  FROM (${Dedup.dedupKeepBestSql})),
+       |base AS (
+       |  SELECT q.doc_id,
+       |    least(CAST(floor(q.quality_score * 10) AS BIGINT), 9) AS decile,
+       |    q.n_words,
+       |    CASE WHEN l.predicted_lang = 'unknown' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS lang_unknown,
+       |    kb.near_dup_drop
+       |  FROM q JOIN l ON l.doc_id = q.doc_id JOIN kb ON kb.doc_id = q.doc_id),
+       |agg AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |         CAST(sum(lang_unknown) AS BIGINT) AS n_lang_unknown,
+       |         CAST(sum(near_dup_drop) AS BIGINT) AS n_near_dup_drop
+       |  FROM base GROUP BY decile)
+       |SELECT decile, n_docs, n_tokens, n_lang_unknown, n_near_dup_drop,
+       |  n_lang_unknown * 1000000 // n_docs AS lang_unknown_micro,
+       |  n_near_dup_drop * 1000000 // n_docs AS near_dup_micro
+       |FROM agg ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("text_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
     QueryDef("text_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),

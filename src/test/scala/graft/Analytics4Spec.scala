@@ -120,6 +120,19 @@ class Analytics4Spec extends SparkSpec {
     assert(kept > 0.0 && kept < 1.0)
   }
 
+  test("text_quality_calibration: deciles partition the corpus, rates bounded") {
+    val rows = run("text_quality_calibration").collect()
+    assert(rows.length > 1, "single decile — quality score degenerate")
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs, "deciles do not partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decile") >= 0 && r.getAs[Long]("decile") <= 9)
+      assert(r.getAs[Long]("lang_unknown_micro") <= 1000000L)
+      assert(r.getAs[Long]("near_dup_micro") <= 1000000L)
+      assert(r.getAs[Long]("n_lang_unknown") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("corpus_novelty: doc 0 fully novel, ratios bounded, burn-down real") {
     val rows = run("corpus_novelty").collect()
     assert(rows.nonEmpty)
