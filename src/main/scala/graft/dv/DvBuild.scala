@@ -185,6 +185,48 @@ object DvBuild {
       .orderBy("asof_date", "user_id")
   }
 
+  /** Bitemporal PIT (DV 2.0's two-clock reconstruction): state per key
+    * as-of a VALID time V under the knowledge available at TRANSACTION
+    * time T. Valid time = the event's tms; transaction time = a
+    * deterministic synthetic arrival, next midnight plus an md5-derived
+    * 0-2 day ingestion lag (late-arriving data — the reason the two
+    * clocks differ; no RNG, engine-identical). For each (V, T) grid cell
+    * — T = V ("what we knew then") and T = V+3d ("what we know now") —
+    * the per-user version is the max (tms, event_id) among events with
+    * tms <= V AND arrival <= T, so a late event appears only once T
+    * passes its arrival: the same V can answer differently under the two
+    * knowledge dates, which is exactly the audit question bitemporal
+    * vaults exist for. One scan, a constant 4-row grid broadcast, one
+    * keyed aggregation.
+    */
+  val BiPitGrid: Seq[(String, String)] = Seq(
+    ("2024-01-08", "2024-01-08"), ("2024-01-08", "2024-01-11"),
+    ("2024-01-22", "2024-01-22"), ("2024-01-22", "2024-01-25"))
+
+  def pitBitemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+      .select(col("user_id"), col("tms"), col("event_id"), col("props"))
+      // arrival = next midnight after the event + md5 lag of 0-2 days
+      // (integer day arithmetic — div, not double division)
+      .withColumn("arrival_ms", expr(
+        "(tms div 86400000 + 1 + pmod(cast(conv(substring(md5(concat('lag_', " +
+          "cast(event_id as string))), 1, 15), 16, 10) as bigint), 3)) * 86400000"))
+    val grid = BiPitGrid.toDF("asof_date", "knowledge_date")
+      .withColumn("asof_ms", unix_millis(col("asof_date").cast("timestamp")) + 86399999L)
+      .withColumn("k_ms", unix_millis(col("knowledge_date").cast("timestamp")) + 86399999L)
+    ev.join(broadcast(grid), col("tms") <= col("asof_ms") && col("arrival_ms") <= col("k_ms"))
+      .groupBy("user_id", "asof_date", "knowledge_date")
+      .agg(max(struct(col("tms"), col("event_id"), col("props"))).as("m"),
+        count(lit(1)).as("n_known"))
+      .select(col("asof_date"), col("knowledge_date"),
+        dvHash(Seq(col("user_id").cast("string"))).as("hub_user_hk"),
+        col("user_id"),
+        dvHash(Seq(col("m.props"))).as("sat_user_hd"),
+        col("m.tms").as("version_ms"), col("n_known"))
+      .orderBy("asof_date", "knowledge_date", "user_id")
+  }
+
   /** Current view: latest satellite version per key (max ts, tie event_id),
     * via the same single-shuffle max(struct(...)) aggregation as pit.
     */

@@ -192,6 +192,37 @@ object DvSqlGen {
        |ORDER BY asof_date, user_id""".stripMargin
   }
 
+  /** Oracle twin of DvBuild.pitBitemporal — same synthetic md5 arrival
+    * lag, same end-of-day cutoffs, row_number in place of max(struct).
+    */
+  def pitBitemporalSql: String = {
+    val cells = DvBuild.BiPitGrid.map { case (v, t) => s"('$v', '$t')" }.mkString(", ")
+    val lag = graft.functions.GraftFunctions.md5Long64Sql("'lag_' || CAST(event_id AS VARCHAR)")
+    s"""WITH grid(asof_date, knowledge_date) AS (VALUES $cells),
+       |e AS (
+       |  SELECT user_id, event_id, props, epoch_ms(ts) AS tms,
+       |    (epoch_ms(ts) // 86400000 + 1 + ($lag % 3)) * 86400000 AS arrival_ms
+       |  FROM events),
+       |j AS (
+       |  SELECT g.asof_date, g.knowledge_date, e.user_id, e.props, e.tms, e.event_id
+       |  FROM e JOIN grid g
+       |    ON e.tms <= epoch_ms(CAST(g.asof_date AS TIMESTAMP)) + 86399999
+       |   AND e.arrival_ms <= epoch_ms(CAST(g.knowledge_date AS TIMESTAMP)) + 86399999),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY user_id, asof_date, knowledge_date
+       |                       ORDER BY tms DESC, event_id DESC) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY user_id, asof_date, knowledge_date) AS BIGINT) AS n_known
+       |  FROM j)
+       |SELECT asof_date, knowledge_date,
+       |  ${dvHashSql(Seq("CAST(user_id AS VARCHAR)"))} AS hub_user_hk,
+       |  user_id,
+       |  ${dvHashSql(Seq("props"))} AS sat_user_hd,
+       |  tms AS version_ms, n_known
+       |FROM ranked WHERE rk = 1
+       |ORDER BY asof_date, knowledge_date, user_id""".stripMargin
+  }
+
   def currentViewSql: String =
     s"""WITH ranked AS (
        |  SELECT user_id, props, epoch_ms(ts) AS tms, event_id,

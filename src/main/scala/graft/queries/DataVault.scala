@@ -688,6 +688,10 @@ object DataVault extends QueryModule {
       (s, d) => DvBuild.scd2FromEvents(s, d), Some(DvSqlGen.scd2EventsSql)),
     QueryDef("dv_ghost_records", ghosts, Some(DvSqlGen.ghostsSql(hubs))),
     QueryDef("dv_pit", (s, d) => DvBuild.pit(s, d), Some(DvSqlGen.pitSql)),
+    // Bitemporal PIT (r6): valid time x transaction time, synthetic md5
+    // ingestion lag — "what we knew then" vs "what we know now".
+    QueryDef("dv_pit_bitemporal", (s, d) => DvBuild.pitBitemporal(s, d),
+      Some(DvSqlGen.pitBitemporalSql)),
     QueryDef("dv_current_view", (s, d) => DvBuild.currentView(s, d), Some(DvSqlGen.currentViewSql)),
     QueryDef("dv_health", health, Some(DvSqlGen.healthSql)),
     QueryDef("dv_hash", hashProbe, Some(DvSqlGen.hashSql)),

@@ -107,6 +107,26 @@ class DataVaultSpec extends SparkSpec {
     assert(byDate.sorted.toSeq == byDate.toSeq) // later dates see >= users
   }
 
+  test("bitemporal pit: later knowledge sees more, valid-time bound holds") {
+    val bp = DvBuild.pitBitemporal(spark, sfDir).collect()
+    assert(bp.nonEmpty)
+    // version never exceeds the valid-time cutoff (end of asof day)
+    bp.foreach { r =>
+      val asofEnd = java.time.LocalDate.parse(r.getAs[String]("asof_date"))
+        .plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli - 1
+      assert(r.getAs[Long]("version_ms") <= asofEnd, s"version after valid cutoff: $r")
+    }
+    // at the same valid date, the later knowledge date knows >= events per
+    // user, and strictly more in total (late arrivals became visible)
+    val byCell = bp.groupBy(r => (r.getAs[String]("asof_date"), r.getAs[String]("knowledge_date")))
+      .map { case (k, vs) => k -> vs.map(_.getAs[Long]("n_known")).sum }
+    DvBuild.BiPitGrid.map(_._1).distinct.foreach { v =>
+      val ts = DvBuild.BiPitGrid.filter(_._1 == v).map(_._2).sorted
+      assert(byCell((v, ts.head)) < byCell((v, ts.last)),
+        s"no late-arrival visibility gain at valid date $v")
+    }
+  }
+
   test("dv_mart_star: one fact row per order, hks resolve in the vault, sensitive attrs excluded") {
     import org.apache.spark.sql.functions._
     val mart = SparkEntry.queries("dv_mart_star")(spark, sfDir).cache()

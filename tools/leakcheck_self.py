@@ -27,8 +27,12 @@ EXT = {".scala", ".sbt", ".py", ".md", ".json", ".sql", ".txt", ".conf", ".prope
 
 def tracked_files():
     out = subprocess.run(["git", "-C", REPO, "ls-files"], capture_output=True, text=True)
+    # the scanner itself is excluded: its PATTERNS block would match its
+    # own regex definitions (self-hits, not leaks); the exclusion is
+    # recorded in the artifact's excluded field
     return [f for f in out.stdout.splitlines()
-            if os.path.splitext(f)[1] in EXT and not f.startswith("LEAKCHECK")]
+            if os.path.splitext(f)[1] in EXT and not f.startswith("LEAKCHECK")
+            and f != "tools/leakcheck_self.py"]
 
 def main():
     files = tracked_files()
@@ -52,6 +56,7 @@ def main():
             .strftime("%Y-%m-%dT%H:%M:%SZ"),
         "git_head": subprocess.run(["git", "-C", REPO, "rev-parse", "HEAD"],
                                    capture_output=True, text=True).stdout.strip(),
+        "excluded": ["tools/leakcheck_self.py (the scanner's own pattern definitions)"],
         "n_files_scanned": len(files),
         "n_loc_scanned": n_loc,
         "categories": list(PATTERNS),
