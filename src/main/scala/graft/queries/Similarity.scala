@@ -1114,14 +1114,20 @@ object Similarity extends QueryModule {
   // n×2080 product rows, one partial-aggregated groupBy — Dim²/2 ×
   // partitions rows cross the wire, nothing else.
   private def embCovariance(s: SparkSession, dir: String): DataFrame = {
-    val prods = qVecs(s, dir).select(explode(expr(
+    import s.implicits._
+    // products as a flat BIGINT array (pair index = position) — per-row
+    // structs would allocate Dim²/2 named_structs per vector; the (pos →
+    // d1,d2) decode instead joins a broadcast 2080-row map AFTER the
+    // aggregation, when only Dim²/2 rows remain
+    val posMap = broadcast(
+      (for { i <- 1 to Dim; j <- i to Dim } yield (i.toLong, j.toLong))
+        .zipWithIndex.map { case ((i, j), p) => (p, i, j) }
+        .toDF("pos", "d1", "d2"))
+    val prods = qVecs(s, dir).select(posexplode(expr(
       s"""flatten(transform(sequence(1, $Dim), i ->
-         |  transform(sequence(i, $Dim), j ->
-         |    named_struct('d1', i, 'd2', j,
-         |      'v', element_at(q, i) * element_at(q, j)))))""".stripMargin)).as("p"))
-      .select(col("p.d1").cast("long").as("d1"), col("p.d2").cast("long").as("d2"),
-        col("p.v").as("v"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n"), sum("v").as("spp"))
+         |  transform(sequence(i, $Dim), j -> element_at(q, i) * element_at(q, j))))""".stripMargin)))
+      .groupBy("pos").agg(count(lit(1)).as("n"), sum("col").as("spp"))
+      .join(posMap, "pos")
     val dims = qVecs(s, dir)
       .select(posexplode(col("q")))
       .select((col("pos") + 1).cast("long").as("d"), col("col").as("qv"))
