@@ -180,4 +180,31 @@ class PropertySpec extends SparkSpec {
     val coveredIn = samples.flatMap { case (d, s, e) => (s to e).map(d -> _) }.toSet
     assert(coveredGot == coveredIn, "merge changed the covered token set")
   }
+
+  test("saltedTopK equals a driver-side top-K on arbitrary inputs, any k and bucket count") {
+    import spark.implicits._
+    // arbitrary candidate sets: duplicate scores (ties broken by id),
+    // skewed keys, k occasionally larger than a key's candidate count
+    val rowGen = for {
+      key <- Gen.choose(0L, 4L)
+      id <- Gen.choose(0L, 400L)
+      score <- Gen.choose(0L, 30L) // small range -> heavy ties
+    } yield (key, id, score)
+    (1 to 4).foreach { round =>
+      val rows = sampleOf(Gen.listOfN(300, rowGen))
+        .distinctBy(r => (r._1, r._2)) // (key, id) unique — total order holds
+      val k = sampleOf(Gen.choose(1, 12))
+      val buckets = sampleOf(Gen.oneOf(1, 2, 7, 32))
+      val df = rows.toDF("key", "id", "score")
+      val got = graft.dv.Scale.saltedTopK(df, Seq("key"),
+          Seq(col("score").desc, col("id")), col("id"), k, saltBuckets = buckets)
+        .select("key", "rank", "id", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (key, vs) =>
+        vs.sortBy(v => (-v._3, v._2)).take(k).zipWithIndex
+          .map { case ((_, id, score), i) => (key, i + 1, id, score) }
+      }.toSet
+      assert(got == want, s"round $round diverged (k=$k, buckets=$buckets)")
+    }
+  }
 }
