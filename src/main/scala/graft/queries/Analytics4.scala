@@ -138,6 +138,79 @@ object Analytics4 extends QueryModule {
        |WHERE r.rank <= $BasketK
        |ORDER BY r.rank""".stripMargin
 
+  // ------------------------------------------------- graph_triangles
+  // Triangle counting on the DEGREE-CAPPED co-purchase graph (parts =
+  // nodes; per node the top-20 co-ordered neighbors by (support desc,
+  // neighbor) — the kNN-graph idiom, and the scale-honest edge bound: a
+  // global support threshold or top-E cut is SF-fragile AND needs a
+  // corpus-scale ranking, while the per-node cap is a keyed salted top-K
+  // whose merge windows stay ≤ saltBuckets×D). With every edge stored
+  // a < b, the canonical ordered-join kernel counts each triangle once:
+  // wedges from ONE equi-join on the middle node (a<b<c by
+  // construction), closed by one more equi-join on (a, c) — no
+  // orientation dedup pass. Wedge fan-out ≤ D² per node. Output: top-10
+  // parts by triangle participation.
+  private val TriDegCap = 20
+  private val TriK = 10
+
+  private def triangleEdges(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "copurchase_edges", dir) {
+      val cnt = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          """CASE WHEN size(parts) < 2 THEN array()
+            |ELSE flatten(transform(sequence(1, size(parts) - 1), i ->
+            |  transform(sequence(i + 1, size(parts)), j ->
+            |    named_struct('a', parts[i - 1], 'b', parts[j - 1]))))
+            |END""".stripMargin)).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+      graft.dv.Scale.saltedTopK(cnt, Seq("a"),
+          Seq(col("support").desc, col("b")), col("b"), TriDegCap, "deg_rank")
+        .select("a", "b")
+    }
+
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = triangleEdges(s, dir)
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select("a", "b", "c")
+    val perPart = tris.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+    graft.dv.Scale.saltedTopK(perPart, Seq.empty,
+        Seq(col("n_triangles").desc, col("p_partkey")), col("p_partkey"), TriK)
+      .select(col("rank").cast("long").as("rank"), col("p_partkey"), col("n_triangles"))
+      .orderBy("rank")
+  }
+
+  private val graphTrianglesSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM op x JOIN op y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |e AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY s DESC, b) AS rk
+       |    FROM (SELECT a, b, count(*) AS s FROM pairs GROUP BY a, b))
+       |  WHERE rk <= $TriDegCap),
+       |tris AS (
+       |  SELECT w.a, w.b, w.c
+       |  FROM (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b) w
+       |  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+       |per_part AS (
+       |  SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS p_partkey FROM tris
+       |    UNION ALL SELECT b FROM tris
+       |    UNION ALL SELECT c FROM tris)
+       |  GROUP BY p_partkey),
+       |r AS (
+       |  SELECT p_partkey, n_triangles,
+       |         row_number() OVER (ORDER BY n_triangles DESC, p_partkey) AS rank
+       |  FROM per_part)
+       |SELECT CAST(rank AS BIGINT) AS rank, p_partkey, n_triangles
+       |FROM r WHERE rank <= $TriK ORDER BY rank""".stripMargin
+
   // -------------------------------------------- events_path_conversion
   // Conversion-path mining: among per-(user, day) event sequences (capped
   // at the first 12 events — both engines cap identically), the top-20
@@ -228,6 +301,7 @@ object Analytics4 extends QueryModule {
     QueryDef("events_inter_arrival", interArrival, Some(interArrivalSql)),
     QueryDef("events_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("orders_assoc_rules", assocRules, Some(assocRulesSql)),
+    QueryDef("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     QueryDef("orders_basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("events_path_conversion", pathConversion, Some(pathConversionSql))
   )

@@ -91,6 +91,35 @@ class Analytics4Spec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("graph_triangles: matches an independent driver-side recount at sf0.001") {
+    val rows = run("graph_triangles").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("p_partkey"), r.getAs[Long]("n_triangles")))
+    assert(rows.nonEmpty && rows.length <= 10)
+    // independent plain-Scala recount: same degree cap, same orientation
+    val op = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = op.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val edges = support.groupBy(_._1._1).values.flatMap { nbrs =>
+      nbrs.toSeq.sortBy { case ((_, b), s) => (-s, b) }.take(20).map(_._1)
+    }.toSet
+    val bySrc = edges.groupBy(_._1)
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      (_, c) <- bySrc.getOrElse(b, Set.empty)
+      if edges((a, c))
+    } {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val want = triCount.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }
+    assert(rows.toSeq == want.toSeq, s"op ${rows.toSeq} vs recount ${want.toSeq}")
+  }
+
   test("orders_assoc_rules: confidences bounded by 1, lift consistent with counts") {
     val rows = run("orders_assoc_rules").collect()
     assert(rows.nonEmpty && rows.length <= 50)
