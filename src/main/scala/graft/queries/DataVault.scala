@@ -658,7 +658,58 @@ object DataVault extends QueryModule {
       |FROM checks
       |ORDER BY table_name, rule""".stripMargin
 
+  // ---------------------------------------------------- dv_source_profile
+  // The PROFILING TABLE the classifier consumes, exposed as its own
+  // operator (the reference computes uniqueness profiles inline to score
+  // business-key candidates; here the per-column evidence is queryable):
+  // for every registry column of the seven scalar TPC-H tables — row
+  // count, exact distinct count, null count, and the uniqueness ratio in
+  // micro-units (the classifier's BK signal). One single-pass aggregate
+  // per table (all columns in one job via multi-agg), unpivoted with
+  // stack; the registry (SourceSchemas) drives the column list, so a
+  // testdata drift that adds/renames a column changes this op's schema
+  // loudly rather than silently skipping it.
+  private val ProfileTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  private def sourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val perTable = ProfileTables.map { t =>
+      val cols = SourceSchemas.columns(t)
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          countDistinct(col(c.name)).as(s"nd_${c.name}"),
+          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"nn_${c.name}")))
+      val one = Tables.load(s, dir, t).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'${c.name}', nd_${c.name}, nn_${c.name}").mkString(", ")
+      one.select(lit(t).as("table_name"), col("n_rows"),
+          expr(s"stack(${cols.size}, $stackArgs)").as(Seq("column_name", "n_distinct", "n_nulls")))
+    }
+    perTable.reduce(_ unionByName _)
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("n_distinct"), col("n_nulls"),
+        expr("n_distinct * 1000000 div n_rows").as("uniq_micro"))
+      .orderBy("table_name", "column_name")
+  }
+
+  private val sourceProfileSql = {
+    val perCol = ProfileTables.flatMap { t =>
+      SourceSchemas.columns(t).map { c =>
+        s"""SELECT '$t' AS table_name, '${c.name}' AS column_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $t) AS n_rows,
+           |  (SELECT CAST(count(DISTINCT ${c.name}) AS BIGINT) FROM $t) AS n_distinct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $t WHERE ${c.name} IS NULL) AS n_nulls""".stripMargin
+      }
+    }
+    s"""WITH p AS (
+       |${perCol.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT table_name, column_name, n_rows, n_distinct, n_nulls,
+       |  n_distinct * 1000000 // n_rows AS uniq_micro
+       |FROM p ORDER BY table_name, column_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("dv_source_profile", sourceProfile, Some(sourceProfileSql)),
     QueryDef("dv_computed_sat", computedSat, Some(computedSatSql)),
     QueryDef("dv_quality_checks", qualityChecks, Some(qualityChecksSql)),
     QueryDef("dv_source_catalog",

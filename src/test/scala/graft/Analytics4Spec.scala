@@ -238,6 +238,24 @@ class Analytics4Spec extends SparkSpec {
     } finally graft.dv.DvLoader.deletePath(java.nio.file.Paths.get(tmp))
   }
 
+  test("dv_source_profile: key columns fully unique, registry-complete") {
+    val rows = run("dv_source_profile").collect()
+    val byCol = rows.map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r).toMap
+    // every registry column of the profiled tables appears exactly once
+    val expected = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .flatMap(t => graft.dv.SourceSchemas.columns(t).map(c => (t, c.name)))
+    assert(byCol.keySet == expected.toSet, "profile does not match the registry")
+    // business keys profile as fully unique — the classifier's BK signal
+    Seq(("customer", "c_custkey"), ("orders", "o_orderkey"), ("part", "p_partkey"))
+      .foreach { k =>
+        assert(byCol(k).getAs[Long]("uniq_micro") == 1000000L, s"$k not unique")
+      }
+    // a known low-cardinality descriptor profiles far from unique
+    assert(byCol(("customer", "c_mktsegment")).getAs[Long]("uniq_micro") < 100000L)
+    rows.foreach(r => assert(r.getAs[Long]("n_nulls") >= 0 &&
+      r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows")))
+  }
+
   test("dv_computed_sat: hub-key parity with hub_customer, exact attributes, hd tracks attrs") {
     val sat = run("dv_computed_sat")
     // every computed-sat key exists in hub_customer (the satellite hangs
