@@ -668,7 +668,10 @@ object DataVault extends QueryModule {
   // per table (all columns in one job via multi-agg), unpivoted with
   // stack; the registry (SourceSchemas) drives the column list, so a
   // testdata drift that adds/renames a column changes this op's schema
-  // loudly rather than silently skipping it.
+  // loudly rather than silently skipping it. Distinct counts are EXACT
+  // here because the oracle must byte-match; the classifier's own
+  // profiling pass (Classify) uses approx_count_distinct at scale per
+  // SURVEY §6 — at 100 TB swap the aggregate, the shape is identical.
   private val ProfileTables =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
