@@ -663,34 +663,77 @@ object DataVault extends QueryModule {
   // operator (the reference computes uniqueness profiles inline to score
   // business-key candidates; here the per-column evidence is queryable):
   // for every registry column of the seven scalar TPC-H tables — row
-  // count, exact distinct count, null count, and the uniqueness ratio in
-  // micro-units (the classifier's BK signal). One single-pass aggregate
-  // per table (all columns in one job via multi-agg), unpivoted with
-  // stack; the registry (SourceSchemas) drives the column list, so a
-  // testdata drift that adds/renames a column changes this op's schema
-  // loudly rather than silently skipping it. Distinct counts are EXACT
-  // here because the oracle must byte-match; the classifier's own
-  // profiling pass (Classify) uses approx_count_distinct at scale per
-  // SURVEY §6 — at 100 TB swap the aggregate, the shape is identical.
+  // count, distinct count, null count, the uniqueness ratio in micro-units
+  // (the classifier's BK signal), and an `exact` flag recording which
+  // profiling path produced the distinct count.
+  //
+  // TWO paths, chosen per table by a row budget (the approx/exact seam
+  // SURVEY §6 prescribes for classification profiling — round-6 verdict
+  // item 4):
+  //  * n_rows <= graft.profile.exactMaxRows (default 10M — covers every
+  //    gate SF through sf1): EXACT, but NOT via multi-countDistinct — N
+  //    distinct aggregates in one Aggregate trigger an Expand that
+  //    replicates the input N-fold and shuffles the widest columns' full
+  //    value sets through one grouping. Instead: stack-unpivot each row
+  //    into (column_name, canonical string) pairs — ONE pass — then a
+  //    two-phase hash agg on (column_name, value) followed by a per-column
+  //    rollup. One shuffle, keyed by VALUE, so a high-cardinality column
+  //    spreads across the cluster instead of concentrating in one
+  //    aggregation. Doubles normalize -0.0 → +0.0 (x + 0.0) before the
+  //    string cast so canonical-string distinctness equals SQL DISTINCT;
+  //    all other registry types cast injectively.
+  //  * above the budget: approx_count_distinct per column in ONE multi-agg
+  //    pass — HLL sketches are ordinary declarative aggregates (no
+  //    Expand, map-side partials, bytes-per-column constant), which is the
+  //    only profiling shape that survives 100 TB.
+  // The oracle pins the exact form (gate SFs are all under the budget and
+  // DuckDB emits exact = n_rows <= budget, i.e. 1); DataVaultSpec drops
+  // the budget to force the approx path and asserts no Expand in its plan
+  // and sketch counts within HLL tolerance of exact.
   private val ProfileTables =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  private[queries] val ProfileExactMaxRowsDefault = 10000000L
 
   private def sourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val exactMax = s.conf.getOption("graft.profile.exactMaxRows")
+      .map(_.toLong).getOrElse(ProfileExactMaxRowsDefault)
+    def canonical(c: Col): String =
+      if (c.typeName == "double") s"CAST((${c.name} + 0.0) AS STRING)"
+      else s"CAST(${c.name} AS STRING)"
     val perTable = ProfileTables.map { t =>
       val cols = SourceSchemas.columns(t)
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(
-          countDistinct(col(c.name)).as(s"nd_${c.name}"),
-          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"nn_${c.name}")))
-      val one = Tables.load(s, dir, t).agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c => s"'${c.name}', nd_${c.name}, nn_${c.name}").mkString(", ")
-      one.select(lit(t).as("table_name"), col("n_rows"),
-          expr(s"stack(${cols.size}, $stackArgs)").as(Seq("column_name", "n_distinct", "n_nulls")))
+      val df = Tables.load(s, dir, t)
+      val nRows = df.count() // parquet metadata count: one scalar per table
+      val exact = nRows <= exactMax
+      val profiled =
+        if (exact) {
+          val stackArgs = cols.map(c => s"'${c.name}', ${canonical(c)}").mkString(", ")
+          df.select(expr(s"stack(${cols.size}, $stackArgs)").as(Seq("column_name", "v")))
+            .groupBy(col("column_name"), col("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("column_name"))
+            .agg(
+              sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+              sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"))
+        } else {
+          val aggs = cols.flatMap(c => Seq(
+            approx_count_distinct(col(c.name)).as(s"nd_${c.name}"),
+            sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"nn_${c.name}")))
+          val one = df.agg(aggs.head, aggs.tail: _*)
+          val stackArgs = cols.map(c => s"'${c.name}', nd_${c.name}, nn_${c.name}").mkString(", ")
+          one.select(expr(s"stack(${cols.size}, $stackArgs)")
+            .as(Seq("column_name", "n_distinct", "n_nulls")))
+        }
+      profiled.select(lit(t).as("table_name"), col("column_name"),
+        lit(nRows).as("n_rows"), col("n_distinct"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        lit(if (exact) 1L else 0L).as("exact"))
     }
     perTable.reduce(_ unionByName _)
       .select(col("table_name"), col("column_name"), col("n_rows"),
         col("n_distinct"), col("n_nulls"),
-        expr("n_distinct * 1000000 div n_rows").as("uniq_micro"))
+        expr("n_distinct * 1000000 div n_rows").as("uniq_micro"),
+        col("exact"))
       .orderBy("table_name", "column_name")
   }
 
@@ -707,7 +750,8 @@ object DataVault extends QueryModule {
        |${perCol.mkString("\nUNION ALL\n")}
        |)
        |SELECT table_name, column_name, n_rows, n_distinct, n_nulls,
-       |  n_distinct * 1000000 // n_rows AS uniq_micro
+       |  n_distinct * 1000000 // n_rows AS uniq_micro,
+       |  CAST(CASE WHEN n_rows <= $ProfileExactMaxRowsDefault THEN 1 ELSE 0 END AS BIGINT) AS exact
        |FROM p ORDER BY table_name, column_name""".stripMargin
   }
 

@@ -254,6 +254,34 @@ class Analytics4Spec extends SparkSpec {
     assert(byCol(("customer", "c_mktsegment")).getAs[Long]("uniq_micro") < 100000L)
     rows.foreach(r => assert(r.getAs[Long]("n_nulls") >= 0 &&
       r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows")))
+    // the gate SFs all sit under the row budget: exact path everywhere,
+    // and the exact path must NOT be the multi-distinct Expand shape
+    assert(rows.forall(_.getAs[Long]("exact") == 1L))
+    val exactPlan = run("dv_source_profile").queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      "exact profile path regressed to a multi-distinct Expand")
+  }
+
+  test("dv_source_profile: approx path above the row budget — no Expand, HLL within tolerance") {
+    val exact = run("dv_source_profile").collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) ->
+        r.getAs[Long]("n_distinct")).toMap
+    spark.conf.set("graft.profile.exactMaxRows", "0")
+    try {
+      val approxDf = run("dv_source_profile")
+      assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+        "approx profile path must be a plain multi-agg (HLL sketches), never Expand")
+      val approx = approxDf.collect()
+      assert(approx.forall(_.getAs[Long]("exact") == 0L), "budget=0 must force approx")
+      approx.foreach { r =>
+        val k = (r.getAs[String]("table_name"), r.getAs[String]("column_name"))
+        val a = r.getAs[Long]("n_distinct")
+        val e = exact(k)
+        // HLL++ default rsd 5%; allow 12% plus small-count slack
+        assert(math.abs(a - e) <= math.max(4L, (e * 0.12).toLong),
+          s"$k: approx $a too far from exact $e")
+      }
+    } finally spark.conf.unset("graft.profile.exactMaxRows")
   }
 
   test("dv_computed_sat: hub-key parity with hub_customer, exact attributes, hd tracks attrs") {
