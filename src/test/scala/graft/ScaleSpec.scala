@@ -90,6 +90,56 @@ class ScaleSpec extends SparkSpec {
     assert(knn.contains("BroadcastNestedLoopJoin"), "knn_cosine exemption is stale")
   }
 
+  test("EVERY registered op's plan is free of unpartitioned windows, except the documented bounded ones") {
+    // Round-6 verdict item 5: nothing stopped a future op from sliding a
+    // corpus-scale unpartitioned WindowExec into the registry — each
+    // existing `WindowExec: No Partition Defined` warning came from a
+    // deliberately bounded frame, but only the salted family had a plan
+    // audit. This sweep closes the gap the same way the BNLJ list does:
+    // an op may carry an unpartitioned logical Window ONLY if it is on
+    // the exemption list, and every exemption must still be real (a
+    // listed op with no unpartitioned window is stale and fails too).
+    // Each exemption documents WHY its window input is bounded:
+    val unpartExempt = Map(
+      // merge windows of Scale.saltedTopK with empty partCols: input is
+      // pre-filtered to <= saltBuckets*K rows by the local-rank filter
+      "events_heavy_hitters" -> "salted merge window, <=32*K rows by construction",
+      "events_path_conversion" -> "salted merge window, <=32*K rows by construction",
+      "graph_triangles" -> "salted merge window, <=32*K rows by construction",
+      "orders_assoc_rules" -> "salted merge window, <=32*K rows by construction",
+      "orders_basket_pairs" -> "salted merge window, <=32*K rows by construction",
+      // value-domain histograms / grids — bounded by the axis, not the data
+      "orders_rfm" -> "R/F/M value histograms: day grid, order-count grid, 100-currency buckets",
+      "win_running_revenue" -> "monthly grid (date domain, ~84 rows)",
+      "dedup_threshold_curve" -> "11-bin Jaccard decile axis",
+      "corpus_mix" -> "language-cardinality frame",
+      "corpus_ngrams" -> "rank assignment AFTER .limit(50)",
+      // two-phase parallel prefix sums: the unpartitioned window runs over
+      // the constant 64 bucket totals, never the data (local windows are
+      // bucket-partitioned)
+      "corpus_pack" -> "64 bucket-offset rows",
+      "corpus_shards" -> "64 bucket-offset rows",
+      // block-grid cumsum: axis is first_doc div 50 — n/50 rows, linear
+      // with a 1/50 constant (same bound class as the salted local cells);
+      // re-block VocabBlock upward at extreme scale
+      "vocab_growth" -> "doc-block grid (n/50 axis; VocabBlock is the scale lever)"
+    )
+    val eagerSummary = Set("dv_go_build", "dv_go_build_bucketed", "dv_go_derived",
+      "dv_build_history", "dv_load_from_repo", "bpe_train")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val unpartitioned = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val n = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.size
+      if (n > 0) Some(name) else None
+    }.toSet
+    val rogue = unpartitioned -- unpartExempt.keySet
+    assert(rogue.isEmpty,
+      s"unpartitioned window in un-exempted ops: ${rogue.toSeq.sorted.mkString(", ")} — " +
+        "either bound the frame (salted two-phase / value-axis histogram) or document an exemption")
+    val stale = unpartExempt.keySet -- unpartitioned
+    assert(stale.isEmpty, s"stale window exemptions: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("exact-top-K family: no window partition holds the corpus (salted two-phase)") {
     import org.apache.spark.sql.expressions.Window
     // VERDICT r5 #1: knn_cosine / knn_label_vote / search_hybrid's dense
