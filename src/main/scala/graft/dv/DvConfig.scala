@@ -11,29 +11,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * implementation, the model name rendered in status responses, and the
   * confidence threshold every status view applies.
   *
-  * Zero-egress by construction: the selectable implementations are the
-  * deterministic rules engine and the pre-recorded JSON-responses client
-  * ([[JsonResponseClassifier]], which parses the reference's raw response
-  * contract from a table). A live network client would slot into the same
-  * seam, but is out of scope here — only the selection mechanism is the
-  * reference-parity surface.
+  * The selectable implementations: the deterministic rules engine, the
+  * pre-recorded JSON-responses client ([[JsonResponseClassifier]], which
+  * parses the reference's raw response contract from a table), and the
+  * LIVE [[TransformerClient]] — the OpenAI/Ollama wire client of
+  * utility/openai_client.rs / ollama_client.rs, selected with
+  * `spark.graft.classifier = http` plus the transformerServer* confs
+  * below (or the `http:<url>` shorthand). In this zero-egress sandbox the
+  * live path is spec'd against an in-process mock server; in production
+  * it points at a real endpoint and nothing else changes.
   */
 object DvConfig {
 
   /** accepted_transformer_confidence_level (guc.rs:90). */
   val ThresholdKey = "spark.graft.acceptedConfidenceLevel"
 
-  /** Classifier selection: "rules" (default) or "json:<path>" — a path to
+  /** Classifier selection: "rules" (default), "json:<path>" — a path to
     * a JSON-lines table of raw model responses keyed by (table_name,
-    * column_name), the auto_dw.transformer_responses analogue.
+    * column_name), the auto_dw.transformer_responses analogue — or
+    * "http" / "http:<url>" for the live transformer client (url defaults
+    * to [[ServerUrlKey]]).
     */
   val ClassifierKey = "spark.graft.classifier"
 
   /** model name surfaced in status_response text (guc.rs pg_auto_dw.model). */
   val ModelKey = "spark.graft.modelName"
 
+  /** pg_auto_dw.transformer_server_url (guc.rs). */
+  val ServerUrlKey = "spark.graft.transformerServerUrl"
+
+  /** pg_auto_dw.transformer_server_type: openai | ollama (guc.rs). */
+  val ServerTypeKey = "spark.graft.transformerServerType"
+
+  /** pg_auto_dw.transformer_server_token (guc.rs; Bearer, OpenAI only). */
+  val ServerTokenKey = "spark.graft.transformerServerToken"
+
   def threshold(s: SparkSession): Double =
     s.conf.get(ThresholdKey, Classify.Threshold.toString).toDouble
+
+  /** The live client from the session confs (the guc.rs wiring). */
+  def transformerClient(s: SparkSession, urlOverride: Option[String] = None): TransformerClient = {
+    val url = urlOverride.getOrElse(s.conf.getOption(ServerUrlKey).getOrElse(
+      throw new IllegalArgumentException(s"GUC: Transformer Server URL is not set ($ServerUrlKey)")))
+    new TransformerClient(TransformerClient.Config(
+      serverUrl = url,
+      serverType = TransformerClient.parseServerType(s.conf.get(ServerTypeKey, "openai")),
+      model = s.conf.get(ModelKey, "model"),
+      token = s.conf.get(ServerTokenKey, "")))
+  }
 
   def classifier(s: SparkSession): Classifier =
     s.conf.get(ClassifierKey, "rules") match {
@@ -42,9 +67,20 @@ object DvConfig {
         val path = spec.stripPrefix("json:")
         JsonResponseClassifier(s.read.json(path),
           s.conf.get(ModelKey, "json-client-v0"))
+      case spec if spec == "http" || spec.startsWith("http:") =>
+        // The live transformer path: classify every catalog table through
+        // the wire client ONCE (metadata-scale, driver-side — the bgw
+        // worker's own shape), then feed the composed responses through
+        // the same JsonResponseClassifier every recorded run uses.
+        val url = Some(spec).filter(_.startsWith("http:")).map(_.stripPrefix("http:"))
+          .filter(_.nonEmpty)
+        val client = transformerClient(s, url)
+        val tables = Classify.signals.map(_.table).distinct
+        JsonResponseClassifier(client.responsesFor(s, tables),
+          s.conf.get(ModelKey, "model"))
       case other =>
         throw new IllegalArgumentException(
-          s"$ClassifierKey must be 'rules' or 'json:<path>', got '$other'")
+          s"$ClassifierKey must be 'rules', 'json:<path>', or 'http[:<url>]', got '$other'")
     }
 
   /** The status views under the configured classifier + threshold. */
