@@ -786,6 +786,9 @@ object DataVault extends QueryModule {
       (s, d) => DvBuild.scd2FromEvents(s, d), Some(DvSqlGen.scd2EventsSql)),
     QueryDef("dv_ghost_records", ghosts, Some(DvSqlGen.ghostsSql(hubs))),
     QueryDef("dv_pit", (s, d) => DvBuild.pit(s, d), Some(DvSqlGen.pitSql)),
+    // the oracle for the incremental form IS the rebuild SQL: the
+    // hash-match proves state-plus-delta == from-scratch at every gate SF
+    QueryDef("dv_pit_incr", (s, d) => DvBuild.pitIncr(s, d), Some(DvSqlGen.pitSql)),
     // Bitemporal PIT (r6): valid time x transaction time, synthetic md5
     // ingestion lag — "what we knew then" vs "what we know now".
     QueryDef("dv_pit_bitemporal", (s, d) => DvBuild.pitBitemporal(s, d),

@@ -285,4 +285,59 @@ class DataVaultSpec extends SparkSpec {
       assert(orphans.count() == 0, "a delete arrived for a key the vault never saw")
     } finally sts.unpersist()
   }
+
+  test("dv_pit_incr: micro-batch folds equal the rebuild; batches are non-hollow; bucketed state folds exchange-free") {
+    import spark.implicits._
+    // incremental == from-scratch rebuild, row for row (the oracle also
+    // pins this: dv_pit_incr's oracle SQL IS the rebuild)
+    val incr = SparkEntry.queries("dv_pit_incr")(spark, sfDir)
+    val rebuild = SparkEntry.queries("dv_pit")(spark, sfDir)
+    assert(incr.exceptAll(rebuild).isEmpty && rebuild.exceptAll(incr).isEmpty,
+      "incremental PIT diverged from the rebuild")
+    // each micro-batch does real work: folding it changes PIT cells
+    val ev = Tables.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("tms"), col("event_id"), col("props"))
+    val dates = DvBuild.PitDates.toDF("asof_date")
+      .withColumn("asof_ms", unix_millis(col("asof_date").cast("timestamp")))
+    val Seq(c1, c2) = DvBuild.PitIncrCuts.map(d =>
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val agg = DvBuild.pitVersionAgg(dates) _
+    val state0 = agg(ev.filter(col("tms") < c1)).cache()
+    val state1 = DvBuild.pitMerge(state0, agg(ev.filter(col("tms") >= c1 && col("tms") < c2))).cache()
+    val state2 = DvBuild.pitMerge(state1, agg(ev.filter(col("tms") >= c2)))
+    try {
+      val d01 = DvBuild.pitProject(state1).exceptAll(DvBuild.pitProject(state0)).count()
+      val d12 = DvBuild.pitProject(state2).exceptAll(DvBuild.pitProject(state1)).count()
+      assert(d01 > 0, "first micro-batch folded to a no-op — hollow split")
+      assert(d12 > 0, "second micro-batch folded to a no-op — hollow split")
+      // the production shape: state persisted BUCKETED on the merge key
+      // folds the next delta with ZERO stored-side exchange (only the
+      // batch-sized delta shuffles — the point of incremental maintenance)
+      val tbl = "graft_test_pit_state"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      try {
+        state1.write.bucketBy(8, "user_id", "asof_date")
+          .sortBy("user_id", "asof_date").format("parquet").saveAsTable(tbl)
+        val folded = DvBuild.pitMerge(spark.table(tbl),
+          agg(ev.filter(col("tms") >= c2)))
+        // the STORED side of the fold join must carry no shuffle at all —
+        // the bucketed scan feeds the join directly; only the delta side
+        // may exchange (its aggregation + bucket-count alignment)
+        val join = folded.queryExecution.sparkPlan.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec  => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.getOrElse(fail("no shuffled join in the fold plan"))
+        val storedSide = join.children.head
+        val storedShuffles = storedSide.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(storedShuffles.isEmpty,
+          s"stored PIT state reshuffled in the fold:\n$storedSide")
+        assert(storedSide.toString.contains("Bucketed: true"),
+          s"stored side not a bucketed scan:\n$storedSide")
+        assert(DvBuild.pitProject(folded).exceptAll(rebuild).isEmpty,
+          "bucketed-state fold diverged from the rebuild")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    } finally { state0.unpersist(); state1.unpersist() }
+  }
 }

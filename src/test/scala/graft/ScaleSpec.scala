@@ -48,6 +48,7 @@ class ScaleSpec extends SparkSpec {
       "sim_maxsim",       // same constant query set, 16 sub-cosines per pair
       "ann_cosine_int8",  // same constant query set over the int8 corpus
       "dv_pit",           // constant 4-row as-of dates broadcast, tms <= asof_ms
+      "dv_pit_incr",      // same constant dates broadcast, once per micro-batch slice
       "dv_pit_bitemporal", // constant 4-cell (valid, knowledge) grid broadcast, two range bounds
       "q22_idle_customers", // 1-row aggregate threshold broadcast (exact-decimal avg)
       "search_hybrid",    // constant 20-probe broadcast; dense ranking salted two-phase
