@@ -171,6 +171,57 @@ class ScaleSpec extends SparkSpec {
       "salted two-phase top-K diverged from the single-window form")
   }
 
+  test("hot-business-key load: skew probe flags the key; AQE splits the anti-join") {
+    // Round-6 verdict item 8: a null/default BK carrying 50% of a feed is
+    // the classic production skew. Two defenses, both pinned here:
+    // (1) Scale.skewProbe surfaces the hot key and its share before a
+    //     load; (2) the load anti-join's skewed partition is split by
+    //     AQE's skew-join path (LeftAnti is left-side-splittable), so no
+    //     single straggler task holds the hot key's rows.
+    val n = 200000L
+    // the md5 payload keeps the hot partition's shuffle bytes honest: 100k
+    // identical key strings alone compress to almost nothing, hiding the
+    // row skew from AQE's byte-based detector (real load batches carry
+    // descriptor payloads, so bytes track rows)
+    val batch = spark.range(n).select(
+      when(col("id") % 2 === 0, lit("-missing-"))
+        .otherwise(concat(lit("bk_"), col("id"))).as("o_orderkey_bk"),
+      md5(col("id").cast("string")).as("payload"))
+    val probe = graft.dv.Scale.skewProbe(batch, col("o_orderkey_bk")).collect()
+    val hot = probe.find(_.getAs[String]("key") == "-missing-")
+      .getOrElse(fail(s"probe missed the planted hot key: ${probe.mkString(", ")}"))
+    assert(hot.getAs[Int]("rank") == 1, "hot key not ranked first")
+    assert(math.abs(hot.getAs[Long]("share_micro") - 500000L) < 10000L,
+      s"hot-key share ${hot.getAs[Long]("share_micro")} micro not ~50%")
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // test-sized thresholds: the defaults (256 MB) are cluster-sized
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // force the shuffled join the 100 TB load runs (no tiny-side broadcast)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val existing = spark.range(1000)
+        .select(concat(lit("bk_"), col("id")).as("o_orderkey_bk"))
+      val incr = graft.dv.DvBuild.hubIncrement(existing, batch, "o_orderkey_bk")
+      // anti-join result unchanged by the split: hot rows all novel, odd
+      // bk_<id> novel except the 500 odd ids under 1000. collect() (not
+      // count(), which plans its own execution) so THIS QueryExecution's
+      // adaptive plan finalizes and can be inspected.
+      assert(incr.collect().length == n - 500)
+      val plan = incr.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed load partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("simhash pair-chunk blocking: 15 keys per doc, bounded bucket occupancy") {
     val keyed = graft.queries.Dedup.simhashKeyed(spark, sfDir).cache()
     try {
