@@ -54,13 +54,17 @@ object Sf1Gen {
       d.withColumn("event_id", col("event_id") + lit(k * Off))
         .withColumn("user_id", col("user_id") + lit(k * Off))), "events")
     // documents: rotate the word sequence by a copy-dependent stride so
-    // shingle/bigram sets diverge (copies must not be near-dups)
+    // shingle/bigram sets diverge (copies must not be near-dups). The
+    // stride is taken MOD the word count (round-6 advice): a fixed stride
+    // past a short document's end rotated it back to itself, making short
+    // docs exact cross-copy duplicates and inflating dedup pair volume.
     wr(copies(spark, rd("documents"), (d, k) =>
       if (k == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(k * Off))
         .withColumn("text", expr(
-          s"""array_join(concat(slice(split(text, ' '), ${k * 7 + 3}, size(split(text, ' '))),
-             |            slice(split(text, ' '), 1, ${k * 7 + 2})), ' ')""".stripMargin))),
+          s"""array_join(concat(
+             |  slice(split(text, ' '), 1 + pmod(${k * 7 + 2}, size(split(text, ' '))), size(split(text, ' '))),
+             |  slice(split(text, ' '), 1, pmod(${k * 7 + 2}, size(split(text, ' '))))), ' ')""".stripMargin))),
       "documents")
     // embeddings: per-copy DIMENSION ROTATION (stride 7k) — a vector and
     // its rotated copy are generically near-orthogonal, so copies are NOT

@@ -406,32 +406,42 @@ object DvGo {
   def goBucketedE2E(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_go_bkt_").toString
-    val res = go(s, dir, out, bucketed = true, buckets = 16)
-    val shifted = Tables.load(s, dir, "customer")
-      .withColumn("c_custkey", col("c_custkey") + lit(BucketKeyShift))
-    DvLoader.streamTableLoadBatch(s, shifted, "customer", out, "2024-02-01 00:00:00")
-    // idempotence under the bucketed layout: zero novel rows
-    DvLoader.streamTableLoadBatch(s, shifted, "customer", out, "2024-02-02 00:00:00")
-    // the three fragmented objects are independent — compact concurrently
-    // (each uses its own staging table/dir; the scheduler interleaves)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val customerObjs = Seq("hub_customer", "sat_customer", "sat_customer_sensitive")
-    Await.result(
-      Future.sequence(customerObjs.map(o => Future(DvMaintenance.compactBucketed(s, out, o)))),
-      Duration.Inf)
-    // final counts read through the bucketed catalog tables (proving the
-    // compacted swap still reads), submitted concurrently and collected
-    // driver-side (objects-scale) so the temp vault and its catalog
-    // entries can be dropped immediately
     val prefix = tablePrefix(out)
-    val counts = Await.result(Future.sequence(res.objects.map(_._1).sorted.map { obj =>
-      Future(obj -> s.table(s"$prefix$obj").count())
-    }), Duration.Inf)
-    res.objects.map(_._1).foreach(o => s.sql(s"DROP TABLE IF EXISTS $prefix$o"))
-    DvLoader.deletePath(java.nio.file.Paths.get(out))
-    counts.toDF("object", "row_count").orderBy("object")
+    // try/finally (round-6 advice): a failure anywhere in the lifecycle
+    // must not leak the temp vault directory or its graft_dv_* session
+    // catalog tables for the rest of the session
+    try {
+      val res = go(s, dir, out, bucketed = true, buckets = 16)
+      val shifted = Tables.load(s, dir, "customer")
+        .withColumn("c_custkey", col("c_custkey") + lit(BucketKeyShift))
+      DvLoader.streamTableLoadBatch(s, shifted, "customer", out, "2024-02-01 00:00:00")
+      // idempotence under the bucketed layout: zero novel rows
+      DvLoader.streamTableLoadBatch(s, shifted, "customer", out, "2024-02-02 00:00:00")
+      // the three fragmented objects are independent — compact concurrently
+      // (each uses its own staging table/dir; the scheduler interleaves)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val customerObjs = Seq("hub_customer", "sat_customer", "sat_customer_sensitive")
+      Await.result(
+        Future.sequence(customerObjs.map(o => Future(DvMaintenance.compactBucketed(s, out, o)))),
+        Duration.Inf)
+      // final counts read through the bucketed catalog tables (proving the
+      // compacted swap still reads), submitted concurrently and collected
+      // driver-side (objects-scale) so the temp vault and its catalog
+      // entries can be dropped immediately
+      val counts = Await.result(Future.sequence(res.objects.map(_._1).sorted.map { obj =>
+        Future(obj -> s.table(s"$prefix$obj").count())
+      }), Duration.Inf)
+      counts.toDF("object", "row_count").orderBy("object")
+    } finally {
+      // drop whatever subset of the vault's tables got registered before
+      // any failure, then the directory itself
+      s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(prefix))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      DvLoader.deletePath(java.nio.file.Paths.get(out))
+    }
   }
 
   /** Oracle twin of goBucketedE2E: goSummary's source-cardinality counts

@@ -118,6 +118,15 @@ object Scale {
     * local top-Ks, so the result is row-identical to the single-window
     * form; the merge window's input is bounded by a constant independent
     * of corpus size. ScaleSpec pins both properties.
+    *
+    * Bound honesty (round-6 advice): the MERGE window is the constant
+    * (≤ saltBuckets×K rows per key); the LOCAL sort cells are
+    * n_key/saltBuckets rows — a 1/saltBuckets constant-factor bound, not
+    * a constant. For keyed rankings n_key is a per-key candidate count;
+    * for GLOBAL rankings (partCols empty) it is the whole frame, so at
+    * extreme scale pass a larger saltBuckets (cells shrink linearly; the
+    * merge input grows only by K per bucket) — callers ranking corpus-
+    * scale frames should size saltBuckets ≈ frame_rows / target_cell_rows.
     */
   def saltedTopK(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
                  saltSrc: Column, k: Int, rankName: String = "rank",

@@ -519,6 +519,15 @@ object Streams {
     */
   val AttribWindowMs: Long = 1800000L
 
+  /** State schema of the attribution stream. UPGRADE NOTE (round-6
+    * advice): event_id was added to this tuple in round 6, which changed
+    * the flatMapGroupsWithState state encoding — a checkpoint written by
+    * the pre-round-6 stream cannot restore against this class (state
+    * schema incompatibility). Operators upgrading a live attribution
+    * stream must reset its checkpoint (and replay the log for continuity);
+    * the same applies to ANY future field change here. Also recorded in
+    * DEPLOYMENT.md's streaming-upgrade section.
+    */
   final case class LastTouch(tms: Long, event_id: Long, event_type: String)
   final case class Attribution(event_id: Long, user_id: Long, tms: Long,
                                touch_type: String, touch_tms: Long, latency_ms: Long)

@@ -41,11 +41,27 @@ def main():
                            cwd="/root/repo")
         if r.returncode != 0:
             print("Verify run FAILED"); sys.exit(1)
+    # --timeout SECS: per-oracle-query wall clock (0 = none). An oracle
+    # that exceeds it is reported TIMEOUT and counted as a failure unless
+    # also named in --skip (structurally DuckDB-infeasible at this SF,
+    # e.g. the all-pairs dedup oracle at sf1).
+    timeout = 0
+    skip = {}
+    for i, a in enumerate(sys.argv):
+        if a == "--timeout":
+            timeout = int(sys.argv[i + 1])
+        if a == "--skip":  # name=reason,name=reason
+            skip = dict(kv.split("=", 1) for kv in sys.argv[i + 1].split(","))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # driver testdata is one file per table; Spark-generated scale
+        # dirs (Sf1Gen) are <table>.parquet/ directories of part files
+        p = f"{sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    skipped = []
     # ops that crashed in Verify leave a <name>._error sidecar — surface
     # them as named failures, never as silent absence
     for err in sorted(glob.glob(f"{out}/*._error")):
@@ -64,9 +80,28 @@ def main():
             print(f"  {name}: rows-only ({len(spark_df)} rows) {'OK' if len(spark_df)>0 else 'EMPTY!'}")
             n_pass += int(len(spark_df) > 0); n_fail += int(len(spark_df) == 0)
             continue
+        if name in skip:
+            print(f"  {name}: SKIPPED ({skip[name]}) — spark rows={len(spark_df)} "
+                  f"{'OK' if len(spark_df) > 0 else 'EMPTY!'}")
+            skipped.append(name)
+            n_fail += int(len(spark_df) == 0)
+            continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            if timeout:
+                import threading
+                timer = threading.Timer(timeout, con.interrupt)
+                timer.start()
+                try:
+                    duck_df = con.execute(oracle[name]).fetchdf()
+                finally:
+                    timer.cancel()
+            else:
+                duck_df = con.execute(oracle[name]).fetchdf()
+        except duckdb.InterruptException:
+            print(f"  {name}: ORACLE TIMEOUT (> {timeout}s)"); n_fail += 1; continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                print(f"  {name}: ORACLE TIMEOUT (> {timeout}s)"); n_fail += 1; continue
             print(f"  {name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
@@ -85,7 +120,8 @@ def main():
             n_fail += 1; continue
         print(f"  {name}: OK ({len(a)} rows)")
         n_pass += 1
-    print(f"PASS {n_pass} / FAIL {n_fail}")
+    tail = f" / SKIPPED {len(skipped)} ({', '.join(skipped)})" if skipped else ""
+    print(f"PASS {n_pass} / FAIL {n_fail}{tail}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
