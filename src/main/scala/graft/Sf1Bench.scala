@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-round sf1 scale-ratio bench (round-6 verdict item 10): times the
+  * ~30 most expensive / scale-interesting operators once at the driver's
+  * largest gate SF and once at the deterministic 10x Sf1Gen scale-up,
+  * and emits ONE JSON line of per-op ratios — so the at-worst-linear
+  * property SF1_DRYRUN.md established is regression-checked continuously
+  * instead of once. Absolute numbers are single-shot (noisier than
+  * Bench's best-of); the RATIO is the metric: 10x data at ratio <= ~10 is
+  * at-worst-linear, and the flat families (salted top-K, constant-probe
+  * ANN) should stay near 1.
+  *
+  *   sbt "runMain graft.Sf1Gen /root/testdata/sf0.1 /tmp/sf1"
+  *   sbt "runMain graft.Sf1Bench /root/testdata/sf0.1 /tmp/sf1"
+  */
+object Sf1Bench {
+
+  /** The watched set: every op >= ~1s at sf0.1 plus the flat families
+    * whose flatness IS the scale claim.
+    */
+  val Ops: Seq[String] = Seq(
+    "dv_go_build", "dv_go_build_bucketed", "dv_go_derived", "dv_build_history",
+    "dv_load_from_repo", "dv_source_profile", "dv_pit_incr",
+    "graph_pagerank", "graph_triangles",
+    "search_hybrid", "knn_cosine", "knn_label_vote",
+    "ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_int8", "ann_ivf_pq", "ann_l2_pq",
+    "dedup_embed_cosine", "dedup_embed_cosine_prod", "dedup_minhash_lsh",
+    "dedup_substring", "sim_ngram_jaccard", "dedup_cluster",
+    "q2_min_cost_supplier", "orders_rfm", "orders_assoc_rules", "events_heavy_hitters",
+    "pipeline_curate_full", "pipeline_dedup_full", "text_lm_score", "bpe_train",
+    "emb_covariance")
+
+  def main(args: Array[String]): Unit = {
+    val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val sfBig = args.lift(1).getOrElse("/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.applyConfs(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm codegen/reader paths at the smallest SF (Bench's methodology)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    Ops.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
+    def time(name: String, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
+    val rows = Ops.map { n => (n, time(n, sfSmall), time(n, sfBig)) }
+    val parts = rows.collect { case (n, Some(a), Some(b)) =>
+      f"""\"$n\":{\"small\":$a%.2f,\"big\":$b%.2f,\"ratio\":${b / a}%.2f}"""
+    }
+    val failed = rows.collect { case (n, a, b) if a.isEmpty || b.isEmpty => n }
+    val ratios = rows.collect { case (_, Some(a), Some(b)) => b / a }
+    val maxR = if (ratios.nonEmpty) ratios.max else -1.0
+    println(s"""{"metric":"sf1_ratios","sf_small":"$sfSmall","sf_big":"$sfBig","n_ops":${parts.size},"max_ratio":${f"$maxR%.2f"},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"ops":{${parts.mkString(",")}}}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}
