@@ -34,9 +34,12 @@ object Analytics extends QueryModule with MoneyArithmetic {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        // price sums via the 2^53-stable unscaled-integer cast (Money
+        // .stableDouble): scales 2/4/6 — sum_charge's unscaled value
+        // crosses 2^53 at sf1 and the direct cast diverges cross-engine
+        stableDouble(sum(dec2(col("l_extendedprice"))), 2).as("sum_base_price"),
+        stableDouble(sum(discPrice), 4).as("sum_disc_price"),
+        stableDouble(sum(charge), 6).as("sum_charge"),
         (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(pct(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
@@ -44,12 +47,12 @@ object Analytics extends QueryModule with MoneyArithmetic {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  private val q1Sql = """
+  private val q1Sql = s"""
     SELECT l_returnflag, l_linestatus,
       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)                        AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)                   AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))) * (1.00 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      ${stableDoubleSql("sum(CAST(l_extendedprice AS DECIMAL(12,2)))", 2)}          AS sum_base_price,
+      ${stableDoubleSql("sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))))", 4)} AS sum_disc_price,
+      ${stableDoubleSql("sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))) * (1.00 + CAST(l_tax AS DECIMAL(4,2))))", 6)} AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)/count(*)               AS avg_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)/count(*)          AS avg_price,
       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)/count(*)                AS avg_disc,

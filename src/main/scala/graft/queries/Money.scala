@@ -20,4 +20,24 @@ private[queries] trait MoneyArithmetic {
   def discPrice: Column = dec2(col("l_extendedprice")) * (one - pct(col("l_discount")))
   /** discPrice*(1+tax). */
   def charge: Column = discPrice * (one + pct(col("l_tax")))
+
+  /** Decimal aggregate → DOUBLE, deterministic across engines even when
+    * the UNSCALED value exceeds 2^53 (the r7 sf1 lesson: q1's sum_charge,
+    * unscaled 2.8e16, diverged by 1 ulp because Spark's and DuckDB's
+    * direct decimal→double casts double-round differently up there).
+    * Route through the exact unscaled BIGINT, then ONE long→double
+    * conversion and ONE division by the power-of-ten double — identical
+    * IEEE operations on identical operands in both engines. Below 2^53
+    * this equals the correctly-rounded direct cast, so gate results at
+    * smaller SFs are unchanged. SQL twin: [[stableDoubleSql]].
+    */
+  def stableDouble(sumDec: Column, scale: Int): Column = {
+    val factor = math.pow(10, scale).toLong
+    (sumDec * lit(factor)).cast("long").cast("double") / lit(factor.toDouble)
+  }
+
+  def stableDoubleSql(sumSql: String, scale: Int): String = {
+    val factor = math.pow(10, scale).toLong
+    s"CAST(CAST(($sumSql) * $factor AS BIGINT) AS DOUBLE) / CAST($factor AS DOUBLE)"
+  }
 }

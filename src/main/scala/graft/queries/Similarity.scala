@@ -221,14 +221,16 @@ object Similarity extends QueryModule {
   // cosine expression at the threshold.
   //
   // Recall math: a pair at cosine c agrees on one hyperplane with
-  // p = 1 - acos(c)/pi, on a 2-plane band with p^2, and misses all 16 bands
-  // with (1-p^2)^16 — at the 0.4 threshold that is <3e-4 per pair, and the
-  // banding is verified exhaustively against the exact all-pairs oracle at
-  // every test SF (the oracle twin below is intentionally the all-pairs
-  // form: the hash-match IS the recall proof; SimilaritySpec re-asserts it).
+  // p = 1 - acos(c)/pi, on a 2-plane band with p^2, and misses all 32
+  // bands with (1-p^2)^32 — at the 0.4 threshold that is ~9e-8 per pair
+  // (sized to the pair VOLUME of the largest checked SF, see DedupBands
+  // below), and the banding is verified exhaustively against the exact
+  // all-pairs oracle at every test SF (the oracle twin below is
+  // intentionally the all-pairs form: the hash-match IS the recall proof;
+  // SimilaritySpec re-asserts it).
   // The 2-plane bands are CORPUS-TUNED, not the production setting: on
   // this near-orthogonal corpus a random pair agrees on a 2-plane band
-  // with p=1/4, so candidate volume stays near-quadratic with only 64
+  // with p=1/4, so candidate volume stays near-quadratic with only 128
   // distinct (band, sig) join keys — acceptable here exactly because the
   // τ=0.4 threshold on near-orthogonal data makes dense candidates
   // unavoidable (recall 1.0 is the requirement the oracle enforces). At
@@ -237,7 +239,18 @@ object Similarity extends QueryModule {
   // multiply into the millions (no reducer skew), and candidate volume is
   // sub-quadratic — only the two constants change, not the plan shape.
   private val NearDupCosine = 0.4
-  private val DedupBands = 16
+  // 32 bands (r7, was 16): the all-pairs oracle makes recall 1.0 the
+  // CONTRACT, and OR-amplified recall is statistical — a τ-threshold pair
+  // misses all B 2-plane bands with (1-p²)^B, p ≈ 0.63 at c = 0.4, so 16
+  // bands = 3e-4/pair: fine when the corpus holds 3k true pairs (sf0.1,
+  // expected misses 0.9), a guaranteed gate failure at sf1's 96k pairs
+  // (expected 29 — and 16 were observed). 32 bands put the per-pair miss
+  // at ~9e-8 (expected 0.009 at sf1, 0.09 at sf10). Scan cost doubles to
+  // 64 hyperplane dots/row (still one codegen kernel pass); candidate
+  // volume barely moves on this corpus (already band-dense at τ=0.4);
+  // the packed word now uses all 64 bits of the Long (exact two-bit
+  // fields, wrap-free: 32 bands × 2 bits).
+  private val DedupBands = 32
   private val DedupRows = 2 // hyperplanes per band
 
   /** The verified near-dup pair set MATERIALIZED to parquet once per
@@ -269,23 +282,27 @@ object Similarity extends QueryModule {
       s.read.parquet(path)
     }
 
-  // All 16 band signatures packed into one BIGINT (2 bits per band): the
+  // All 32 band signatures packed into one BIGINT (2 bits per band, the
+  // full 64-bit word): the
   // candidate join carries only (vec_id, sigword) — the 64-float
   // embeddings stay out of the (band, sig) shuffle and are re-attached
   // to surviving pairs against the slim vector table (broadcast here; at
   // warehouse scale a bucketed hash join). The 32 plane dots run in the
   // native codegen kernel (bands in [0,4): bit r of sigs[b] set iff the
   // dot against hyperplane band*DedupRows + r is positive — the same
-  // md5-derived `plane_` family as annLsh); only the 16-step packing
+  // md5-derived `plane_` family as annLsh); only the 32-step packing
   // fold is a HOF.
   private lazy val dedupCoefs: Seq[Seq[Double]] = (0 until DedupBands * DedupRows)
     .map(p => (1 to Dim).map(d => coefScala(p, d).toDouble))
+  // shift-or, not acc*4+sig: with all 64 bits in use the top band's
+  // multiply overflows Long and ANSI mode (Spark 4 default) throws;
+  // bitwise ops carry no overflow semantics and pack identically
   private lazy val wordCol: Column = aggregate(
     sequence(lit(DedupBands - 1), lit(0), lit(-1)), lit(0L),
-    (acc, b) => acc * 4 + element_at(col("_sigs"), b + 1))
+    (acc, b) => shiftleft(acc, 2).bitwiseOR(element_at(col("_sigs"), b + 1)))
 
   /** Append the packed band-signature `word` for embedding column `e` —
-    * row-local (codegen kernel + one 16-step fold, no shuffle), the EXACT
+    * row-local (codegen kernel + one 32-step fold, no shuffle), the EXACT
     * constants of the batch index. The streaming semantic-dedup gate
     * computes an arriving vector's signatures with this.
     */

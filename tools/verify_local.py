@@ -47,11 +47,18 @@ def main():
     # e.g. the all-pairs dedup oracle at sf1).
     timeout = 0
     skip = {}
+    only = None
+    json_out = None
     for i, a in enumerate(sys.argv):
         if a == "--timeout":
             timeout = int(sys.argv[i + 1])
         if a == "--skip":  # name=reason,name=reason
             skip = dict(kv.split("=", 1) for kv in sys.argv[i + 1].split(","))
+        if a == "--only":  # name,name — compare only these
+            only = set(sys.argv[i + 1].split(","))
+        if a == "--json":  # write per-query verdicts to this file
+            json_out = sys.argv[i + 1]
+    verdicts = {}
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; Spark-generated scale
@@ -71,19 +78,23 @@ def main():
         n_fail += 1
     names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
                    and not os.path.exists(os.path.join(out, d + "._error")))
+    if only is not None:
+        names = [n for n in names if n in only]
     for name in names:
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
-            print(f"  {name}: NO SPARK OUTPUT"); n_fail += 1; continue
+            print(f"  {name}: NO SPARK OUTPUT"); verdicts[name] = "NO_OUTPUT"; n_fail += 1; continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracle:
             print(f"  {name}: rows-only ({len(spark_df)} rows) {'OK' if len(spark_df)>0 else 'EMPTY!'}")
+            verdicts[name] = "ROWS_ONLY_OK" if len(spark_df) > 0 else "ROWS_ONLY_EMPTY"
             n_pass += int(len(spark_df) > 0); n_fail += int(len(spark_df) == 0)
             continue
         if name in skip:
             print(f"  {name}: SKIPPED ({skip[name]}) — spark rows={len(spark_df)} "
                   f"{'OK' if len(spark_df) > 0 else 'EMPTY!'}")
             skipped.append(name)
+            verdicts[name] = f"SKIPPED: {skip[name]}" if len(spark_df) > 0 else "SKIPPED_BUT_EMPTY"
             n_fail += int(len(spark_df) == 0)
             continue
         try:
@@ -98,18 +109,18 @@ def main():
             else:
                 duck_df = con.execute(oracle[name]).fetchdf()
         except duckdb.InterruptException:
-            print(f"  {name}: ORACLE TIMEOUT (> {timeout}s)"); n_fail += 1; continue
+            print(f"  {name}: ORACLE TIMEOUT (> {timeout}s)"); verdicts[name] = "TIMEOUT"; n_fail += 1; continue
         except Exception as e:
             if "INTERRUPT" in str(e).upper():
-                print(f"  {name}: ORACLE TIMEOUT (> {timeout}s)"); n_fail += 1; continue
-            print(f"  {name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+                print(f"  {name}: ORACLE TIMEOUT (> {timeout}s)"); verdicts[name] = "TIMEOUT"; n_fail += 1; continue
+            print(f"  {name}: ORACLE SQL ERROR: {e}"); verdicts[name] = f"ORACLE_ERROR: {e}"[:300]; n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"  {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
-            n_fail += 1; continue
+            verdicts[name] = "COLUMN_MISMATCH"; n_fail += 1; continue
         if len(a) != len(b):
             print(f"  {name}: ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}")
-            n_fail += 1; continue
+            verdicts[name] = f"ROWCOUNT_MISMATCH {len(a)} vs {len(b)}"; n_fail += 1; continue
         ha, hb = dfhash(a), dfhash(b)
         if ha != hb:
             print(f"  {name}: HASH MISMATCH")
@@ -117,11 +128,16 @@ def main():
             bad = diff.any(axis=1)
             print("   spark:", a[bad].head(3).to_dict("records"))
             print("   duck :", b[bad].head(3).to_dict("records"))
-            n_fail += 1; continue
+            verdicts[name] = "HASH_MISMATCH"; n_fail += 1; continue
         print(f"  {name}: OK ({len(a)} rows)")
+        verdicts[name] = f"OK ({len(a)} rows)"
         n_pass += 1
     tail = f" / SKIPPED {len(skipped)} ({', '.join(skipped)})" if skipped else ""
     print(f"PASS {n_pass} / FAIL {n_fail}{tail}")
+    if json_out:
+        json.dump({"sf": sf, "out": out, "pass": n_pass, "fail": n_fail,
+                   "skipped": skipped, "timeout_s": timeout,
+                   "queries": verdicts}, open(json_out, "w"), indent=1)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
