@@ -102,23 +102,30 @@ object Catalog {
     } finally DvLoader.deletePath(java.nio.file.Paths.get(tmp))
   }
 
-  /** Oracle twin of introspectLanding: the expected inference result as
-    * constants — CSV narrows integral columns to the smallest fitting type
-    * (int) and re-infers doubles; JSON infers integrals as bigint and
-    * orders fields alphabetically.
+  /** Oracle twin of introspectLanding: the expected inference result —
+    * CSV narrows integral columns to the smallest fitting type and
+    * re-infers doubles; JSON infers integrals as bigint and orders fields
+    * alphabetically. The integral-narrowing expectation is DOMAIN-AWARE,
+    * not a constant (the r7 sf1 lesson): Spark's CSV sniffer picks int
+    * only while every value fits int32, so a key column that grows past
+    * 2^31 at a bigger SF legitimately infers bigint — the oracle predicts
+    * the narrowing from the data itself.
     */
   def landingSql: String = {
+    def intOrBigint(c: String) =
+      s"(SELECT CASE WHEN max($c) < 2147483648 THEN 'int' ELSE 'bigint' END FROM customer)"
+    // data_type column carries a SQL EXPRESSION (literal or subquery)
     val expected = Seq(
-      ("landing", "customer_csv", "csv", "c_custkey", 1, "int", 1),
-      ("landing", "customer_csv", "csv", "c_name", 2, "varchar", 0),
-      ("landing", "customer_csv", "csv", "c_nationkey", 3, "int", 1),
-      ("landing", "customer_csv", "csv", "c_acctbal", 4, "double", 0),
-      ("landing", "customer_csv", "csv", "c_mktsegment", 5, "varchar", 0),
-      ("landing", "nation_json", "json", "n_name", 1, "varchar", 0),
-      ("landing", "nation_json", "json", "n_nationkey", 2, "bigint", 1),
-      ("landing", "nation_json", "json", "n_regionkey", 3, "bigint", 1))
+      ("landing", "customer_csv", "csv", "c_custkey", 1, intOrBigint("c_custkey"), 1),
+      ("landing", "customer_csv", "csv", "c_name", 2, "'varchar'", 0),
+      ("landing", "customer_csv", "csv", "c_nationkey", 3, intOrBigint("c_nationkey"), 1),
+      ("landing", "customer_csv", "csv", "c_acctbal", 4, "'double'", 0),
+      ("landing", "customer_csv", "csv", "c_mktsegment", 5, "'varchar'", 0),
+      ("landing", "nation_json", "json", "n_name", 1, "'varchar'", 0),
+      ("landing", "nation_json", "json", "n_nationkey", 2, "'bigint'", 1),
+      ("landing", "nation_json", "json", "n_regionkey", 3, "'bigint'", 1))
     val rows = expected.map { case (sc, t, fmt, c, o, dt, bk) =>
-      s"('$sc', '$t', '$fmt', '$c', $o, '$dt', $bk)"
+      s"('$sc', '$t', '$fmt', '$c', $o, $dt, $bk)"
     }
     s"""SELECT * FROM (VALUES
        |  ${rows.mkString(",\n  ")}
