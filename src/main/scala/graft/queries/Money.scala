@@ -40,4 +40,18 @@ private[queries] trait MoneyArithmetic {
     val factor = math.pow(10, scale).toLong
     s"CAST(CAST(($sumSql) * $factor AS BIGINT) AS DOUBLE) / CAST($factor AS DOUBLE)"
   }
+  // 2^53 AUDIT (r7): a decimal aggregate's direct double cast is
+  // cross-engine-safe while |unscaled value| < 2^53 ≈ 9.0e15. Audit of
+  // every money cast in the registry by (scale, coarsest grouping):
+  //  - scale 6 (charge): a flag-group sum crosses at sf1 -> q1 uses
+  //    stableDouble (the one observed divergence).
+  //  - scale 4 (discPrice): a FULL-corpus 1-row sum (2.2e15 unscaled at
+  //    sf1) crosses around sf4; the registry's coarsest scale-4 groups
+  //    (q6's one-year slice, q14's month, q8's year x nation-pair) sit
+  //    1-2 orders below that — safe through ~sf40.
+  //  - scale 2 (totalprice/extendedprice/acctbal): full-corpus cumulative
+  //    sums (win_running_revenue's last frame) cross around sf400.
+  // Rule: any NEW aggregate whose unscaled magnitude can reach 2^53 at a
+  // gate SF takes stableDouble from day one; the existing sites above get
+  // it when the gate SF ladder approaches their threshold.
 }

@@ -380,22 +380,44 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
-  private def embedClusterSql: String =
-    s"""WITH RECURSIVE pairs AS (
+  /** CC oracle via UNROLLED min-label propagation + pointer jumping, not
+    * a WITH RECURSIVE transitive closure (r7): the closure materializes
+    * Σ|cluster|² reach rows — >900s in DuckDB on the sf1 embed graph's
+    * 96k edges — while label propagation is rounds × |E|. Each round:
+    * label ← min(own, neighbors' labels), then one jump
+    * label ← label[label]; EmbedCcRounds propagate+jump rounds reach the
+    * component minimum for any diameter ≤ 2^rounds (near-dup blobs are
+    * dense, diameter single-digit; under-convergence would fail the
+    * hash LOUDLY, never silently).
+    */
+  private val EmbedCcRounds = 6
+
+  private def embedClusterSql: String = {
+    val rounds = (1 to EmbedCcRounds).map { k =>
+      val prev = if (k == 1) "l0" else s"j${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l.id AS id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+         |  FROM $prev l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN $prev nl ON nl.id = e.dst
+         |  GROUP BY l.id, l.lbl
+         |), j$k AS MATERIALIZED (
+         |  SELECT p.id AS id, q.lbl AS lbl FROM p$k p JOIN p$k q ON q.id = p.lbl
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT vec_a, vec_b FROM ($embedDedupSql)
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT vec_b AS src, vec_a AS dst FROM pairs
-       |), reach(id, r) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
-       |), labels AS (
-       |  SELECT id, min(r) AS canon FROM reach GROUP BY id
-       |), assign AS (
-       |  SELECT v.vec_id, coalesce(l.canon, v.vec_id) AS canon_id
-       |  FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+       |), l0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+       |),
+       |$rounds,
+       |assign AS (
+       |  SELECT v.vec_id, j$EmbedCcRounds.lbl AS canon_id
+       |  FROM embeddings v JOIN j$EmbedCcRounds ON j$EmbedCcRounds.id = v.vec_id
        |), sizes AS (
        |  SELECT canon_id, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM assign GROUP BY canon_id
@@ -404,6 +426,7 @@ object Similarity extends QueryModule {
        |  CASE WHEN a.vec_id = a.canon_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
        |FROM assign a JOIN sizes s ON s.canon_id = a.canon_id
        |ORDER BY a.vec_id""".stripMargin
+  }
 
   /** LSH band-signature assignment (vec_id, embedding, band, sig) — the
     * exact banding ann_cosine_lsh joins on; SimilaritySpec uses it to
