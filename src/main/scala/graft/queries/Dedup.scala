@@ -619,22 +619,40 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private[queries] val clusterSql =
-    s"""WITH RECURSIVE pairs AS (
+  // CC oracle via UNROLLED min-label propagation + pointer jumping (r7,
+  // the dedup_cluster_embed pattern): the WITH RECURSIVE closure's reach
+  // CTE is Σ|cluster|² rows — minutes at sf1 and re-evaluated by every
+  // oracle that inlines this SQL (dedup_keep_best, pipeline_dedup_full);
+  // label propagation is rounds × |E| (seconds), converging for any
+  // component diameter ≤ 2^rounds, with under-convergence failing the
+  // hash loudly.
+  private val TextCcRounds = 6
+  private[queries] val clusterSql = {
+    val rounds = (1 to TextCcRounds).map { k =>
+      val prev = if (k == 1) "l0" else s"j${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l.id AS id, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+         |  FROM $prev l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN $prev nl ON nl.id = e.dst
+         |  GROUP BY l.id, l.lbl
+         |), j$k AS MATERIALIZED (
+         |  SELECT p.id AS id, q.lbl AS lbl FROM p$k p JOIN p$k q ON q.id = p.lbl
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM ($minhashSql)
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-       |), reach(id, r) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
-       |), labels AS (
-       |  SELECT id, min(r) AS canon FROM reach GROUP BY id
-       |), assign AS (
-       |  SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canon_id
-       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |), l0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |),
+       |$rounds,
+       |assign AS (
+       |  SELECT d.doc_id, j$TextCcRounds.lbl AS canon_id
+       |  FROM documents d JOIN j$TextCcRounds ON j$TextCcRounds.id = d.doc_id
        |), sizes AS (
        |  SELECT canon_id, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM assign GROUP BY canon_id
@@ -643,6 +661,7 @@ object Dedup extends QueryModule {
        |  CASE WHEN a.doc_id = a.canon_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
        |FROM assign a JOIN sizes s ON s.canon_id = a.canon_id
        |ORDER BY a.doc_id""".stripMargin
+  }
 
   // ------------------------------------------------ dedup_keep_best
   // Quality-aware survivorship: production dedup keeps the BEST member of
