@@ -35,6 +35,9 @@ object Sf1Bench {
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sfBig = args.lift(1).getOrElse("/tmp/sf1")
+    // optional 3rd arg: comma-separated op subset (e.g. the sf10 dry run
+    // excludes the disclosed near-quadratic dedup family)
+    val ops = args.lift(2).map(_.split(",").toSeq).getOrElse(Ops)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.applyConfs(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +48,7 @@ object Sf1Bench {
     // warm codegen/reader paths at the smallest SF (Bench's methodology)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val warmDir = "/root/testdata/sf0.001"
-    Ops.foreach { n =>
+    ops.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
@@ -54,7 +57,7 @@ object Sf1Bench {
       try { SparkEntry.queries(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
-    val rows = Ops.map { n => (n, time(n, sfSmall), time(n, sfBig)) }
+    val rows = ops.map { n => (n, time(n, sfSmall), time(n, sfBig)) }
     val parts = rows.collect { case (n, Some(a), Some(b)) =>
       f"""\"$n\":{\"small\":$a%.2f,\"big\":$b%.2f,\"ratio\":${b / a}%.2f}"""
     }

@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Sf1Gen {
   private val Off = 1000000000L
-  private val Copies = 10
+  private var Copies = 10
 
   private def copies(s: SparkSession, base: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until Copies).map(k => f(base, k)).reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {
     val in = args(0); val out = args(1)
+    // optional 3rd arg: copy count (default 10 = the sf1 shape; 100 = an
+    // sf10 dry-run directly from sf0.1 — max key shift 99e9, no overlap)
+    Copies = args.lift(2).map(_.toInt).getOrElse(10)
+    require(Copies >= 1 && Copies <= 1000, s"copies out of range: $Copies")
     val spark = Tables.applyConfs(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,26 +62,42 @@ object Sf1Gen {
     // stride is taken MOD the word count (round-6 advice): a fixed stride
     // past a short document's end rotated it back to itself, making short
     // docs exact cross-copy duplicates and inflating dedup pair volume.
+    // copies beyond the classic sf1 range (k >= 10) also prepend a
+    // copy-unique token: with many copies, rotation strides collide mod
+    // short word counts (7Δk ≡ 0 mod n) and would mint exact cross-copy
+    // duplicates; the token keeps texts distinct without disturbing the
+    // k < 10 output, so sf1 regeneration stays byte-identical
     wr(copies(spark, rd("documents"), (d, k) =>
       if (k == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(k * Off))
         .withColumn("text", expr(
           s"""array_join(concat(
              |  slice(split(text, ' '), 1 + pmod(${k * 7 + 2}, size(split(text, ' '))), size(split(text, ' '))),
-             |  slice(split(text, ' '), 1, pmod(${k * 7 + 2}, size(split(text, ' '))))), ' ')""".stripMargin))),
+             |  slice(split(text, ' '), 1, pmod(${k * 7 + 2}, size(split(text, ' '))))), ' ')""".stripMargin))
+        .withColumn("text",
+          if (k < 10) col("text") else concat(lit(s"cp$k "), col("text")))),
       "documents")
     // embeddings: per-copy DIMENSION ROTATION (stride 7k) — a vector and
     // its rotated copy are generically near-orthogonal, so copies are NOT
     // near-duplicates and near-dup pair volume scales linearly with the
     // corpus (small additive jitter left copies at cosine≈1 and inflated
     // dedup_embed_cosine 11x instead of 10x — the first dry-run lesson)
+    // dimension rotation yields only 64 distinct transforms (gcd(7,64)=1
+    // cycles all of them); copies with k >= 64 additionally NEGATE the
+    // vector — cosine(v, -v) = -1, so the reused rotation cannot mint
+    // exact-duplicate pairs and near-dup volume stays linear in copies
     wr(copies(spark, rd("embeddings"), (d, k) =>
       if (k == 0) d
-      else d.withColumn("vec_id", col("vec_id") + lit(k * Off))
-        .withColumn("embedding", expr(
-          s"transform(sequence(1, 64), i -> element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)))"))),
+      else {
+        val rot = expr(
+          s"transform(sequence(1, 64), i -> element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)))")
+        d.withColumn("vec_id", col("vec_id") + lit(k * Off))
+          .withColumn("embedding",
+            if (k < 64) rot else expr(
+              s"transform(sequence(1, 64), i -> -element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)))"))
+      }),
       "embeddings")
-    println(s"[sf1gen] wrote 10x of $in to $out")
+    println(s"[sf1gen] wrote ${Copies}x of $in to $out")
     spark.stop()
   }
 }
