@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.DecimalType
   * differently in Spark vs DuckDB — one shared definition so a future
   * determinism fix cannot diverge between modules.
   */
-private[queries] trait MoneyArithmetic {
+private[graft] trait MoneyArithmetic {
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Exact decimal "1.00" so 1-x / 1+x keeps tight precision in both engines. */
   val one: Column = lit(new java.math.BigDecimal("1.00"))
@@ -55,3 +55,6 @@ private[queries] trait MoneyArithmetic {
   // gate SF takes stableDouble from day one; the existing sites above get
   // it when the gate SF ladder approaches their threshold.
 }
+
+/** Shared instance for cross-module/spec consumers of the money rules. */
+private[graft] object Money extends MoneyArithmetic

@@ -292,7 +292,7 @@ object Similarity extends QueryModule {
   // dot against hyperplane band*DedupRows + r is positive — the same
   // md5-derived `plane_` family as annLsh); only the 32-step packing
   // fold is a HOF.
-  private lazy val dedupCoefs: Seq[Seq[Double]] = (0 until DedupBands * DedupRows)
+  private[graft] lazy val dedupCoefs: Seq[Seq[Double]] = (0 until DedupBands * DedupRows)
     .map(p => (1 to Dim).map(d => coefScala(p, d).toDouble))
   // shift-or, not acc*4+sig: with all 64 bits in use the top band's
   // multiply overflows Long and ANSI mode (Spark 4 default) throws;

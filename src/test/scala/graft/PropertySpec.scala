@@ -207,4 +207,64 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"round $round diverged (k=$k, buckets=$buckets)")
     }
   }
+
+  test("stableDouble equals the direct decimal cast below 2^53 and a JVM re-derivation everywhere") {
+    import spark.implicits._
+    // arbitrary scale-6 decimals spanning both sides of the 2^53 unscaled
+    // boundary (9.0e15): below it the stable path must EQUAL the direct
+    // decimal->double cast (correct rounding both ways); everywhere it
+    // must equal the plain-JVM long->double / 1e6 — the cross-engine
+    // determinism claim is exactly "both engines run those two IEEE ops"
+    val gen = for {
+      unscaled <- Gen.oneOf(
+        Gen.choose(0L, 9007199254740992L),            // below/at 2^53
+        Gen.choose(9007199254740993L, Long.MaxValue / 4)) // far above
+      sign <- Gen.oneOf(1L, -1L)
+    } yield sign * unscaled
+    val vals = sampleOf(Gen.listOfN(200, gen)).distinct
+    val df = vals.map(v => new java.math.BigDecimal(java.math.BigInteger.valueOf(v), 6))
+      .toDF("d").select(col("d").cast("decimal(38,6)").as("d"))
+    val out = df.select(col("d"),
+        graft.queries.Money.stableDouble(col("d"), 6).as("stable"),
+        col("d").cast("double").as("direct"))
+      .collect()
+    out.foreach { r =>
+      val d = r.getDecimal(0); val stable = r.getDouble(1); val direct = r.getDouble(2)
+      val unscaled = d.unscaledValue().longValueExact()
+      val jvm = unscaled.toDouble / 1000000.0
+      assert(stable == jvm, s"stable($d) = $stable != jvm $jvm")
+      if (math.abs(unscaled) <= 9007199254740992L)
+        assert(stable == direct, s"below 2^53, stable($d) = $stable != direct $direct")
+    }
+    // non-vacuous: the generator really exercised the above-2^53 regime
+    assert(vals.exists(v => math.abs(v) > 9007199254740992L))
+  }
+
+  test("packed 64-bit band word: every 2-bit field equals its band signature, sign bit included") {
+    import spark.implicits._
+    // vectors with sign-varied entries so all 32 bands take varied values
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(64)(d => ((((i * 131 + d * 17) % 97) - 48) / 48.0).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val withWord = graft.queries.Similarity.withEmbedSigWord(df, "embedding")
+    val kernel = graft.functions.GraftColumns.graftHyperplaneSigs(
+      col("embedding"), graft.queries.Similarity.dedupCoefs, 2)
+    val rows = withWord.withColumn("sigs", kernel)
+      .select("vec_id", "word", "sigs").collect()
+    rows.foreach { r =>
+      val word = r.getAs[Long]("word")
+      val sigs = r.getAs[scala.collection.Seq[Long]]("sigs")
+      assert(sigs.length == 32)
+      (0 until 32).foreach { b =>
+        assert(((word >>> (2 * b)) & 3L) == sigs(b),
+          s"vec ${r.getAs[Long]("vec_id")}: band $b field ${(word >>> (2 * b)) & 3L} != sig ${sigs(b)}")
+      }
+    }
+    // non-vacuous: the top band (bits 62-63) must actually be exercised —
+    // a fold that silently dropped the high bands would pass a low-band-
+    // only check; negative words prove bit 63 is reachable via shift-or
+    assert(rows.exists(_.getAs[Long]("word") < 0L),
+      "no word with the sign bit set — top band never exercised")
+  }
 }
