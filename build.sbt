@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output normally rides sbt's logger and picks up an
+// "[info] " prefix, which broke the driver's JSON parse of Bench's totals
+// line (BENCH_r07 `parsed: null`). StdoutOutput inherits the parent's
+// stdout/stderr directly, so println lines reach the driver bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -33,7 +33,10 @@ object Sf1Gen {
     // optional 3rd arg: copy count (default 10 = the sf1 shape; 100 = an
     // sf10 dry-run directly from sf0.1 — max key shift 99e9, no overlap)
     Copies = args.lift(2).map(_.toInt).getOrElse(10)
-    require(Copies >= 1 && Copies <= 1000, s"copies out of range: $Copies")
+    // <= 128: the embedding scheme (64 rotations x negation) has exactly
+    // 128 distinct transforms, so copies k and k+128 would share one —
+    // the previous 1000 cap silently permitted broken injectivity
+    require(Copies >= 1 && Copies <= 128, s"copies out of range: $Copies")
     val spark = Tables.applyConfs(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,21 +65,28 @@ object Sf1Gen {
     // stride is taken MOD the word count (round-6 advice): a fixed stride
     // past a short document's end rotated it back to itself, making short
     // docs exact cross-copy duplicates and inflating dedup pair volume.
-    // copies beyond the classic sf1 range (k >= 10) also prepend a
-    // copy-unique token: with many copies, rotation strides collide mod
-    // short word counts (7Δk ≡ 0 mod n) and would mint exact cross-copy
-    // duplicates; the token keeps texts distinct without disturbing the
-    // k < 10 output, so sf1 regeneration stays byte-identical
-    wr(copies(spark, rd("documents"), (d, k) =>
+    // Two exact-dup leaks remained (round-7 advice), both fixed here:
+    //   1. pmod(7k+2, n) == 0 left copy k byte-identical to the base for
+    //      any doc whose word count n divides 7k+2 — the offset is bumped
+    //      to 1 in that case (a 1-word rotation is still a rotation);
+    //   2. copies k1 != k2 with 7(k1-k2) ≡ 0 mod n shared a rotation and
+    //      were byte-identical to EACH OTHER — the copy-unique cp$k token,
+    //      previously only prepended for k >= 10, now guards every k >= 1
+    //      (rotation alone cannot be injective for docs shorter than the
+    //      copy count; the token makes exactness impossible by construction
+    //      at the cost of regenerating the sf1 artifact once).
+    wr(copies(spark, rd("documents"), (d, k) => {
+      val n = "size(split(text, ' '))"
+      val rawOff = s"pmod(${k * 7 + 2}, $n)"
+      val off = s"(CASE WHEN $rawOff = 0 THEN 1 ELSE $rawOff END)"
       if (k == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(k * Off))
         .withColumn("text", expr(
           s"""array_join(concat(
-             |  slice(split(text, ' '), 1 + pmod(${k * 7 + 2}, size(split(text, ' '))), size(split(text, ' '))),
-             |  slice(split(text, ' '), 1, pmod(${k * 7 + 2}, size(split(text, ' '))))), ' ')""".stripMargin))
-        .withColumn("text",
-          if (k < 10) col("text") else concat(lit(s"cp$k "), col("text")))),
-      "documents")
+             |  slice(split(text, ' '), 1 + $off, $n),
+             |  slice(split(text, ' '), 1, $off)), ' ')""".stripMargin))
+        .withColumn("text", concat(lit(s"cp$k "), col("text")))
+    }), "documents")
     // embeddings: per-copy DIMENSION ROTATION (stride 7k) — a vector and
     // its rotated copy are generically near-orthogonal, so copies are NOT
     // near-duplicates and near-dup pair volume scales linearly with the

@@ -67,17 +67,34 @@ object DvConfig {
         val path = spec.stripPrefix("json:")
         JsonResponseClassifier(s.read.json(path),
           s.conf.get(ModelKey, "json-client-v0"))
-      case spec if spec == "http" || spec.startsWith("http:") =>
+      case spec if spec == "http" || spec.startsWith("http:") || spec.startsWith("https://") =>
         // The live transformer path: classify every catalog table through
         // the wire client ONCE (metadata-scale, driver-side — the bgw
         // worker's own shape), then feed the composed responses through
         // the same JsonResponseClassifier every recorded run uses.
-        val url = Some(spec).filter(_.startsWith("http:")).map(_.stripPrefix("http:"))
-          .filter(_.nonEmpty)
+        // URL parse: 'http://host' / 'https://host' are FULL urls (the
+        // natural way to paste one) — only a bare 'http:' prefix NOT
+        // followed by '//' is the 'http:<url>' shorthand marker. The old
+        // blanket stripPrefix turned 'http://host' into the relative uri
+        // '//host' that failed deep inside HttpRequest.
+        val url =
+          if (spec == "http") None
+          else if (spec.startsWith("http://") || spec.startsWith("https://")) Some(spec)
+          else Some(spec.stripPrefix("http:")).filter(_.nonEmpty)
+        url.foreach(u => require(java.net.URI.create(u).isAbsolute,
+          s"$ClassifierKey url must be absolute, got '$u'"))
         val client = transformerClient(s, url)
-        val tables = Classify.signals.map(_.table).distinct
-        JsonResponseClassifier(client.responsesFor(s, tables),
-          s.conf.get(ModelKey, "model"))
+        // Memoized per (url, model): the reference persists model responses
+        // in auto_dw.transformer_responses, so repeated status-view calls
+        // never re-bill the endpoint — without this, EVERY
+        // classifier()/status call re-ran the full sequential HTTP sweep
+        // (3 requests x catalog column x up to 3 retries).
+        val responses = graft.queries.SessionCache.memo(
+          s, "transformer_responses", s"${client.url}|${s.conf.get(ModelKey, "model")}") {
+          val tables = Classify.signals.map(_.table).distinct
+          client.responsesFor(s, tables)
+        }
+        JsonResponseClassifier(responses, s.conf.get(ModelKey, "model"))
       case other =>
         throw new IllegalArgumentException(
           s"$ClassifierKey must be 'rules', 'json:<path>', or 'http[:<url>]', got '$other'")

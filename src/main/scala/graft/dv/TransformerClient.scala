@@ -85,6 +85,9 @@ object TransformerClient {
 final class TransformerClient(cfg: TransformerClient.Config) {
   import TransformerClient._
 
+  /** Endpoint url (memoization key material for DvConfig's response cache). */
+  def url: String = cfg.serverUrl
+
   private val mapper = new ObjectMapper()
   private val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(cfg.timeoutMs)).build()
@@ -183,6 +186,17 @@ final class TransformerClient(cfg: TransformerClient.Config) {
     * the reference's composition rules. Columns whose requests exhaust
     * their retries get NO row — they surface as 'Queued for Processing'
     * through the classifier seam, the same lag the asynchronous bgw shows.
+    *
+    * DELIBERATE PARITY DEVIATION (documented, not accidental): the
+    * reference's insert loop (bgw_transformer_client.rs:257-288) emits a
+    * default `Descriptor` row at confidence 1.0 even for a column whose
+    * every request failed, so its responses table always has one row per
+    * column. graft instead emits NO row for such a column and lets it
+    * surface as 'Queued for Processing' — an all-requests-failed column is
+    * model-silence, not a confident Descriptor verdict, and Queued is the
+    * state the reference itself uses for not-yet-processed columns.
+    * Downstream consumers must not assume the one-row-per-column invariant
+    * when the http classifier is active.
     */
   def classifyTable(table: String): Seq[ResponseRow] = {
     val sigs = Classify.signals.filter(_.table == table)
