@@ -101,6 +101,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_embed_cosine block join is metadata-scale with bounded occupancy") {
+    // The r8 scale contract for the exact kernel: the only materialized
+    // join is the block-pair enumeration — at most B(B+1)/2 rows no matter
+    // the corpus size — and xxhash64 blocking keeps every block within a
+    // small constant of the even share, so no task's (n/B)^2 kernel loop
+    // is quadratically skewed.
+    val B = Similarity.dedupBlockCount
+    val joined = Similarity.embedBlockedJoin(spark, sfDir).cache()
+    try {
+      assert(joined.count() <= B.toLong * (B + 1) / 2)
+      val n = Tables.load(spark, sfDir, "embeddings").count()
+      val maxOcc = joined.selectExpr("size(ia) as m")
+        .agg(max(col("m"))).collect()(0).getInt(0)
+      assert(maxOcc <= math.max(16L, 4L * n / B),
+        s"block occupancy $maxOcc vs even share ${n / B} (B=$B, n=$n)")
+    } finally joined.unpersist()
+  }
+
   test("dedup_cluster_embed canonicalizes every near-dup pair consistently") {
     val canon = Similarity.defs.find(_.name == "dedup_cluster_embed").get.run(spark, sfDir)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canon_id")).toMap
