@@ -671,8 +671,24 @@ object Similarity extends QueryModule {
   // floats are final IEEE sqrt/divide on identical values, and ties break
   // on cent_id. The oracle twin unrolls the same two Lloyd iterations as
   // SQL CTEs.
+  // nprobe is MEASURED, not guessed (r8, the ann_cosine_lsh discipline —
+  // tools/ivf_sweep.py replays the exact integer training + assignment in
+  // numpy): this corpus's neighbor signal is near-random (exact top-3
+  // cosine 0.33-0.42), so recall grows ~linearly with scan fraction and
+  // extra Lloyd rounds plateau within +0.02 (iters 2→8 measured). The
+  // sweep at K=16, iters=2 over the full query population (vec_id%10=0):
+  //   nprobe  2: recall@3 0.36/0.39 (sf0.1 pop / +iters8)  scan 0.125
+  //   nprobe  6: 0.68  scan 0.375
+  //   nprobe  8: 0.80  scan 0.500   <- chosen (report metric 0.87/0.93/0.80
+  //                                    at sf0.001/0.01/0.1)
+  //   nprobe 10: 0.88  scan 0.625
+  // On a production corpus with real neighbor structure (cosine >= 0.7)
+  // the same K/nprobe=2 plan measures >= 0.9 — the scan-half constant is
+  // the price of the recall>=0.8 bar on random-like geometry, not the
+  // plan's steady state. Training stays at 2 Lloyd rounds (the measured
+  // plateau; more rounds would only deepen the unrolled oracle chain).
   private val IvfK = 16
-  private[queries] val NProbe = 2
+  private[graft] val NProbe = 8
   private val IvfTopK = 3
   private[queries] val IvfScale = 4096L
   private val IvfIters = 2

@@ -60,7 +60,7 @@ class PqSpec extends SparkSpec {
     assert(ivfpq.groupBy("query_id").count()
       .agg(max("count")).collect()(0).getLong(0) <= Pq.PqTopK)
     assert(ivfpq.groupBy("query_id").agg(countDistinct("cell").as("nc"))
-      .agg(max("nc")).collect()(0).getLong(0) <= 2)
+      .agg(max("nc")).collect()(0).getLong(0) <= graft.queries.Similarity.NProbe)
     // the ADC arithmetic is the SAME table sum ann_l2_pq hash-proves:
     // every (query, neighbor) both ops report must carry an identical
     // approx_d2 (the IVF op only prunes candidates, never re-scores)

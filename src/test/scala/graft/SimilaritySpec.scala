@@ -187,7 +187,8 @@ class SimilaritySpec extends SparkSpec {
     val byQuery = ivf.collect().groupBy(_.getAs[Long]("query_id"))
     assert(byQuery.nonEmpty)
     for ((q, rows) <- byQuery) {
-      assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 2, s"query $q probed >NProbe cells")
+      assert(rows.map(_.getAs[Long]("cell")).distinct.length <= Similarity.NProbe,
+        s"query $q probed >NProbe cells")
       val sorted = rows.sortBy(_.getAs[Int]("rank"))
       assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length), s"query $q ranks not dense")
       val cosines = sorted.map(_.getAs[Double]("cosine"))
@@ -260,6 +261,13 @@ class SimilaritySpec extends SparkSpec {
     val lsh = rows.find(_.getAs[String]("tier") == "ann_cosine_lsh").get
     assert(lsh.getAs[Long]("recall_micro") >= 250000L,
       s"lsh recall regressed to ${lsh.getAs[Long]("recall_micro")} micro")
+    // r8 (round-7 verdict item 3): the IVF tier is production-grade only
+    // at recall >= 0.8 — nprobe=8 measures 0.867/0.933/0.800 on the
+    // report metric at sf0.001/0.01/0.1 (tools/ivf_sweep.py; deterministic
+    // integer training, so the pin is exact, not statistical)
+    val ivf = rows.find(_.getAs[String]("tier") == "ann_cosine_ivf").get
+    assert(ivf.getAs[Long]("recall_micro") >= 800000L,
+      s"ivf recall regressed to ${ivf.getAs[Long]("recall_micro")} micro")
   }
 
   test("ann candidates share the query's bucket") {
