@@ -25,12 +25,20 @@ object DvMaintenance {
     * writer per object, no concurrent loads during the swap (the same
     * single-writer window any table-rewriting OPTIMIZE needs).
     *
-    * Crash safety: the run PRE-CLEANS leftovers from any earlier crashed
-    * attempt (staging dir, set-aside dir, staging catalog entry), so a
-    * retry always proceeds; the swap renames the live object aside before
-    * moving the staged replacement in, so the only unrecoverable-by-retry
-    * window is between the two renames (a retry then finds the data intact
-    * under `<obj>__old`).
+    * Crash safety (failure-injected in DvMaintenanceSpec): every crash
+    * state an interrupted run can leave is repaired by simply calling
+    * compactBucketed again —
+    *  - crash after the stage write: retry pre-cleans the staging dir and
+    *    catalog entry and re-stages;
+    *  - crash BETWEEN the two swap renames (live object already moved to
+    *    `<obj>__old`, compacted copy not yet moved in): retry RESTORES the
+    *    set-aside copy before any cleanup. The restore must run first —
+    *    the r7 pre-clean deleted `<obj>__old` unconditionally, which on
+    *    this retry path would have destroyed the only surviving copy of
+    *    the object;
+    *  - crash after the swap, before the old-copy delete: retry discards
+    *    the stale `<obj>__old` and recompacts the already-compacted
+    *    object (idempotent).
     */
   def compactBucketed(s: SparkSession, repoDir: String, obj: String): (Long, Long) = {
     val schema = DvLoader.readSchema(s, repoDir)
@@ -38,11 +46,15 @@ object DvMaintenance {
       sys.error(s"compactBucketed: repo at $repoDir is not bucketed"))
     val keys = DvLoader.schemaKeys(schema, obj)
     val table = s"${b.tablePrefix}$obj"
-    if (!s.catalog.tableExists(table))
-      DvLoader.registerBucketed(s, repoDir, obj, keys, b)
     val objPath = java.nio.file.Paths.get(s"$repoDir/$obj")
     val stagePath = java.nio.file.Paths.get(s"$repoDir/${obj}__compact")
     val asidePath = java.nio.file.Paths.get(s"$repoDir/${obj}__old")
+    // mid-swap crash recovery — BEFORE the debris cleanup and BEFORE any
+    // catalog registration against the (possibly missing) live path
+    if (!java.nio.file.Files.exists(objPath) && java.nio.file.Files.exists(asidePath))
+      java.nio.file.Files.move(asidePath, objPath)
+    if (!s.catalog.tableExists(table))
+      DvLoader.registerBucketed(s, repoDir, obj, keys, b)
     def dataFiles(p: java.nio.file.Path): Long = {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
@@ -51,7 +63,9 @@ object DvMaintenance {
     }
     val staging = s"${table}__compact"
     // pre-clean debris from a crashed earlier run — a retry must not fail
-    // on a non-empty staging location or a stale set-aside copy
+    // on a non-empty staging location or a stale set-aside copy (the
+    // set-aside copy is stale HERE because the restore above already ran:
+    // if it still exists, the live object does too)
     s.sql(s"DROP TABLE IF EXISTS $staging")
     DvLoader.deletePath(stagePath)
     DvLoader.deletePath(asidePath)
