@@ -1,7 +1,7 @@
 package graft
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
 import graft.dv._
 import graft.dv.TransformerClient.ResponseRow
 import org.apache.spark.sql.functions._
@@ -51,99 +51,19 @@ class TransformerClientSpec extends SparkSpec {
     ResponseRow("customer", "c_mktsegment", model, "Descriptor", "NA",
       1.0, "Defaulted of category 'Descriptor' maintained."))
 
-  /** In-process mock endpoint. `garbageFor(template, col, attempt)` true →
-    * serve a non-JSON content string (the malformed-model case the retry
-    * loop must absorb).
+  /** The shared in-process mock ([[MockTransformerServer]] — wire-shape
+    * validation + fixture answers), bound to this spec's fixture model.
     */
-  private final class MockServer(serverType: String,
-                                 garbageFor: (String, Int, Int) => Boolean = (_, _, _) => false) {
-    val requests = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)] // (template, col, prompt)
-    val wireErrors = scala.collection.mutable.ArrayBuffer.empty[String]
-    private val attempts = scala.collection.mutable.Map.empty[(String, String, Int), Int]
-
-    private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        val node = mapper.readTree(body)
-        // ---- wire-shape validation (reference request structs) ----
-        val prompt = serverType match {
-          case "openai" =>
-            if (!node.path("model").isTextual) wireErrors += "openai: missing model"
-            if (node.path("temperature").asDouble() != 0.75) wireErrors += "openai: temperature"
-            if (node.path("response_format").path("type").asText() != "json_object")
-              wireErrors += "openai: response_format"
-            val msgs = node.path("messages")
-            if (!msgs.isArray || msgs.size != 1 || msgs.get(0).path("role").asText() != "user")
-              wireErrors += "openai: messages"
-            val auth = ex.getRequestHeaders.getFirst("Authorization")
-            if (auth == null || !auth.startsWith("Bearer ")) wireErrors += "openai: auth"
-            msgs.path(0).path("content").asText("")
-          case "ollama" =>
-            if (!node.path("model").isTextual) wireErrors += "ollama: missing model"
-            if (node.path("format").asText() != "json") wireErrors += "ollama: format"
-            if (!node.path("stream").isBoolean || node.path("stream").asBoolean(true))
-              wireErrors += "ollama: stream"
-            if (node.path("options").path("temperature").asDouble() != 0.75)
-              wireErrors += "ollama: temperature"
-            node.path("prompt").asText("")
-        }
-        // ---- identify (table, template, column) from the rendered prompt ----
-        val template =
-          if (prompt.contains("Business Key Component Identification by Column")) "BKComponentIdentification"
-          else if (prompt.contains("Business Key Naming")) "BKName"
-          else if (prompt.contains("Identification of PII")) "DescriptorSensitive"
-          else { wireErrors += "unknown template"; "?" }
-        val table = "\"Table Name\": \"(\\w+)\"".r.findFirstMatchIn(prompt)
-          .map(_.group(1)).getOrElse { wireErrors += "no table name"; "?" }
-        // the prompt ends with the interpolated "Column No: <n>" tail
-        val colStr = prompt.split("Column No: ").last.trim.takeWhile(_.isDigit)
-        val col = if (colStr.nonEmpty) colStr.toInt
-          else { wireErrors += "no trailing column no"; -1 }
-        synchronized { requests += ((template, col, prompt)) }
-        val attempt = synchronized {
-          val a = attempts.getOrElse((table, template, col), 0) + 1
-          attempts((table, template, col)) = a; a
-        }
-        val content =
-          if (garbageFor(template, col, attempt)) "I am not JSON, sorry."
-          else fixture(table, template, col)
-        val out = serverType match {
-          case "openai" =>
-            val env = mapper.createObjectNode()
-            env.put("id", "chatcmpl-mock"); env.put("object", "chat.completion")
-            env.put("created", 0L); env.put("model", node.path("model").asText())
-            val ch = env.putArray("choices").addObject()
-            val msg = ch.putObject("message")
-            msg.put("role", "assistant"); msg.put("content", content)
-            ch.put("finish_reason", "stop"); ch.put("index", 0); ch.putNull("logprobs")
-            val us = env.putObject("usage")
-            us.put("prompt_tokens", 1); us.put("completion_tokens", 1); us.put("total_tokens", 2)
-            mapper.writeValueAsString(env)
-          case "ollama" =>
-            val env = mapper.createObjectNode()
-            env.put("model", node.path("model").asText())
-            env.put("created_at", "2026-01-01T00:00:00Z")
-            env.put("response", content); env.put("done", true)
-            mapper.writeValueAsString(env)
-        }
-        val bytes = out.getBytes("UTF-8")
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, bytes.length)
-        ex.getResponseBody.write(bytes); ex.close()
-      }
-    })
-    server.start()
-    val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
-    def stop(): Unit = server.stop(0)
-  }
+  private def MockServer(serverType: String,
+                         garbageFor: (String, Int, Int) => Boolean = (_, _, _) => false) =
+    new MockTransformerServer(serverType, fixture, garbageFor)
 
   private def client(url: String, serverType: String) = new TransformerClient(
     TransformerClient.Config(url, TransformerClient.parseServerType(serverType),
       model = "mock-model", token = "test-token"))
 
   test("openai wire: validated requests, staged plan, reference composition rules") {
-    val srv = new MockServer("openai")
+    val srv = MockServer("openai")
     try {
       val rows = client(srv.url, "openai").classifyTable("customer")
       assert(srv.wireErrors.isEmpty, srv.wireErrors.distinct.mkString("; "))
@@ -158,7 +78,7 @@ class TransformerClientSpec extends SparkSpec {
   }
 
   test("ollama wire parity: the generate envelope composes identical rows") {
-    val srv = new MockServer("ollama")
+    val srv = MockServer("ollama")
     try {
       val rows = client(srv.url, "ollama").classifyTable("customer")
       assert(srv.wireErrors.isEmpty, srv.wireErrors.distinct.mkString("; "))
@@ -170,7 +90,7 @@ class TransformerClientSpec extends SparkSpec {
     // DS for column 3 is garbage ONCE (then answers); BKI and DS for
     // column 5 are garbage on every attempt (a column the model never
     // answers — it must get NO row and surface as queued).
-    val srv = new MockServer("openai",
+    val srv = MockServer("openai",
       garbageFor = (t, c, attempt) =>
         (t == "DescriptorSensitive" && c == 3 && attempt == 1) ||
           (c == 5 && (t == "BKComponentIdentification" || t == "DescriptorSensitive")))
@@ -201,7 +121,7 @@ class TransformerClientSpec extends SparkSpec {
   }
 
   test("DvConfig http classifier is byte-identical to JsonResponseClassifier on the same fixtures") {
-    val srv = new MockServer("openai")
+    val srv = MockServer("openai")
     try {
       spark.conf.set(DvConfig.ClassifierKey, s"http:${srv.url}")
       spark.conf.set(DvConfig.ServerTypeKey, "openai")
