@@ -67,6 +67,33 @@ def main():
         sys.stderr.write("ERROR: no description for: %s\n" % ", ".join(missing))
         sys.exit(1)
 
+    # --- SURVEY §2 <-> registry agreement (round-7 verdict item 7) ---
+    # §2 is the coverage CONTRACT: every registered oracle op must have a
+    # §2 row (SUPPLEMENT supplies wording, never absolution), no §2 row
+    # may claim an op the registry does not carry, and every section
+    # header's advertised count must equal its actual row count — so the
+    # doc can never silently drift from the code again.
+    abc_names = {n for n, s in section_of.items() if s in "ABC"}
+    no_row = sorted(set(batch_ops) - abc_names)
+    phantom = sorted(abc_names - set(batch_ops))
+    if no_row:
+        sys.stderr.write("ERROR: registered ops missing a SURVEY §2 row: %s\n" % ", ".join(no_row))
+        sys.exit(1)
+    if phantom:
+        sys.stderr.write("ERROR: SURVEY §2 rows with no registered op: %s\n" % ", ".join(phantom))
+        sys.exit(1)
+    for key, title in sec_titles.items():
+        m = re.search(r"(\d+)\s+(?:checked\s+)?ops", title)
+        if not m:
+            sys.stderr.write("ERROR: no op count in §2.%s header: %s\n" % (key, title))
+            sys.exit(1)
+        claimed = int(m.group(1))
+        actual = sum(1 for s in section_of.values() if s == key)
+        if claimed != actual:
+            sys.stderr.write("ERROR: §2.%s header claims %d ops but lists %d\n"
+                             % (key, claimed, actual))
+            sys.exit(1)
+
     def desc(n):
         d = SUPPLEMENT.get(n) or descs[n]
         # keep the table line readable: first sentence-ish clause, <= 220 chars
