@@ -60,51 +60,65 @@ object Sf1Gen {
     wr(copies(spark, rd("events"), (d, k) =>
       d.withColumn("event_id", col("event_id") + lit(k * Off))
         .withColumn("user_id", col("user_id") + lit(k * Off))), "events")
-    // documents: rotate the word sequence by a copy-dependent stride so
-    // shingle/bigram sets diverge (copies must not be near-dups). The
-    // stride is taken MOD the word count (round-6 advice): a fixed stride
-    // past a short document's end rotated it back to itself, making short
-    // docs exact cross-copy duplicates and inflating dedup pair volume.
-    // Two exact-dup leaks remained (round-7 advice), both fixed here:
-    //   1. pmod(7k+2, n) == 0 left copy k byte-identical to the base for
-    //      any doc whose word count n divides 7k+2 — the offset is bumped
-    //      to 1 in that case (a 1-word rotation is still a rotation);
-    //   2. copies k1 != k2 with 7(k1-k2) ≡ 0 mod n shared a rotation and
-    //      were byte-identical to EACH OTHER — the copy-unique cp$k token,
-    //      previously only prepended for k >= 10, now guards every k >= 1
-    //      (rotation alone cannot be injective for docs shorter than the
-    //      copy count; the token makes exactness impossible by construction
-    //      at the cost of regenerating the sf1 artifact once).
+    // documents: rotation + PERIODIC copy-token insertion. The r6-r7
+    // rotation-only scheme never actually decorrelated copies: a word
+    // rotation preserves every 3-shingle except ~4 at the seams, so ALL
+    // copies of a doc were mutual near-dups at J ≈ 0.9 and the text
+    // near-dup answer grew QUADRATICALLY in the copy count — the r8 sf10
+    // spot-gate measured dedup_minhash_lsh at 15x wall-time for 10x data
+    // purely from answer volume (C(100,2) true pairs per base doc).
+    // The fix is content-level: after rotating, insert the copy-unique
+    // cp$k token after every 3rd word. Measured same-rotation worst-case
+    // cross-copy Jaccard on this corpus (400-doc sweep): 3-shingles
+    // max 0.156 (thresholds 0.5/0.6), word bigrams max 0.492 (threshold
+    // 0.5), 8-grams structurally impossible — so cross-copy pairs clear
+    // NO dedup threshold and near-dup volume is linear in copies (the
+    // generator's stated goal, now true). Same-k copies of genuinely
+    // near-dup BASE docs share rotation AND token, so real clusters
+    // replicate linearly, keeping the signal non-hollow. The leading
+    // cp$k token stays as the exactness guard (rotation classes collide
+    // for docs shorter than the copy count); the pmod==0 offset bump
+    // keeps copy k from being the identity rotation of the base.
     wr(copies(spark, rd("documents"), (d, k) => {
       val n = "size(split(text, ' '))"
       val rawOff = s"pmod(${k * 7 + 2}, $n)"
       val off = s"(CASE WHEN $rawOff = 0 THEN 1 ELSE $rawOff END)"
       if (k == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(k * Off))
-        .withColumn("text", expr(
-          s"""array_join(concat(
+        .withColumn("_rt", expr(
+          s"""concat(
              |  slice(split(text, ' '), 1 + $off, $n),
-             |  slice(split(text, ' '), 1, $off)), ' ')""".stripMargin))
-        .withColumn("text", concat(lit(s"cp$k "), col("text")))
+             |  slice(split(text, ' '), 1, $off))""".stripMargin))
+        .withColumn("text", concat(lit(s"cp$k "), expr(
+          s"array_join(flatten(transform(sequence(1, size(_rt)), i -> " +
+            s"if(i % 3 = 0, array(element_at(_rt, i), 'cp$k'), array(element_at(_rt, i))))), ' ')")))
+        .drop("_rt")
     }), "documents")
-    // embeddings: per-copy DIMENSION ROTATION (stride 7k) — a vector and
-    // its rotated copy are generically near-orthogonal, so copies are NOT
-    // near-duplicates and near-dup pair volume scales linearly with the
-    // corpus (small additive jitter left copies at cosine≈1 and inflated
-    // dedup_embed_cosine 11x instead of 10x — the first dry-run lesson)
-    // dimension rotation yields only 64 distinct transforms (gcd(7,64)=1
-    // cycles all of them); copies with k >= 64 additionally NEGATE the
-    // vector — cosine(v, -v) = -1, so the reused rotation cannot mint
-    // exact-duplicate pairs and near-dup volume stays linear in copies
+    // embeddings: per-copy dimension rotation (stride 7k) + per-(copy,dim)
+    // DETERMINISTIC SIGN MASK (r8). Rotation alone leaks STRUCTURED
+    // cross-copy pairs: rotations preserve inner products, so any base
+    // vector v with cos(v, rot_d(v)) >= τ minted a pair for every copy
+    // pair at rotation distance d (measured: 25 base vectors at d=32
+    // alone). The md5-derived ±1 mask s_k kills that class, while same-k
+    // copies of genuinely similar base vectors keep their cosine exactly
+    // (s_k ⊙ rot_k is orthogonal: <s_k⊙rot_k u, s_k⊙rot_k v> = <u, v>),
+    // so real clusters replicate linearly. HONESTY NOTE: the research
+    // threshold τ=0.4 at dim 64 admits the RANDOM tail — cross-copy
+    // cosines are ~N(0, 1/8), so ~5e-4 of ALL pairs pass τ no matter how
+    // the copies are generated (measured 86k of sf1's 96k pairs; the
+    // within-copy linear part is 9.2k). That answer-volume quadratic-ness
+    // is intrinsic to (τ, dim), not a generator artifact — the τ=0.4 op's
+    // cost is answer-bound by design, and the production op's τ=0.8 tail
+    // is ~0 (3.2σ -> 6.4σ). Masks are distinct per k (md5), so the <=128
+    // copies bound stays safely injective; sign-flip of a float is exact.
+    // k=0 stays verbatim so constant probe sets (vec_id < 50) hold.
     wr(copies(spark, rd("embeddings"), (d, k) =>
       if (k == 0) d
       else {
-        val rot = expr(
-          s"transform(sequence(1, 64), i -> element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)))")
+        val sign = s"(CASE WHEN pmod(cast(conv(substring(md5(concat('sgn_${k}_', i)), 1, 8), 16, 10) as bigint), 2) = 0 THEN 1 ELSE -1 END)"
         d.withColumn("vec_id", col("vec_id") + lit(k * Off))
-          .withColumn("embedding",
-            if (k < 64) rot else expr(
-              s"transform(sequence(1, 64), i -> -element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)))"))
+          .withColumn("embedding", expr(
+            s"transform(sequence(1, 64), i -> cast($sign * element_at(embedding, 1 + pmod(i - 1 + $k * 7, 64)) as float))"))
       }),
       "embeddings")
     println(s"[sf1gen] wrote ${Copies}x of $in to $out")
