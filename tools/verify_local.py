@@ -60,6 +60,13 @@ def main():
             json_out = sys.argv[i + 1]
     verdicts = {}
     con = duckdb.connect()
+    # A runaway oracle (e.g. an all-pairs form at a scale SF) spills to
+    # DuckDB's temp dir, which defaults to ./.tmp on the repo filesystem —
+    # an uncapped spill once filled the disk and took down the concurrent
+    # Spark dump. Cap it so an infeasible oracle fails fast with an IO
+    # error (reported per-query below) instead of wedging the machine.
+    con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
+    con.execute("SET max_temp_directory_size='24GB'")
     for t in TABLES:
         # driver testdata is one file per table; Spark-generated scale
         # dirs (Sf1Gen) are <table>.parquet/ directories of part files
