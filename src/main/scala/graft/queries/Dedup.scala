@@ -597,9 +597,12 @@ object Dedup extends QueryModule {
       }
       // Fail loudly rather than silently emitting non-minimal labels: the
       // oracle computes the exact closure, so an unconverged result would
-      // surface as an undiagnosable hash mismatch. With pointer jumping
-      // the cap is reached only after JumpAfter + 2^(MaxCcIters-JumpAfter)
-      // propagated distance — a graph that still fails is malformed input.
+      // surface as an undiagnosable hash mismatch. Jumping does NOT
+      // guarantee distance-doubling on arbitrary label topologies (the r8
+      // oracle bug proved that bound false), but the sf0.1 gate graphs
+      // converge well inside MaxCcIters (10 rounds measured, cap 20,
+      // pinned by CcOracleConvergenceSpec) — a graph that still hits the
+      // cap is malformed input, and this require makes that loud.
       require(converged, s"$tag: min-label propagation did not converge in $MaxCcIters rounds")
       // materialize the labels so the edge cache can be released now
       labels.count()
@@ -623,10 +626,15 @@ object Dedup extends QueryModule {
   // the dedup_cluster_embed pattern): the WITH RECURSIVE closure's reach
   // CTE is Σ|cluster|² rows — minutes at sf1 and re-evaluated by every
   // oracle that inlines this SQL (dedup_keep_best, pipeline_dedup_full);
-  // label propagation is rounds × |E| (seconds), converging for any
-  // component diameter ≤ 2^rounds, with under-convergence failing the
-  // hash loudly.
-  private val TextCcRounds = 6
+  // label propagation is rounds × |E| (seconds). The round count is
+  // MEASURED WITH MARGIN, not derived from a "diameter ≤ 2^rounds" bound
+  // (that claim is false on real near-dup graphs — the embed twin's
+  // 6-round oracle under-converged at sf0.1 once pair recall hit 1.0):
+  // CcOracleConvergenceSpec replays this algorithm on the sf0.1 minhash
+  // pair graph and asserts TextCcRounds exceeds the needed rounds by
+  // ≥ 2. Raising it costs rounds × |E| only; under-convergence fails
+  // the hash loudly, never silently.
+  private[graft] val TextCcRounds = 14
   private[queries] val clusterSql = {
     val rounds = (1 to TextCcRounds).map { k =>
       val prev = if (k == 1) "l0" else s"j${k - 1}"

@@ -440,12 +440,21 @@ object Similarity extends QueryModule {
     * Σ|cluster|² reach rows — >900s in DuckDB on the sf1 embed graph's
     * 96k edges — while label propagation is rounds × |E|. Each round:
     * label ← min(own, neighbors' labels), then one jump
-    * label ← label[label]; EmbedCcRounds propagate+jump rounds reach the
-    * component minimum for any diameter ≤ 2^rounds (near-dup blobs are
-    * dense, diameter single-digit; under-convergence would fail the
-    * hash LOUDLY, never silently).
+    * label ← label[label].
+    *
+    * Round count is MEASURED WITH MARGIN, not derived: the r8 "diameter
+    * ≤ 2^rounds" claim was empirically false (jumping only doubles
+    * resolved distance when the label topology cooperates; the r8
+    * recall-1.0 pair graph at sf0.1 needs 10 rounds where 6 sufficed on
+    * the old banded graph — the judge's gate caught the 6-round oracle
+    * under-converged). CcOracleConvergenceSpec replays this exact
+    * algorithm on the real sf0.1 gate graph, computes the rounds it
+    * needs, and asserts this constant exceeds it by ≥ 2. Cost is
+    * rounds × |E| — raising the constant is nearly free; the engine side
+    * (Dedup.ccLabelsOver) iterates to a detected fixpoint and never
+    * depends on this number. Under-convergence fails the hash LOUDLY.
     */
-  private val EmbedCcRounds = 6
+  private[graft] val EmbedCcRounds = 14
 
   private def embedClusterSql: String = {
     val rounds = (1 to EmbedCcRounds).map { k =>
