@@ -47,17 +47,21 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> time(fn) }.toMap
     var retimed = 0
-    val results = ordered.flatMap { case (name, fn) =>
+    // Every pass is RECORDED (r9, verdict #8): the detail line carries
+    // [t1] or [t1, t2] per query, so a noisy second pass is visible in the
+    // artifact itself and cross-round comparisons can use medians instead
+    // of inferring which pass won. Totals still aggregate the best-of.
+    val passes = ordered.flatMap { case (name, fn) =>
       pass1(name).map { t1 =>
-        name -> (if (t1 >= RetimeAboveSec) {
-          retimed += 1
-          math.min(t1, time(fn).getOrElse(t1))
-        } else t1)
+        if (t1 >= RetimeAboveSec) { retimed += 1; name -> (Seq(t1) ++ time(fn)) }
+        else name -> Seq(t1)
       }
     }
+    val results = passes.map { case (k, ts) => k -> ts.min }
     val failed = ordered.map(_._1).filter(pass1(_).isEmpty)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = passes.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val singlePassTotal = pass1.values.flatten.sum
@@ -66,7 +70,7 @@ object Bench {
     // on the final (short) line to survive truncation. Both statistics are
     // emitted so gate comparisons can use whichever matches the baseline's
     // methodology (single-pass vs best-of).
-    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass","failed":$failedJson}""")
+    println(s"""{"metric":"detail","unit":"sec","query_passes":$qs,"sf":"$sfDir","retimed":$retimed,"agg":"best-of-2-for-queries-at-or-above-${RetimeAboveSec}s-else-single-pass; per-query value is the list of recorded passes","failed":$failedJson}""")
     // The driver keeps only the TAIL of stdout; the full detail line above is
     // the first casualty of truncation, and it's exactly the heavy ops
     // (dv_go_build*, pagerank) whose regressions matter most. Emit a compact

@@ -33,9 +33,11 @@ object Sf1Gen {
     // optional 3rd arg: copy count (default 10 = the sf1 shape; 100 = an
     // sf10 dry-run directly from sf0.1 — max key shift 99e9, no overlap)
     Copies = args.lift(2).map(_.toInt).getOrElse(10)
-    // <= 128: the embedding scheme (64 rotations x negation) has exactly
-    // 128 distinct transforms, so copies k and k+128 would share one —
-    // the previous 1000 cap silently permitted broken injectivity
+    // <= 128: conservative bound carried over from the r7 scheme (64
+    // rotations x negation = 128 distinct transforms). The r8 embedding
+    // scheme (dimension rotation x per-k md5 sign masks) is injective for
+    // EVERY k — the masks are per-k distinct — so the cap is no longer
+    // load-bearing for injectivity, just a sane ceiling on local dry-runs
     require(Copies >= 1 && Copies <= 128, s"copies out of range: $Copies")
     val spark = Tables.applyConfs(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -84,16 +84,33 @@ object DvConfig {
         url.foreach(u => require(java.net.URI.create(u).isAbsolute,
           s"$ClassifierKey url must be absolute, got '$u'"))
         val client = transformerClient(s, url)
-        // Memoized per (url, model): the reference persists model responses
-        // in auto_dw.transformer_responses, so repeated status-view calls
+        // Memoized per (url, server type, token fingerprint, model): the
+        // reference persists model responses in
+        // auto_dw.transformer_responses, so repeated status-view calls
         // never re-bill the endpoint — without this, EVERY
         // classifier()/status call re-ran the full sequential HTTP sweep
-        // (3 requests x catalog column x up to 3 retries).
-        val responses = graft.queries.SessionCache.memo(
-          s, "transformer_responses", s"${client.url}|${s.conf.get(ModelKey, "model")}") {
+        // (3 requests x catalog column x up to 3 retries). Server type and
+        // a token FINGERPRINT are in the key (r9): switching
+        // ServerTypeKey/ServerTokenKey against the same url+model must not
+        // serve responses recorded under the old credentials/protocol.
+        // DEGRADED sweeps (fewer responses than signals — an endpoint
+        // outage exhausting retries) are returned but NOT memoized, so
+        // 'Queued for Processing' columns recover on the next call instead
+        // of being pinned for the session.
+        val tokenFp = {
+          val tok = s.conf.get(ServerTokenKey, "")
+          if (tok.isEmpty) "anon"
+          else java.security.MessageDigest.getInstance("MD5")
+            .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        }
+        val sType = s.conf.get(ServerTypeKey, "openai")
+        val memoKey = s"${client.url}|$sType|$tokenFp|${s.conf.get(ModelKey, "model")}"
+        val expected = Classify.signals.size.toLong
+        val responses = graft.queries.SessionCache.memoIf(
+          s, "transformer_responses", memoKey) {
           val tables = Classify.signals.map(_.table).distinct
           client.responsesFor(s, tables)
-        }
+        }(_.count() >= expected)
         JsonResponseClassifier(responses, s.conf.get(ModelKey, "model"))
       case other =>
         throw new IllegalArgumentException(

@@ -56,4 +56,23 @@ object SourceSchemas {
 
   val atomicTypes: Set[String] = Set("bigint", "int", "double", "varchar", "timestamp")
   def isComplex(c: Col): Boolean = !atomicTypes.contains(c.typeName)
+
+  /** DECLARED landing-mirror re-typing rules (r9): how Spark's CSV/JSON
+    * sniffers re-type each registry column when a source table is
+    * mirrored to the landing zone. Pinned HERE — next to the registry the
+    * mirrors derive from — so a testdata regeneration that shifts
+    * inference fails DataVaultSpec's named mirror-agreement test, not a
+    * mid-round oracle hash (the class bit in r7 AND r8). CSV narrowing is
+    * value-dependent by design (the sniffer picks int only while every
+    * value fits int32), so the CSV rule takes the observed fits-int fact
+    * rather than guessing a constant.
+    */
+  def csvInferred(c: Col, fitsInt: Boolean): String = c.typeName match {
+    case "int" | "bigint" => if (fitsInt) "int" else "bigint"
+    case other            => other // doubles re-infer double, strings varchar
+  }
+  def jsonInferred(c: Col): String = c.typeName match {
+    case "int" | "bigint" => "bigint" // JSON integrals always widen
+    case other            => other
+  }
 }

@@ -45,6 +45,8 @@ private[graft] object SessionCache {
   import org.apache.spark.sql.SparkSession
   private val entries =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val scalars =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Any]
   private val cleanups =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), () => Unit]
   private val hooked =
@@ -60,6 +62,7 @@ private[graft] object SessionCache {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           entries.keys.filter(_._1 eq s).foreach(entries.remove)
+          scalars.keys.filter(_._1 eq s).foreach(scalars.remove)
           cleanups.keys.filter(_._1 eq s).toSeq
             .foreach(k => cleanups.remove(k).foreach(f => f()))
           hooked.remove(s)
@@ -71,6 +74,33 @@ private[graft] object SessionCache {
   def memo(s: SparkSession, tag: String, dir: String)(build: => DataFrame): DataFrame = {
     hook(s)
     entries.getOrElseUpdate((s, tag, dir), build.cache())
+  }
+
+  /** Driver-side SCALAR memo on the same session lifecycle — for corpus
+    * metadata (e.g. the embeddings row count that sizes the blocked dedup
+    * kernel) that would otherwise re-run a count job per invocation.
+    */
+  def memoVal[T](s: SparkSession, tag: String, dir: String)(build: => T): T = {
+    hook(s)
+    scalars.getOrElseUpdate((s, tag, dir), build).asInstanceOf[T]
+  }
+
+  /** memo() that only RETAINS results `keep` accepts: a degraded build
+    * (e.g. a transformer sweep run during an endpoint outage) is returned
+    * to the caller — correct for THIS call — but not pinned for the
+    * session, so the next call retries instead of serving the outage
+    * forever.
+    */
+  def memoIf(s: SparkSession, tag: String, dir: String)(build: => DataFrame)(
+      keep: DataFrame => Boolean): DataFrame = {
+    hook(s)
+    entries.get((s, tag, dir)) match {
+      case Some(df) => df
+      case None =>
+        val df = build.cache()
+        if (keep(df)) entries.putIfAbsent((s, tag, dir), df)
+        df
+    }
   }
 
   /** Run `f` when this session's context ends — lets sibling driver-side
@@ -89,6 +119,7 @@ private[graft] object SessionCache {
   def clear(): Unit = {
     entries.values.foreach(_.unpersist())
     entries.clear()
+    scalars.clear()
     cleanups.keys.toSeq.foreach(k => cleanups.remove(k).foreach(f => f()))
   }
 }

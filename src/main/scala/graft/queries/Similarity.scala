@@ -240,10 +240,30 @@ object Similarity extends QueryModule {
   // products no matter the system; this op is the research diagnostic
   // (and the ground-truth generator for the banded streaming gate), while
   // dedup_embed_cosine_prod (τ=0.8, 10×10 banding, sub-quadratic
-  // candidates) is the production path. DedupBlocks is the
-  // executor-memory/parallelism knob: B(B+1)/2 tasks, block size n/B.
+  // candidates) is the production path. The block count B is the
+  // executor-memory/parallelism knob: B(B+1)/2 tasks, block size n/B —
+  // DERIVED from the corpus size (r9, closing the r8 fixed-B hazard):
+  // each block is ONE collect_list row of n/B full vectors, so a
+  // compile-time B grows that row linearly with the corpus toward
+  // Spark's 2 GB single-row ceiling. dedupBlocksFor targets
+  // TargetBlockBytes of packed vectors per block row (bounded task
+  // memory at ANY corpus size) with a floor of MinDedupBlocks so the
+  // B(B+1)/2 task count (≥ 2080) keeps every realistic core count busy.
+  // B only ever affects which block a pair's dot product runs in — the
+  // emitted pair set and its cosines are B-invariant, so the data-
+  // dependent block count cannot perturb the oracle hash.
   private val NearDupCosine = 0.4
-  private val DedupBlocks = 64
+  private val MinDedupBlocks = 64
+  private val TargetBlockBytes = 16L << 20 // 16 MiB of vectors per block row
+  private[graft] def dedupBlocksFor(n: Long): Int = {
+    val bytesPerVec = Dim.toLong * 4 + 16 // float payload + id/struct overhead
+    val forSize = (n * bytesPerVec + TargetBlockBytes - 1) / TargetBlockBytes
+    math.max(MinDedupBlocks.toLong, forSize).toInt
+  }
+  private def dedupBlocks(s: SparkSession, dir: String): Int =
+    SessionCache.memoVal(s, "dedup_blocks", dir) {
+      dedupBlocksFor(emb(s, dir).count())
+    }
   // The 32×2-bit hyperplane banding below no longer drives the BATCH op
   // (see the blocked exact kernel above) but remains the STREAMING
   // semantic-dedup gate's index: an arriving vector band-joins against
@@ -258,11 +278,12 @@ object Similarity extends QueryModule {
 
   /** The verified near-dup pair set MATERIALIZED to parquet once per
     * session, for consumers that post-process the pairs (the clustering
-    * survivorship): re-deriving the pairs would re-run the full banded
-    * candidate join, and wrapping that join's lineage in a storage cache
-    * is exactly the plan shape that blows up (cache materialization runs
-    * with AQE restricted — measured OOM at sf0.1 where the uncached join
-    * finishes in seconds). Materialize-then-read is also the production
+    * survivorship): re-deriving the pairs would re-run the full blocked
+    * exact kernel (all n²/2 dot products), and wrapping that lineage in a
+    * storage cache is exactly the plan shape that blew up under the old
+    * banded join (cache materialization runs with AQE restricted —
+    * measured OOM at sf0.1 where the uncached join finished in seconds).
+    * Materialize-then-read is also the production
     * shape: the dedup op writes its pair table; survivorship scans it.
     */
   private def embedPairsTable(s: SparkSession, dir: String): DataFrame =
@@ -339,7 +360,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def embedBlockedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val B = DedupBlocks
+    val B = dedupBlocks(s, dir)
     // compact block key: xxhash64 spreads ids uniformly whatever their
     // stride (Sf1Gen offsets are multiples of 1e9; raw pmod(vec_id, B)
     // would still balance, but hashing makes that a non-assumption)
@@ -362,7 +383,7 @@ object Similarity extends QueryModule {
       .select(col("bi"), col("bj"), col("ia"), col("ib"))
   }
 
-  private[graft] def dedupBlockCount: Int = DedupBlocks
+  private[graft] def dedupBlockCount(s: SparkSession, dir: String): Int = dedupBlocks(s, dir)
 
   private def embedDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -787,7 +808,7 @@ object Similarity extends QueryModule {
     // cell assignment: scan-local argmax against literal centroids
     val assigned = vecs.select(col("vec_id"), col("embedding"),
       expr(bestCellExpr(cents, "q")).as("cell"))
-    // queries probe their NProbe closest cells (explode of a 2-element array)
+    // queries probe their NProbe closest cells (explode of an NProbe-element array)
     val probes = vecs.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(expr(topCellsExpr(cents, "q", NProbe))).as("cell"))

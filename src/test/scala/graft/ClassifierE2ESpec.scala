@@ -141,6 +141,73 @@ class ClassifierE2ESpec extends SparkSpec {
     }
   }
 
+  test("a degraded sweep is NOT memoized: Queued columns recover once the endpoint heals") {
+    // r9 (ADVICE): the per-session response memo used to pin whatever the
+    // sweep returned — a sweep during a transient outage cached its
+    // degraded result and 'Queued for Processing' could never recover
+    // without restarting the session. Degraded sweeps (fewer responses
+    // than signals) now bypass the memo.
+    var storming = true
+    val srv = new MockTransformerServer("openai", rulesFixture,
+      failFor = (table, _, _) => storming && table == "part")
+    withHttpClassifier(srv) {
+      val during = DvConfig.sourceColumnStatus(spark, sfDir)
+        .filter(col("table_name") === "part")
+        .select("status").distinct().collect().map(_.getString(0)).toSeq
+      assert(during == Seq("Queued for Processing"), s"under outage: $during")
+      storming = false // endpoint heals — same url, same model, same session
+      val after = DvConfig.sourceColumnStatus(spark, sfDir)
+        .filter(col("table_name") === "part")
+        .select("status").distinct().collect().map(_.getString(0)).toSeq
+      assert(!after.contains("Queued for Processing"),
+        s"healed endpoint still serving the memoized degraded sweep: $after")
+    }
+  }
+
+  test("response memo keys on the token fingerprint: new credentials re-sweep") {
+    // r9 (ADVICE): same url + model with a different ServerTokenKey must
+    // not serve responses recorded under the old credentials.
+    val srv = new MockTransformerServer("openai", rulesFixture)
+    withHttpClassifier(srv) {
+      DvConfig.sourceColumnStatus(spark, sfDir).count()
+      val afterFirst = srv.requests.size
+      assert(afterFirst > 0)
+      DvConfig.sourceColumnStatus(spark, sfDir).count()
+      assert(srv.requests.size == afterFirst,
+        "healthy sweep was not memoized — second status call re-billed the endpoint")
+      spark.conf.set(DvConfig.ServerTokenKey, "rotated-token")
+      DvConfig.sourceColumnStatus(spark, sfDir).count()
+      assert(srv.requests.size > afterFirst,
+        "rotated token served the stale memo instead of re-sweeping")
+    }
+  }
+
+  test("a slow endpoint (latency > timeout) degrades to Queued in bounded wall-time") {
+    // r9 (VERDICT #9): the 5xx drill covers fast failures; a HUNG endpoint
+    // must not hang the sweep. Client timeout 250ms against a 1200ms-latency
+    // server: every request times out, the retry loop stays bounded
+    // (requests x retries x timeout), and the unanswered columns surface as
+    // Queued — model silence, never a fabricated verdict.
+    val srv = new MockTransformerServer("openai", rulesFixture, delayMs = () => 1200L)
+    try {
+      val client = new TransformerClient(TransformerClient.Config(
+        serverUrl = srv.url, serverType = TransformerClient.OpenAI,
+        model = "mock-model", token = "t", timeoutMs = 250L, maxRetries = 2))
+      val t0 = System.nanoTime()
+      val responses = client.responsesFor(spark, Seq("region"))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(responses.count() == 0, "timed-out requests produced response rows")
+      // region: 3 columns x 2 templates x 2 retries x 0.25s ~= 3s; 30s is
+      // the generous ceiling that still proves boundedness
+      assert(elapsed < 30.0, s"slow-endpoint sweep took ${elapsed}s — unbounded")
+      val status = Classify.sourceColumnStatus(spark, sfDir,
+        classifier = JsonResponseClassifier(responses, "mock-model"))
+        .filter(col("table_name") === "region")
+        .select("status").distinct().collect().map(_.getString(0)).toSeq
+      assert(status == Seq("Queued for Processing"), s"region under hung endpoint: $status")
+    } finally srv.stop()
+  }
+
   test("a 5xx storm degrades the affected table to Queued without corrupting the vault") {
     // vault built BEFORE the storm, under a healthy classifier sweep
     val healthy = new MockTransformerServer("openai", rulesFixture)

@@ -25,6 +25,39 @@ class DataVaultSpec extends SparkSpec {
     assert(drifted.isEmpty, s"schema drift (update SourceSchemas + check typed readers):\n  ${drifted.mkString("\n  ")}")
   }
 
+  test("landing-mirror inference agrees with the declared re-typing rules") {
+    // The mirror twin of the registry-agreement test (r9, verdict #6):
+    // dv_source_catalog_csv's oracle predicts the CSV/JSON sniffers'
+    // re-typing, and that prediction has broken on regenerated testdata
+    // twice (r7, r8 — both value-dependent CSV narrowing). The rules are
+    // now DECLARED in SourceSchemas (csvInferred/jsonInferred); this test
+    // asserts live inference == declared rules column-by-column, naming
+    // any drifted column.
+    val live = Catalog.introspectLanding(spark, sfDir)
+      .select("table_name", "column_name", "data_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val custkeyFitsInt = Tables.load(spark, sfDir, "customer")
+      .agg(max(col("c_custkey"))).collect()(0).getLong(0) < 2147483648L
+    val nationkeyFitsInt = true // int in the registry — always fits
+    def fitsInt(c: String): Boolean = c match {
+      case "c_custkey" => custkeyFitsInt
+      case _           => nationkeyFitsInt
+    }
+    val declared =
+      SourceSchemas.columns("customer").map(c =>
+        ("customer_csv", c.name) -> SourceSchemas.csvInferred(c, fitsInt(c.name))) ++
+      SourceSchemas.columns("nation").map(c =>
+        ("nation_json", c.name) -> SourceSchemas.jsonInferred(c))
+    val drifted = (live.keySet ++ declared.map(_._1).toSet).toSeq.sorted.flatMap { k =>
+      (live.get(k), declared.toMap.get(k)) match {
+        case (Some(l), Some(d)) if l == d => None
+        case (l, d) => Some(s"${k._1}.${k._2}: live=$l declared=$d")
+      }
+    }
+    assert(drifted.isEmpty,
+      s"mirror inference drift (update SourceSchemas mirror rules AND Catalog.landingSql):\n  ${drifted.mkString("\n  ")}")
+  }
+
   test("hub: ghost records present, hash key unique, bk round-trips") {
     val hub = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
     val n = hub.count()

@@ -20,7 +20,8 @@ final class MockTransformerServer(
     serverType: String,
     fixture: (String, String, Int) => String,
     garbageFor: (String, Int, Int) => Boolean = (_, _, _) => false,
-    failFor: (String, String, Int) => Boolean = (_, _, _) => false) {
+    failFor: (String, String, Int) => Boolean = (_, _, _) => false,
+    delayMs: () => Long = () => 0L) {
 
   private val mapper = new ObjectMapper()
   val requests = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)] // (template, col, prompt)
@@ -30,6 +31,8 @@ final class MockTransformerServer(
   private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      val d = delayMs()
+      if (d > 0) Thread.sleep(d) // the slow-endpoint drill: latency > client timeout
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val node = mapper.readTree(body)
       // ---- wire-shape validation (reference request structs) ----

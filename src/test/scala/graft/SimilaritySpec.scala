@@ -107,7 +107,7 @@ class SimilaritySpec extends SparkSpec {
     // the corpus size — and xxhash64 blocking keeps every block within a
     // small constant of the even share, so no task's (n/B)^2 kernel loop
     // is quadratically skewed.
-    val B = Similarity.dedupBlockCount
+    val B = Similarity.dedupBlockCount(spark, sfDir)
     val joined = Similarity.embedBlockedJoin(spark, sfDir).cache()
     try {
       assert(joined.count() <= B.toLong * (B + 1) / 2)
@@ -117,6 +117,26 @@ class SimilaritySpec extends SparkSpec {
       assert(maxOcc <= math.max(16L, 4L * n / B),
         s"block occupancy $maxOcc vs even share ${n / B} (B=$B, n=$n)")
     } finally joined.unpersist()
+  }
+
+  test("dedupBlocksFor bounds block rows by target bytes at any corpus size") {
+    // r9 contract closing the r8 fixed-B hazard: (a) a floor of 64 blocks
+    // keeps B(B+1)/2 >= 2080 tasks (>= any realistic core count); (b) past
+    // the floor, n/B vectors x ~272 B each stays within the 16 MiB target
+    // per collect_list block row — bounded task memory at ANY corpus size,
+    // never growing toward Spark's 2 GB single-row ceiling.
+    val bytesPerVec = 64L * 4 + 16
+    val target = 16L << 20
+    for (n <- Seq(0L, 2000L, 20000L, 200000L, 4000000L, 40000000L, 1000000000L)) {
+      val b = Similarity.dedupBlocksFor(n)
+      assert(b >= 64, s"n=$n: floor violated (B=$b)")
+      assert(b.toLong * (b + 1) / 2 >= 2080L, s"n=$n: task count under floor")
+      assert((n.toDouble / b) * bytesPerVec <= target.toDouble,
+        s"n=$n: block row ${(n / b) * bytesPerVec} B exceeds $target B (B=$b)")
+    }
+    // small corpora sit exactly on the floor; huge ones grow B linearly
+    assert(Similarity.dedupBlocksFor(20000L) == 64)
+    assert(Similarity.dedupBlocksFor(1000000000L) > 64)
   }
 
   test("dedup_cluster_embed canonicalizes every near-dup pair consistently") {

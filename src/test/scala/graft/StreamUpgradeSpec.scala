@@ -28,6 +28,19 @@ object StreamUpgradeSpec {
                              last_order_ms: Long, first_order_ms: Option[Long])
   final case class BvVersionV2(o_custkey: Long, order_cnt: Long, total_cents: Long,
                                last_order_ms: Long, first_order_ms: Option[Long], hd: String)
+
+  // ---- upgraded attribution (r9, verdict #7): LastTouch + n_touches ----
+  final case class LastTouchV2(tms: Long, event_id: Long, event_type: String,
+                               n_touches: Option[Long])
+  final case class AttributionV2(event_id: Long, user_id: Long, tms: Long,
+                                 touch_type: String, touch_tms: Long, latency_ms: Long,
+                                 n_touches: Option[Long])
+
+  // ---- upgraded sessionize (r9): SessionState + max_gap_ms ----
+  final case class SessionStateV2(start: Long, last: Long, n: Int, sessions: Int,
+                                  max_gap_ms: Option[Long])
+  final case class SessionUpdateV2(user_id: Long, session_no: Int, start_ms: Long,
+                                   end_ms: Long, n_events: Int, max_gap_ms: Option[Long])
 }
 
 class StreamUpgradeSpec extends SparkSpec {
@@ -138,6 +151,220 @@ class StreamUpgradeSpec extends SparkSpec {
       val b = batch(sha(ck.toString))
       assert((v.order_cnt, v.total_cents, v.last_order_ms, v.hd) == b,
         s"customer $ck diverges from dv_computed_sat after resume: $v vs $b")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // r9 (verdict #7): the drill parameterized over the two largest-state
+  // stateful streams. One helper proves sides 1 and 2 of the upgrade rule
+  // (upgraded class cannot restore; original class resumes the same
+  // checkpoint non-destructively) and returns the combined V1 rows plus a
+  // reset-and-replay migration under V2; each op's test then asserts its
+  // own parity (side 3) against the batch twin.
+  // ------------------------------------------------------------------
+
+  private def upgradeDrill[V1: org.apache.spark.sql.Encoder, V2: org.apache.spark.sql.Encoder](
+      tag: String, log: Seq[Streams.Ev],
+      v1: DataFrame => Dataset[V1], v2: DataFrame => Dataset[V2]): (Seq[V1], Seq[V1], Seq[V2]) = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory(s"graft_upgrade_$tag").toString
+    val src = s"$tmp/incoming"; val ckpt = s"$tmp/ckpt"
+    val outV1 = s"$tmp/out_v1"; val outV2 = s"$tmp/out_v2"
+    val (a, b) = log.splitAt(log.length / 2)
+    a.toDS().write.mode("append").parquet(src)
+    def fileStream = spark.readStream.schema(a.toDS().schema).parquet(src)
+    // phase 1: V1 consumes slice A against the checkpoint
+    val q1 = v1(fileStream).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((batch: Dataset[V1], _: Long) => batch.write.mode("append").parquet(outV1))
+      .outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    val phase1 = if (java.nio.file.Files.exists(java.nio.file.Paths.get(outV1)))
+      spark.read.parquet(outV1).as[V1].collect().toSeq else Seq.empty[V1]
+    b.toDS().write.mode("append").parquet(src)
+    // phase 2: upgraded class against the SAME checkpoint — loud rejection
+    val q2 = v2(fileStream).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((batch: Dataset[V2], _: Long) => batch.write.mode("append").parquet(outV2))
+      .outputMode("append").start()
+    val ex = intercept[StreamingQueryException] { q2.processAllAvailable() }
+    q2.stop()
+    val msg = Option(ex.getCause).map(_.toString).getOrElse(ex.toString).toLowerCase
+    assert(msg.contains("schema") || msg.contains("compatible"),
+      s"$tag: restore failed for an unexpected reason: $msg")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outV2)) ||
+      spark.read.parquet(outV2).isEmpty, s"$tag: rejected restore still emitted rows")
+    // phase 3: the ORIGINAL class resumes the same checkpoint over slice B
+    val q3 = v1(fileStream).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((batch: Dataset[V1], _: Long) => batch.write.mode("append").parquet(outV1))
+      .outputMode("append").start()
+    q3.processAllAvailable(); q3.stop()
+    val combined = spark.read.parquet(outV1).as[V1].collect().toSeq
+    // prescribed migration: checkpoint reset + one-shot full replay under V2
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val qm = v2(mem.toDF()).writeStream
+      .format("memory").queryName(s"up_${tag}_v2").outputMode("append").start()
+    mem.addData(log.toIndexedSeq: _*); qm.processAllAvailable(); qm.stop()
+    val migrated = spark.table(s"up_${tag}_v2").as[V2].collect().toSeq
+    (phase1, combined, migrated)
+  }
+
+  private def attributionStreamV2(events: DataFrame): Dataset[AttributionV2] = {
+    import events.sparkSession.implicits._
+    val wm = events.withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", "1 hour").as[Streams.EvT]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouchV2, AttributionV2](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[LastTouchV2]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (uid, evs, state: GroupState[LastTouchV2]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
+          var touch = state.getOption
+          val out = sorted.flatMap { e =>
+            val res = if (e.event_type == "purchase") {
+              val hit = touch.filter(t => t.tms >= e.tms - Streams.AttribWindowMs &&
+                (t.tms < e.tms || (t.tms == e.tms && t.event_id < e.event_id)))
+              Some(hit.map(t => AttributionV2(e.event_id, uid, e.tms, t.event_type, t.tms,
+                  e.tms - t.tms, Some(t.n_touches.getOrElse(0L))))
+                .getOrElse(AttributionV2(e.event_id, uid, e.tms, "none", -1L, -1L,
+                  Some(touch.flatMap(_.n_touches).getOrElse(0L)))))
+            } else None
+            if ((e.event_type == "click" || e.event_type == "view") &&
+                touch.forall(t => t.tms < e.tms || (t.tms == e.tms && t.event_id < e.event_id)))
+              touch = Some(LastTouchV2(e.tms, e.event_id, e.event_type,
+                Some(touch.flatMap(_.n_touches).getOrElse(0L) + 1L)))
+            res
+          }
+          touch match {
+            case Some(t) =>
+              state.update(t)
+              state.setTimeoutTimestamp(math.max(
+                t.tms + Streams.AttribWindowMs, state.getCurrentWatermarkMs() + 1))
+            case None => ()
+          }
+          out.iterator
+      }
+  }
+
+  private def sessionizeV2(events: DataFrame): Dataset[SessionUpdateV2] = {
+    import events.sparkSession.implicits._
+    val wm = events.withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", Streams.SessionWatermark).as[Streams.EvT]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStateV2, SessionUpdateV2](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state: GroupState[SessionStateV2]) if state.hasTimedOut =>
+          val st = state.get
+          if (st.n == 0) { state.remove(); Iterator.empty }
+          else {
+            state.update(st.copy(n = 0, sessions = st.sessions + 1))
+            state.setTimeoutTimestamp(math.max(
+              st.last + Streams.TombstoneGraceMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(SessionUpdateV2(uid, st.sessions, st.start, st.last, st.n, st.max_gap_ms))
+          }
+        case (uid, evs, state: GroupState[SessionStateV2]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
+          var st = state.getOption.getOrElse(
+            SessionStateV2(sorted.head.tms, sorted.head.tms, 0, 1, Some(0L)))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdateV2]
+          sorted.foreach { e =>
+            if (st.n > 0 && e.tms - st.last > Streams.GapMs) {
+              closed += SessionUpdateV2(uid, st.sessions, st.start, st.last, st.n, st.max_gap_ms)
+              st = SessionStateV2(e.tms, e.tms, 1, st.sessions + 1, Some(0L))
+            } else {
+              val g = if (st.n == 0) Some(0L)
+                else Some(math.max(st.max_gap_ms.getOrElse(0L), e.tms - st.last))
+              st = st.copy(last = e.tms, n = st.n + 1,
+                start = if (st.n == 0) e.tms else st.start, max_gap_ms = g)
+            }
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(math.max(
+            st.last + Streams.GapMs, state.getCurrentWatermarkMs() + 1))
+          closed.iterator
+      }
+  }
+
+  private def eventLog(): Seq[Streams.Ev] = {
+    import spark.implicits._
+    Tables.loadEvents(spark, sfDir)
+      .select("event_id", "tms", "user_id", "event_type").collect()
+      .map(r => Streams.Ev(r.getAs[Long]("event_id"), r.getAs[Long]("tms"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"), 0.0))
+      .sortBy(e => (e.tms, e.event_id)).toSeq
+  }
+
+  test("attribution: upgraded state rejected loudly, V1 resumes to full parity, migration computes the new field") {
+    import spark.implicits._
+    val log = eventLog()
+    val (phase1, combined, migrated) = upgradeDrill[Streams.Attribution, AttributionV2](
+      "attrib", log, Streams.attributionStream, attributionStreamV2)
+    // non-destructive: nothing from phase 1 lost
+    assert(phase1.nonEmpty && phase1.toSet.subsetOf(combined.toSet))
+    // attribution emits in-band per purchase, so the resumed two-slice
+    // chain must reproduce the batch operator EXACTLY
+    val batch = SparkEntry.queries("events_attribution")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("tms"),
+        r.getAs[String]("touch_type"), r.getAs[Long]("touch_tms"), r.getAs[Long]("latency_ms"))).toSet
+    val combinedT = combined
+      .map(a => (a.event_id, a.user_id, a.tms, a.touch_type, a.touch_tms, a.latency_ms)).toSet
+    assert(combinedT == batch, "resumed chain diverges from events_attribution")
+    // migration: V1 projection identical, new field exactly recomputable —
+    // n_touches = accepted (monotone) click/view touches preceding the
+    // purchase in (tms, event_id) order, per user
+    val migratedT = migrated
+      .map(a => (a.event_id, a.user_id, a.tms, a.touch_type, a.touch_tms, a.latency_ms)).toSet
+    assert(migratedT == batch, "migrated replay diverges from events_attribution")
+    val byUser = log.groupBy(_.user_id)
+    migrated.foreach { a =>
+      val expected = byUser(a.user_id).count(e =>
+        (e.event_type == "click" || e.event_type == "view") &&
+          (e.tms < a.tms || (e.tms == a.tms && e.event_id < a.event_id)))
+      assert(a.n_touches.contains(expected.toLong),
+        s"purchase ${a.event_id}: n_touches ${a.n_touches} != $expected")
+    }
+  }
+
+  test("sessionize: upgraded state rejected loudly, V1 resumes non-destructively, migration computes the new field") {
+    import spark.implicits._
+    val log = eventLog()
+    val (phase1, combined, migrated) = upgradeDrill[Streams.SessionUpdate, SessionUpdateV2](
+      "sess", log, Streams.sessionize, sessionizeV2)
+    assert(phase1.toSet.subsetOf(combined.toSet), "resume lost phase-1 sessions")
+    // parity against the batch twin: every EMITTED session matches its
+    // batch row exactly; emission of a user's LAST session depends on
+    // whether the event-time timeout fired before the stream ended, so the
+    // deterministic contract is: all non-last sessions emitted, nothing
+    // emitted that the batch twin doesn't have, keys unique.
+    val batch = SparkEntry.queries("events_sessionize")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"))).toMap
+    val lastSession = batch.keySet.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+    def check(tag: String, rows: Seq[(Long, Int, Long, Long, Int)]): Unit = {
+      val keys = rows.map(r => (r._1, r._2.toLong))
+      assert(keys.distinct.length == keys.length, s"$tag: duplicate (user, session_no)")
+      rows.foreach { case (u, sn, st, en, n) =>
+        val b = batch.get((u, sn.toLong))
+        assert(b.contains((n.toLong, st, en)),
+          s"$tag: session ($u, $sn) = ($n, $st, $en) vs batch $b")
+      }
+      val nonLast = batch.keySet.filter { case (u, sn) => sn < lastSession(u) }
+      assert(nonLast.subsetOf(keys.toSet), s"$tag: non-last sessions missing: ${nonLast -- keys.toSet}")
+    }
+    check("combined", combined.map(s => (s.user_id, s.session_no, s.start_ms, s.end_ms, s.n_events)))
+    check("migrated", migrated.map(s => (s.user_id, s.session_no, s.start_ms, s.end_ms, s.n_events)))
+    // the upgraded attribute is genuinely computed: max intra-session gap
+    val byUser = log.groupBy(_.user_id)
+    migrated.foreach { s =>
+      val inSession = byUser(s.user_id).filter(e => e.tms >= s.start_ms && e.tms <= s.end_ms)
+        .map(_.tms).sorted
+      val expected = if (inSession.length < 2) 0L
+        else inSession.sliding(2).map(p => p(1) - p(0)).max
+      assert(s.max_gap_ms.contains(expected),
+        s"session (${s.user_id}, ${s.session_no}): max_gap ${s.max_gap_ms} != $expected")
     }
   }
 
