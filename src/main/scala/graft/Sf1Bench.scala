@@ -55,7 +55,13 @@ object Sf1Bench {
     def time(name: String, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      catch { case e: Throwable =>
+        // a swallowed failure is undiagnosable (the r8 sf10 run abandoned
+        // 24 of 29 ops with no recorded cause) — name the reason loudly
+        System.err.println(s"[sf1bench] $name @ $dir FAILED: ${e.getClass.getName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+        None
+      }
     }
     val rows = ops.map { n => (n, time(n, sfSmall), time(n, sfBig)) }
     val parts = rows.collect { case (n, Some(a), Some(b)) =>

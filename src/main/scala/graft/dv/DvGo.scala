@@ -436,11 +436,19 @@ object DvGo {
       counts.toDF("object", "row_count").orderBy("object")
     } finally {
       // drop whatever subset of the vault's tables got registered before
-      // any failure, then the directory itself
-      s.catalog.listTables().collect().map(_.name)
-        .filter(_.startsWith(prefix))
-        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-      DvLoader.deletePath(java.nio.file.Paths.get(out))
+      // any failure, then the directory itself — NON-masking (r9): a
+      // cleanup throw here would replace the primary exception (it did at
+      // sf10, where a disk-full job abort surfaced as the finally's
+      // DirectoryNotEmptyException and hid the real cause)
+      try {
+        s.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(prefix))
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[dv] goBucketedE2E catalog cleanup failed (NON-masking): $e")
+      }
+      DvLoader.deletePathQuietly(java.nio.file.Paths.get(out), "goBucketedE2E vault")
     }
   }
 

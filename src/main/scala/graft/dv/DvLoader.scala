@@ -268,13 +268,37 @@ object DvLoader {
     */
   private[graft] def deletePath(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
+    def sweep(): Unit =
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { walk =>
         walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
+    if (java.nio.file.Files.exists(p)) {
+      try sweep()
+      catch {
+        // A racing writer — executor tasks of an ABORTING job still
+        // flushing into the vault dir — can create files between the walk
+        // and the reverse delete (observed at sf10: DirectoryNotEmptyException
+        // from goBucketedE2E's finally while a disk-full abort was still
+        // unwinding, which then MASKED the real failure). Settle briefly
+        // and re-walk once; cleanup callers treat a second failure as
+        // non-masking (logged, not thrown over the primary exception).
+        case _: java.io.IOException =>
+          Thread.sleep(500); sweep()
+      }
     }
   }
+
+  /** deletePath for `finally` blocks: never throws — a cleanup failure
+    * must not REPLACE the primary exception (Scala semantics: a throw in
+    * finally discards the in-flight one). Logs the leak loudly instead.
+    */
+  private[graft] def deletePathQuietly(p: java.nio.file.Path, what: String): Unit =
+    try deletePath(p)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] $what cleanup failed (leaked $p, NON-masking): $e")
+    }
 
   /** Oracle twin: the appended counts from source cardinality. */
   def loadFromRepoSql: String =

@@ -802,16 +802,25 @@ object Similarity extends QueryModule {
     cents
   }
 
-  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfWith(s, dir, NProbe)
+
+  /** nprobe-parameterized IVF search — the registered op runs the
+    * measured gate operating point (NProbe); IvfClusteredSpec drives the
+    * SAME plan at nprobe 2 on a planted-cluster corpus to prove the index
+    * prunes when the data has real neighbor structure (the gate corpus is
+    * near-orthogonal, where no index can prune — SURVEY §2 row 36c note).
+    */
+  private[graft] def annIvfWith(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val vecs = qVecs(s, dir)
     val cents = ivfCentroids(s, dir)
     // cell assignment: scan-local argmax against literal centroids
     val assigned = vecs.select(col("vec_id"), col("embedding"),
       expr(bestCellExpr(cents, "q")).as("cell"))
-    // queries probe their NProbe closest cells (explode of an NProbe-element array)
+    // queries probe their nprobe closest cells (explode of an nprobe-element array)
     val probes = vecs.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(expr(topCellsExpr(cents, "q", NProbe))).as("cell"))
+        explode(expr(topCellsExpr(cents, "q", nprobe))).as("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

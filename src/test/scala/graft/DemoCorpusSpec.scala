@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** Operator-value demonstrations on the DemoGen corpora (r9, verdict #5).
+  * The driver's testdata is adversarial by construction for these two
+  * families — near-orthogonal embeddings (no index can prune noise) and a
+  * shared cross-language vocabulary (no fertility gap can exist). These
+  * specs prove the OPERATORS deliver once the data has the structure
+  * production corpora have: the same IVF plan that honestly scans half
+  * the gate corpus prunes to 1/8 scan at recall ≥ 0.8 on planted
+  * clusters, and bpe_fertility surfaces a real tokens-per-word gap on a
+  * per-language-vocabulary corpus.
+  */
+class DemoCorpusSpec extends SparkSpec {
+
+  test("IVF prunes on clustered data: recall@3 >= 0.8 at nprobe 2 (scan 1/8 of K=16)") {
+    val dir = Files.createTempDirectory("graft_clustered").toString
+    DemoGen.clusteredEmbeddings(spark, 4000L, 32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // exact ground truth, driver-side (4000 x 400 x 64 — spec-only scale)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val exact: Map[Long, Set[Long]] = all.filter(_._1 % 10 == 0).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    // the SAME registered plan at nprobe 2: scan fraction 2/16 = 0.125
+    val ivf = Similarity.annIvfWith(spark, dir, 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    var hit = 0; var total = 0
+    exact.foreach { case (q, truth) =>
+      total += truth.size
+      hit += ivf.getOrElse(q, Set.empty).count(truth)
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8,
+      f"nprobe=2 recall $recall%.3f < 0.8 on planted clusters (scan 0.125)")
+  }
+
+  test("bpe_fertility surfaces a real cross-language gap on per-language vocabularies") {
+    val dir = Files.createTempDirectory("graft_multilingual").toString
+    DemoGen.multilingualDocs(spark)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fert = SparkEntry.queries("bpe_fertility")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("fertility_milli")).toMap
+    assert(fert.keySet == Set("aa", "bb", "cc", "dd"), s"langs: ${fert.keySet}")
+    // word length grows 3 -> 12 chars across aa..dd: fertility must be
+    // MONOTONE in language word length and the end-to-end gap substantial
+    // (> 1 whole token per word), where the shared-vocab testdata was
+    // flat at 3601-3620 milli
+    assert(fert("aa") < fert("bb") && fert("bb") < fert("cc") && fert("cc") < fert("dd"),
+      s"fertility not monotone in word length: $fert")
+    assert(fert("dd") - fert("aa") >= 1000L, s"gap too small to be a signal: $fert")
+  }
+}

@@ -15,8 +15,13 @@ import duckdb
 import numpy as np
 
 d = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+# testdata is a single parquet file; Spark-written corpora (Sf1Gen,
+# DemoGen) are directories of part files — handle both
+import os
+p = f"{d}/embeddings.parquet"
+src = f"{p}/*.parquet" if os.path.isdir(p) else p
 rows = duckdb.sql(
-    f"select vec_id, embedding from '{d}/embeddings.parquet' order by vec_id"
+    f"select vec_id, embedding from '{src}' order by vec_id"
 ).fetchall()
 ids = np.array([r[0] for r in rows], dtype=np.int64)
 emb = np.array([r[1] for r in rows], dtype=np.float64)  # float32 -> exact in f64
