@@ -725,7 +725,71 @@ FROM flags ORDER BY doc_id"""
        |  CASE WHEN h_micros < q_micros THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ corpus_token_budget
+  // "The best N tokens": greedy document selection under a token budget,
+  // ranked by (quality desc, doc_id) — the curation primitive behind
+  // "train on the top 30% of the corpus by quality". A doc is selected
+  // iff its inclusive cumulative token count in rank order fits the
+  // budget (BudgetPermille of total corpus tokens — corpus-relative so
+  // the op is meaningful at every SF).
+  //
+  // Scale shape: the global rank-order prefix sum NEVER runs as one
+  // window. Scores are exact integers on a bounded micro scale, so docs
+  // band by `q_int div BandWidth` (~100 bands): a PARTITIONED window per
+  // band computes local prefixes (band partitions are corpus-fraction
+  // sized, the corpus_pack bucket-window cost class — a degenerate
+  // all-one-score corpus would concentrate them, the same way adversarial
+  // md5 collisions would concentrate corpus_pack's buckets), and band
+  // offsets come from a window over the ~100 band TOTALS (bounded,
+  // broadcast back). Selection compares cum*1000 <= total*BudgetPermille
+  // in exact BIGINTs — no division, both engines agree bit-for-bit.
+  private val BudgetPermille = 300L
+  private val BandWidth = 10000L // micro-score bands: ~100 over the 1e6 score space
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val dq = docsQInt(s, dir)
+      .select(col("doc_id"), col("n_words").as("n_tokens"), col("q_int"))
+    val total = dq.agg(sum("n_tokens").as("t"))
+    val banded = dq.withColumn("band", expr(s"q_int div $BandWidth"))
+    val wLocal = Window.partitionBy("band").orderBy(col("q_int").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = banded.withColumn("local_cum", sum("n_tokens").over(wLocal))
+    val offsets = banded.groupBy("band").agg(sum("n_tokens").as("bt"))
+      .withColumn("band_start", coalesce(
+        sum("bt").over(Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("band", "band_start")
+    local.join(broadcast(offsets), "band")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_tokens", col("band_start") + col("local_cum"))
+      .withColumn("selected",
+        (col("cum_tokens") * lit(1000L) <= col("t") * lit(BudgetPermille)).cast("long"))
+      .select("doc_id", "q_int", "n_tokens", "cum_tokens", "selected")
+      .orderBy("doc_id")
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(len(list_filter(toks, x -> x IN ${Text.inList(Text.StopEn)})) AS BIGINT) AS n_stop,
+       |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+       |  FROM t0 WHERE len(toks) >= 1),
+       |dq AS (SELECT doc_id, n_words AS n_tokens, $qIntDuck AS q_int FROM m),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM dq),
+       |c AS (
+       |  SELECT doc_id, q_int, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY q_int DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM dq)
+       |SELECT doc_id, q_int, n_tokens, cum_tokens,
+       |  CASE WHEN cum_tokens * 1000 <= tot.t * $BudgetPermille
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
+       |FROM c, tot ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("corpus_split_safe", corpusSplitSafe, Some(corpusSplitSafeSql)),
     QueryDef("curate_importance_sample", importanceSample, Some(importanceSampleSql)),
     QueryDef("corpus_length_hist", corpusLengthHist, Some(corpusLengthHistSql)),

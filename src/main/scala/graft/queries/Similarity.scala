@@ -805,20 +805,36 @@ object Similarity extends QueryModule {
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfWith(s, dir, NProbe)
 
-  /** nprobe-parameterized IVF search — the registered op runs the
-    * measured gate operating point (NProbe); IvfClusteredSpec drives the
-    * SAME plan at nprobe 2 on a planted-cluster corpus to prove the index
-    * prunes when the data has real neighbor structure (the gate corpus is
-    * near-orthogonal, where no index can prune — SURVEY §2 row 36c note).
+  // ---------------------------------------------- ann_cosine_ivf_probe
+  // The PRODUCTION operating shape of the trained IVF index: the same
+  // quantizer, probed by the CONSTANT query set knn_cosine /
+  // ann_cosine_lsh use (vec_id < KnnQueries) — total work is
+  // queries × nprobe/K of the corpus = LINEAR in corpus size, and the
+  // oracle's probe CTE is likewise linear, so this op stays DuckDB-
+  // verifiable at EVERY dry-run SF. The registered ann_cosine_ivf keeps
+  // the corpus-proportional vec_id % 10 population — the recall-report
+  // research diagnostic, Θ(n²/K) work by design (measured 163× at 100×
+  // data, disclosed in BENCH_sf10_r09.json); THIS op is the one whose
+  // ratio should stay near-flat at any scale, like ann_cosine_lsh's.
+  private def annIvfProbe(s: SparkSession, dir: String): DataFrame =
+    annIvfWith(s, dir, NProbe, col("vec_id") < KnnQueries)
+
+  /** nprobe/query-set-parameterized IVF search — the registered ops pin
+    * their operating points ([[annIvf]] research population,
+    * [[annIvfProbe]] constant production set); IvfClusteredSpec drives
+    * the SAME plan at nprobe 2 on a planted-cluster corpus to prove the
+    * index prunes when the data has real neighbor structure (the gate
+    * corpus is near-orthogonal, where no index can prune).
     */
-  private[graft] def annIvfWith(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[graft] def annIvfWith(s: SparkSession, dir: String, nprobe: Int,
+                                queryFilter: Column = col("vec_id") % QueryMod === 0): DataFrame = {
     val vecs = qVecs(s, dir)
     val cents = ivfCentroids(s, dir)
     // cell assignment: scan-local argmax against literal centroids
     val assigned = vecs.select(col("vec_id"), col("embedding"),
       expr(bestCellExpr(cents, "q")).as("cell"))
     // queries probe their nprobe closest cells (explode of an nprobe-element array)
-    val probes = vecs.filter(col("vec_id") % QueryMod === 0)
+    val probes = vecs.filter(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(expr(topCellsExpr(cents, "q", nprobe))).as("cell"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -898,9 +914,9 @@ object Similarity extends QueryModule {
        |             ORDER BY ${simDuck("v.q", "c.qc")} DESC, c.cent_id) AS rk
        |    FROM ${p}vecs v CROSS JOIN ${p}c2 c WHERE $filterSql) t WHERE rk <= $NProbe""".stripMargin
 
-  private val annIvfSql =
+  private def annIvfSqlFor(filterSql: String): String =
     s"""WITH ${ivfChainCtes("")},
-       |probes AS (${ivfProbesDuck("", s"v.vec_id % $QueryMod = 0")}),
+       |probes AS (${ivfProbesDuck("", filterSql)}),
        |withnrm AS (
        |  SELECT a.vec_id, a.embedding, a.cell, v.nrm
        |  FROM assigned a JOIN vecs v ON v.vec_id = a.vec_id),
@@ -913,6 +929,9 @@ object Similarity extends QueryModule {
        |SELECT query_id, rank, neighbor_id, cell, cosine
        |FROM ranked WHERE rank <= $IvfTopK
        |ORDER BY query_id, rank""".stripMargin
+
+  private val annIvfSql = annIvfSqlFor(s"v.vec_id % $QueryMod = 0")
+  private val annIvfProbeSql = annIvfSqlFor(s"v.vec_id < $KnnQueries")
 
   // ---------------------------------------------------- emb_centroids
   // Per-cluster mean embedding (the training-pipeline "centroid per
@@ -1427,6 +1446,7 @@ object Similarity extends QueryModule {
     QueryDef("knn_label_vote", knnLabelVote, Some(knnLabelVoteSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
+    QueryDef("ann_cosine_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
     QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
     QueryDef("dedup_embed_cosine_prod", embedDedupProd, Some(embedDedupProdSql)),

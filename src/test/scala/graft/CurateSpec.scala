@@ -422,4 +422,30 @@ class CurateSpec extends SparkSpec {
     // the curve genuinely separates: candidates exist below the threshold too
     assert(expected.keys.exists(_ < 6L), "no sub-threshold candidates — curve degenerate")
   }
+
+  test("corpus_token_budget: selection is the exact greedy prefix under the 30% budget") {
+    val rows = SparkEntry.queries("corpus_token_budget")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("q_int"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("selected")))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    // cum_tokens really is the inclusive prefix sum in (q desc, doc_id) order
+    val ranked = rows.sortBy { case (id, q, _, _, _) => (-q, id) }
+    var cum = 0L
+    ranked.foreach { case (id, _, n, c, _) =>
+      cum += n
+      assert(c == cum, s"doc $id: cum_tokens $c != recomputed $cum")
+    }
+    // selection = the exact greedy prefix: selected iff cum*1000 <= total*300,
+    // so the selected set is a PREFIX of the ranking and maximal under the budget
+    rows.foreach { case (id, _, _, c, sel) =>
+      assert(sel == (if (c * 1000L <= total * 300L) 1L else 0L), s"doc $id selection wrong")
+    }
+    val sel = ranked.takeWhile { case (_, _, _, c, _) => c * 1000L <= total * 300L }
+    assert(sel.nonEmpty && sel.length < rows.length, "degenerate budget: all or nothing selected")
+    assert(sel.map(_._3).sum * 1000L <= total * 300L)
+    // maximality: the next-ranked doc would blow the budget
+    val next = ranked(sel.length)
+    assert((sel.map(_._3).sum + next._3) * 1000L > total * 300L)
+  }
 }

@@ -55,7 +55,8 @@ class ScaleSpec extends SparkSpec {
       "knn_recall_report", // composes knn/int8 (constant probe broadcasts) as sub-plans
       "orders_rfm",       // 1-row ref-date/total-count broadcasts (histogram quintiles)
       "corpus_source_stats", // 1-row corpus-total broadcast for the share denominator
-      "corpus_length_hist" // same 1-row totals broadcast (doc/token share denominators)
+      "corpus_length_hist", // same 1-row totals broadcast (doc/token share denominators)
+      "corpus_token_budget" // 1-row total-tokens broadcast (the budget denominator)
     )
     // Eager build wrappers run their whole vault build during DataFrame
     // CONSTRUCTION and return a LocalTableScan summary — sweeping that
@@ -120,6 +121,7 @@ class ScaleSpec extends SparkSpec {
       // bucket-partitioned)
       "corpus_pack" -> "64 bucket-offset rows",
       "corpus_shards" -> "64 bucket-offset rows",
+      "corpus_token_budget" -> "~100 quality-band-offset rows (score space / BandWidth; local windows band-partitioned)",
       // block-grid cumsum: axis is first_doc div 50 — n/50 rows, linear
       // with a 1/50 constant (same bound class as the salted local cells);
       // re-block VocabBlock upward at extreme scale

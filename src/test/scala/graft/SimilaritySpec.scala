@@ -153,6 +153,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_cosine_ivf_probe: constant query set, agrees with the research op on shared queries") {
+    // the production operating shape (vec_id < 50 queries) reads the SAME
+    // trained index with the same probes — on queries in BOTH populations
+    // (0, 10, 20, 30, 40) the two ops must emit identical rows
+    val probe = SparkEntry.queries("ann_cosine_ivf_probe")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("cell"), r.getAs[Double]("cosine")))
+    assert(probe.map(_._1).distinct.forall(_ < 50L), "non-constant query leaked in")
+    assert(probe.map(_._1).distinct.length == 50)
+    val research = SparkEntry.queries("ann_cosine_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("cell"), r.getAs[Double]("cosine")))
+    val shared = (0L until 50L by 10L).toSet
+    assert(probe.filter(p => shared(p._1)).toSet == research.filter(p => shared(p._1)).toSet,
+      "probe op diverges from the research op on the shared query population")
+  }
+
   test("trained IVF cells are balanced (max cell <= 4x mean)") {
     val cells = Similarity.ivfAssignments(spark, sfDir)
       .groupBy("cell").count().collect().map(_.getLong(1))
