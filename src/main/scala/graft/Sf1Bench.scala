@@ -25,7 +25,8 @@ object Sf1Bench {
     "dv_load_from_repo", "dv_source_profile", "dv_pit_incr",
     "graph_pagerank", "graph_triangles",
     "search_hybrid", "knn_cosine", "knn_label_vote",
-    "ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_int8", "ann_ivf_pq", "ann_l2_pq",
+    "ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_ivf_probe", "ann_cosine_int8",
+    "ann_ivf_pq", "ann_l2_pq",
     "dedup_embed_cosine", "dedup_embed_cosine_prod", "dedup_minhash_lsh",
     "dedup_substring", "sim_ngram_jaccard", "dedup_cluster",
     "q2_min_cost_supplier", "orders_rfm", "orders_assoc_rules", "events_heavy_hitters",
