@@ -29,7 +29,9 @@ object PlanAudit {
         "ann_ivf_pq",
         // r6 additions
         "events_heavy_hitters", "orders_basket_pairs", "events_path_conversion",
-        "text_feature_hash", "dv_computed_sat", "emb_covariance", "knn_recall_report")
+        "text_feature_hash", "dv_computed_sat", "emb_covariance", "knn_recall_report",
+        // r9 additions
+        "ann_cosine_ivf_probe", "corpus_token_budget")
     SparkEntry.modules.flatMap(_.defs).filter(d => wanted(d.name)).foreach { d =>
       println(s"\n========== ${d.name} ==========")
       println(d.run(spark, sfDir).queryExecution.explainString(
