@@ -60,7 +60,10 @@ object Bench {
     val results = passes.map { case (k, ts) => k -> ts.min }
     val failed = ordered.map(_._1).filter(pass1(_).isEmpty)
     val qs = passes.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+      // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
+      // locale (de_DE) would make the detail line invalid JSON (ADVICE r9)
+      s"\"" + k + "\":" + ts.map(t => "%.4f".formatLocal(java.util.Locale.ROOT, t))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -77,7 +80,8 @@ object Bench {
     // top-20-by-cost line right before the totals so the expensive tail
     // always survives capture (round-6 verdict item 7).
     val top20 = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"top20","unit":"sec","queries":$top20,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","single_pass_total":$singlePassTotal,"best_of_total":$total,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

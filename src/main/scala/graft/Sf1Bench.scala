@@ -65,13 +65,16 @@ object Sf1Bench {
       }
     }
     val rows = ops.map { n => (n, time(n, sfSmall), time(n, sfBig)) }
+    // Locale.ROOT like Bench (ADVICE r9): f"" under a comma-decimal locale
+    // would emit invalid JSON
+    def f2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
     val parts = rows.collect { case (n, Some(a), Some(b)) =>
-      f"""\"$n\":{\"small\":$a%.2f,\"big\":$b%.2f,\"ratio\":${b / a}%.2f}"""
+      s""""$n":{"small":${f2(a)},"big":${f2(b)},"ratio":${f2(b / a)}}"""
     }
     val failed = rows.collect { case (n, a, b) if a.isEmpty || b.isEmpty => n }
     val ratios = rows.collect { case (_, Some(a), Some(b)) => b / a }
     val maxR = if (ratios.nonEmpty) ratios.max else -1.0
-    println(s"""{"metric":"sf1_ratios","sf_small":"$sfSmall","sf_big":"$sfBig","n_ops":${parts.size},"max_ratio":${f"$maxR%.2f"},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"ops":{${parts.mkString(",")}}}""")
+    println(s"""{"metric":"sf1_ratios","sf_small":"$sfSmall","sf_big":"$sfBig","n_ops":${parts.size},"max_ratio":${f2(maxR)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"ops":{${parts.mkString(",")}}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -250,7 +250,9 @@ object DvGo {
     // DvLoader.loadFromRepo).
     val out = s.createDataFrame(
       java.util.Arrays.asList(stored.collect(): _*), stored.schema)
-    DvLoader.deletePath(java.nio.file.Paths.get(tmp))
+    // quiet: the history rows are already materialized driver-side — a
+    // cleanup failure must not discard them (ADVICE r9 audit)
+    DvLoader.deletePathQuietly(java.nio.file.Paths.get(tmp), "buildHistory temp vault")
     out
   }
 
@@ -365,7 +367,7 @@ object DvGo {
     // the summary lives in res.objects (driver-side counts from observe()),
     // so the materialized temp vault can be deleted immediately — same
     // no-leak policy as buildHistory / loadFromRepo
-    DvLoader.deletePath(java.nio.file.Paths.get(out))
+    DvLoader.deletePathQuietly(java.nio.file.Paths.get(out), "goSummary temp vault")
     res.objects.toDF("object", "row_count").orderBy("object")
   }
 

@@ -92,8 +92,11 @@ object DvMaintenance {
     s.sql(s"DROP TABLE IF EXISTS $table")
     java.nio.file.Files.move(objPath, asidePath)
     java.nio.file.Files.move(stagePath, objPath)
-    DvLoader.deletePath(asidePath)
+    // re-register FIRST: the aside copy is garbage once the compacted files
+    // are in place, and a failed garbage delete must not leave the table
+    // dropped (the pre-clean above removes a surviving aside on retry)
     DvLoader.registerBucketed(s, repoDir, obj, keys, b)
+    DvLoader.deletePathQuietly(asidePath, s"compaction aside copy for $table")
     (before, dataFiles(objPath))
   }
 }

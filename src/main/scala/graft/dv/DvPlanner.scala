@@ -99,7 +99,7 @@ object Catalog {
       rows.toDF("schema_name", "table_name", "format", "column_name", "ordinal",
         "data_type", "name_bk_ind")
         .orderBy("table_name", "ordinal")
-    } finally DvLoader.deletePath(java.nio.file.Paths.get(tmp))
+    } finally DvLoader.deletePathQuietly(java.nio.file.Paths.get(tmp), "landing mirror")
   }
 
   /** Oracle twin of introspectLanding: the expected inference result —

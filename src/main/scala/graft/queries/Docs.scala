@@ -62,6 +62,7 @@ private[graft] object SessionCache {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           entries.keys.filter(_._1 eq s).foreach(entries.remove)
+          degradedEntries.keys.filter(_._1 eq s).foreach(degradedEntries.remove)
           scalars.keys.filter(_._1 eq s).foreach(scalars.remove)
           cleanups.keys.filter(_._1 eq s).toSeq
             .foreach(k => cleanups.remove(k).foreach(f => f()))
@@ -87,19 +88,35 @@ private[graft] object SessionCache {
 
   /** memo() that only RETAINS results `keep` accepts: a degraded build
     * (e.g. a transformer sweep run during an endpoint outage) is returned
-    * to the caller — correct for THIS call — but not pinned for the
-    * session, so the next call retries instead of serving the outage
-    * forever.
+    * to the caller — correct for THIS call — but only pinned for a short
+    * TTL, so the next status call retries instead of serving the outage
+    * forever, while a PERSISTENTLY degraded endpoint doesn't re-bill the
+    * full sweep on every call within the window (ADVICE r9). Rejected and
+    * race-losing frames are unpersisted — memoIf never strands a cache.
     */
+  private val degradedEntries = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (DataFrame, Long)]
+  private val DegradedTtlMs = 30000L
+
   def memoIf(s: SparkSession, tag: String, dir: String)(build: => DataFrame)(
       keep: DataFrame => Boolean): DataFrame = {
     hook(s)
-    entries.get((s, tag, dir)) match {
+    val key = (s, tag, dir)
+    entries.get(key) match {
       case Some(df) => df
       case None =>
-        val df = build.cache()
-        if (keep(df)) entries.putIfAbsent((s, tag, dir), df)
-        df
+        val now = System.currentTimeMillis()
+        degradedEntries.get(key) match {
+          case Some((df, at)) if now - at < DegradedTtlMs => df
+          case stale =>
+            stale.foreach { case (df, _) => degradedEntries.remove(key); df.unpersist() }
+            val df = build.cache()
+            if (keep(df)) entries.putIfAbsent(key, df) match {
+              case Some(winner) => df.unpersist(); winner
+              case None => df
+            }
+            else { degradedEntries.put(key, (df, now)); df }
+        }
     }
   }
 
@@ -119,6 +136,8 @@ private[graft] object SessionCache {
   def clear(): Unit = {
     entries.values.foreach(_.unpersist())
     entries.clear()
+    degradedEntries.values.foreach(_._1.unpersist())
+    degradedEntries.clear()
     scalars.clear()
     cleanups.keys.toSeq.foreach(k => cleanups.remove(k).foreach(f => f()))
   }

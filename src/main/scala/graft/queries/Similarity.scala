@@ -723,6 +723,35 @@ object Similarity extends QueryModule {
   private[queries] val IvfScale = 4096L
   private val IvfIters = 2
 
+  // Query-population CAP for the recall diagnostic (r9 verdict #1): the
+  // old population was vec_id % 10 == 0 — 10% OF THE CORPUS queries the
+  // index, so total probe work was Θ(n²·nprobe/K) (measured 163x wall at
+  // 100x data) and the unrolled SQL oracle exceeded DuckDB memory past
+  // sf1. The recall ESTIMATE converges long before 1,000 probes (it is a
+  // mean of per-query hit rates — stderr ~ 1/sqrt(q), under ±0.016 at
+  // q=1000), so the modulus now grows with the corpus to hold the
+  // population at <= ~IvfQueryCap: mod = max(10, ceil(n/1000)). At the
+  // gate SFs (n <= 2000) the mod stays 10 — bit-identical results — and
+  // at sf10 (n = 200k) the population is 1,000 instead of 20,000, making
+  // the diagnostic linear in n AND DuckDB-verifiable at every dry-run SF.
+  // Both engines apply the same arithmetic filter over the same vec_ids,
+  // so Sf1Gen's k*1e9 copy offsets need no special handling — whatever
+  // residues fall out, they fall out identically on both sides.
+  private val IvfQueryCap = 1000L
+
+  /** Deterministic capped query-set modulus — one metadata-cheap count()
+    * per call (no columns read; parquet row-group counts), mirrored
+    * bit-for-bit by [[ivfQueryModDuck]] on the oracle side.
+    */
+  private[graft] def ivfQueryMod(s: SparkSession, dir: String): Long = {
+    val n = emb(s, dir).count()
+    math.max(QueryMod.toLong, math.ceil(n.toDouble / IvfQueryCap).toLong)
+  }
+
+  /** The same capped modulus as a DuckDB scalar expression. */
+  private val ivfQueryModDuck =
+    s"greatest($QueryMod, CAST(ceil(CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / $IvfQueryCap) AS BIGINT))"
+
   private val qExpr =
     s"transform(embedding, e -> cast(floor(cast(e as double) * $IvfScale) as bigint))"
 
@@ -803,7 +832,7 @@ object Similarity extends QueryModule {
   }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame =
-    annIvfWith(s, dir, NProbe)
+    annIvfWith(s, dir, NProbe, col("vec_id") % ivfQueryMod(s, dir) === 0)
 
   // ---------------------------------------------- ann_cosine_ivf_probe
   // The PRODUCTION operating shape of the trained IVF index: the same
@@ -811,11 +840,12 @@ object Similarity extends QueryModule {
   // ann_cosine_lsh use (vec_id < KnnQueries) — total work is
   // queries × nprobe/K of the corpus = LINEAR in corpus size, and the
   // oracle's probe CTE is likewise linear, so this op stays DuckDB-
-  // verifiable at EVERY dry-run SF. The registered ann_cosine_ivf keeps
-  // the corpus-proportional vec_id % 10 population — the recall-report
-  // research diagnostic, Θ(n²/K) work by design (measured 163× at 100×
-  // data, disclosed in BENCH_sf10_r09.json); THIS op is the one whose
-  // ratio should stay near-flat at any scale, like ann_cosine_lsh's.
+  // verifiable at EVERY dry-run SF. The registered ann_cosine_ivf is the
+  // recall-report research diagnostic: a broad query population capped at
+  // ~IvfQueryCap probes (r10 — it was corpus-proportional vec_id % 10,
+  // Θ(n²/K) work, measured 163x at 100x data in BENCH_sf10_r09.json),
+  // now linear like this op; THIS op is the one whose ratio should stay
+  // near-flat at any scale, like ann_cosine_lsh's.
   private def annIvfProbe(s: SparkSession, dir: String): DataFrame =
     annIvfWith(s, dir, NProbe, col("vec_id") < KnnQueries)
 
@@ -930,7 +960,7 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= $IvfTopK
        |ORDER BY query_id, rank""".stripMargin
 
-  private val annIvfSql = annIvfSqlFor(s"v.vec_id % $QueryMod = 0")
+  private val annIvfSql = annIvfSqlFor(s"v.vec_id % ($ivfQueryModDuck) = 0")
   private val annIvfProbeSql = annIvfSqlFor(s"v.vec_id < $KnnQueries")
 
   // ---------------------------------------------------- emb_centroids
@@ -1393,8 +1423,8 @@ object Similarity extends QueryModule {
   // "Measure, don't guess" as a first-class operator: recall of each ANN
   // tier against the exact brute-force ground truth, per tier, over the
   // tier's own query set (LSH and int8 answer the same constant 50 probes
-  // as exact; IVF probes vec_id % 10 == 0, so its recall is measured on
-  // the intersection). A query the tier fails to answer (empty LSH
+  // as exact; IVF probes the capped vec_id % ivfQueryMod population, so
+  // its recall is measured on the intersection). A query the tier fails to answer (empty LSH
   // bucket) counts AGAINST recall — the denominator is the exact top-K,
   // never the tier's answered subset. All integer outputs
   // (hits/total/recall in micro-units); each tier contributes one 1-row
@@ -1411,7 +1441,7 @@ object Similarity extends QueryModule {
           expr("hits * 1000000 div total").as("recall_micro"))
     tierRecall("ann_cosine_int8", annInt8(s, dir), TopK, col("query_id") < KnnQueries)
       .unionByName(tierRecall("ann_cosine_ivf", annIvf(s, dir), IvfTopK,
-        col("query_id") < KnnQueries && col("query_id") % QueryMod === 0))
+        col("query_id") < KnnQueries && col("query_id") % ivfQueryMod(s, dir) === 0))
       .unionByName(tierRecall("ann_cosine_lsh", annLsh(s, dir), AnnTopK,
         col("query_id") < KnnQueries))
       .orderBy("tier")
@@ -1430,7 +1460,7 @@ object Similarity extends QueryModule {
        |FROM (
        |${tier("ann_cosine_int8", annInt8Sql, TopK, s"query_id < $KnnQueries")}
        |UNION ALL
-       |${tier("ann_cosine_ivf", annIvfSql, IvfTopK, s"query_id < $KnnQueries AND query_id % $QueryMod = 0")}
+       |${tier("ann_cosine_ivf", annIvfSql, IvfTopK, s"query_id < $KnnQueries AND query_id % ($ivfQueryModDuck) = 0")}
        |UNION ALL
        |${tier("ann_cosine_lsh", annSql, AnnTopK, s"query_id < $KnnQueries")}
        |)

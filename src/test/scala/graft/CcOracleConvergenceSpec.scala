@@ -17,6 +17,16 @@ package graft
   *
   * Driver-side is safe here: the pair sets are answer-sized (≤ a few
   * thousand rows at sf0.1), not corpus-sized.
+  *
+  * SF EXPOSURE (ADVICE r9): this spec measures margin on the sf0.1 gate
+  * graphs only, but the same unrolled constants back the DuckDB oracles
+  * at sf1 dry-runs, where a bigger pair graph could need more rounds —
+  * the exact failure mode r8 hit. Under-convergence fails LOUDLY (hash
+  * mismatch), and the sf1/sf10 procedure now re-measures on the actual
+  * graph: `tools/scale_oracle_cluster.py <sf> <out> --rounds-const N`
+  * replays the identical propagate+jump driver-side and fails unless the
+  * constant keeps ≥ 2 rounds of margin at that SF (run it before trusting
+  * any fixed-round unrolled oracle past the gate SFs).
   */
 class CcOracleConvergenceSpec extends SparkSpec {
   private val GateDir = "/root/testdata/sf0.1"

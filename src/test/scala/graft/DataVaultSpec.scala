@@ -36,13 +36,20 @@ class DataVaultSpec extends SparkSpec {
     val live = Catalog.introspectLanding(spark, sfDir)
       .select("table_name", "column_name", "data_type")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-    val custkeyFitsInt = Tables.load(spark, sfDir, "customer")
-      .agg(max(col("c_custkey"))).collect()(0).getLong(0) < 2147483648L
-    val nationkeyFitsInt = true // int in the registry — always fits
-    def fitsInt(c: String): Boolean = c match {
-      case "c_custkey" => custkeyFitsInt
-      case _           => nationkeyFitsInt
+    // fits-int computed GENERICALLY per integral registry column (ADVICE
+    // r9): the CSV sniffer picks int only while every value fits int32, so
+    // measure min/max of each integral column instead of special-casing
+    // c_custkey — the test stays valid as the registry evolves.
+    val integralCols = SourceSchemas.columns("customer")
+      .filter(c => Set("int", "bigint")(c.typeName)).map(_.name)
+    val fits: Map[String, Boolean] = if (integralCols.isEmpty) Map.empty else {
+      val aggs = integralCols.flatMap(n => Seq(
+        max(col(n).cast("bigint")).as(s"max_$n"), min(col(n).cast("bigint")).as(s"min_$n")))
+      val row = Tables.load(spark, sfDir, "customer").agg(aggs.head, aggs.tail: _*).collect()(0)
+      integralCols.map(n => n -> (row.getAs[Long](s"max_$n") <= Int.MaxValue.toLong &&
+        row.getAs[Long](s"min_$n") >= Int.MinValue.toLong)).toMap
     }
+    def fitsInt(c: String): Boolean = fits.getOrElse(c, true)
     val declared =
       SourceSchemas.columns("customer").map(c =>
         ("customer_csv", c.name) -> SourceSchemas.csvInferred(c, fitsInt(c.name))) ++

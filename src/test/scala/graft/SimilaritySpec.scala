@@ -231,6 +231,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_cosine_ivf query population is capped: mod grows with the corpus (r10)") {
+    // Gate SFs keep the historical mod 10 (bit-identical results) ...
+    assert(Similarity.ivfQueryMod(spark, sfDir) == 10L)
+    // ... and past QueryMod*IvfQueryCap vectors the modulus grows so the
+    // population stays ~IvfQueryCap — the r9-verdict fix that turns the
+    // diagnostic from Θ(n²/K) into linear work. 12k synthetic vectors →
+    // mod 12 → exactly 1000 query_ids, and the registered op's output
+    // must draw from that capped set only.
+    val dirP = java.nio.file.Files.createTempDirectory("ivfcap")
+    val dir = dirP.toString
+    try {
+      spark.range(12000).select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> cast(pmod(id * 31 + i * 7, 997) as float) / 997)")
+            .as("embedding"),
+          lit(0).as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      assert(Similarity.ivfQueryMod(spark, dir) == 12L)
+      val ivf = Similarity.defs.find(_.name == "ann_cosine_ivf").get.run(spark, dir)
+      val qs = ivf.select("query_id").distinct().collect().map(_.getLong(0))
+      assert(qs.forall(_ % 12 == 0), "a query outside the capped population answered")
+      assert(qs.length <= 1000, s"population ${qs.length} exceeds the cap")
+      assert(qs.length >= 900, s"population ${qs.length} suspiciously sparse")
+    } finally {
+      graft.dv.DvLoader.deletePathQuietly(dirP, "ivf cap spec corpus")
+    }
+  }
+
   test("emb_centroids partitions the corpus and reproduces a direct mean") {
     val cent = Similarity.defs.find(_.name == "emb_centroids").get.run(spark, sfDir).cache()
     val total = Tables.load(spark, sfDir, "embeddings").count()

@@ -10,14 +10,38 @@ adjudication the r8 judge used): components over the verified pair set,
 canon = component minimum, sizes, is_canonical — compared row-for-row
 against Spark's dedup_cluster_embed dump.
 
-Usage: scale_oracle_cluster.py <sfDir> <sparkVerifyDir>
+Usage: scale_oracle_cluster.py <sfDir> <sparkVerifyDir> [--rounds-const N]
   <sparkVerifyDir> must contain dedup_embed_cosine/ (the verified pairs)
   and dedup_cluster_embed/ (the clustering under test) parquet dirs.
+  --rounds-const N: additionally replay the unrolled oracle's EXACT
+  propagate+jump algorithm on THIS pair graph and fail unless N leaves
+  >= 2 rounds of convergence margin — the same measurement
+  CcOracleConvergenceSpec makes at sf0.1, applied at the SF under test
+  (ADVICE r9: a bigger graph could need more rounds than sf0.1 did —
+  the exact failure mode r8 hit — so any SF that trusts an unrolled
+  fixed-round DuckDB oracle should run this first).
 Exits 0 on exact match.
 """
 import sys, glob
 import numpy as np
 import pandas as pd
+
+
+def rounds_needed(edges, target, nodes, max_rounds=40):
+    """Smallest propagate+jump round count after which labels equal the
+    union-find component minimum (the unrolled oracle's convergence
+    criterion). Mirrors CcOracleConvergenceSpec.roundsNeeded."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in nodes}
+    for k in range(1, max_rounds + 1):
+        p = {n: min([l] + [lbl[m] for m in adj.get(n, ())]) for n, l in lbl.items()}
+        lbl = {n: p.get(l, l) for n, l in p.items()}  # pointer jump
+        if lbl == target:
+            return k
+    return None
 
 
 def load_dir(path, cols):
@@ -72,6 +96,18 @@ def main():
     print(f"PASS: {len(oracle)} rows, clustering exact (union-find ground truth; "
           f"{len(sizes[sizes > 1])} multi-member clusters, max size {int(sizes.max())}, "
           f"{n_cl} non-canonical members)")
+    if "--rounds-const" in sys.argv:
+        const = int(sys.argv[sys.argv.index("--rounds-const") + 1])
+        edges = list(zip(pairs["vec_a"].to_numpy(np.int64).tolist(),
+                         pairs["vec_b"].to_numpy(np.int64).tolist()))
+        target = {int(v): int(find(v)) for v in vec_ids}
+        needed = rounds_needed(edges, target, [int(v) for v in vec_ids])
+        if needed is None or needed > const - 2:
+            print(f"FAIL: this pair graph needs {needed} propagate+jump rounds; "
+                  f"unrolled const {const} leaves < 2 rounds margin — do NOT trust "
+                  f"the fixed-round DuckDB oracle at this SF")
+            sys.exit(1)
+        print(f"rounds: graph needs {needed}, const {const} (margin {const - needed}) OK")
     sys.exit(0)
 
 
