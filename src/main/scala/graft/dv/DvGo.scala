@@ -75,11 +75,31 @@ object DvGo {
          plan: Option[DvPlan] = None): BuildResult = {
     val buildId = java.util.UUID.nameUUIDFromBytes(s"graft:$dir:$loadTs".getBytes).toString
     val p = plan.getOrElse(derivedPlan(s, dir))
+    // SHARE the classified-source scan across the object materializations
+    // (r9 verdict #5: at sf10 the build re-read/re-shuffled every source
+    // table once per object family — lineitem three times, orders three
+    // times — and the build's 100x ratio drifted to 36.7x). One
+    // column-PRUNED persist per source table (only the union of the bk /
+    // descriptor / member columns the plan's objects actually reference,
+    // so the cache holds a projection, not the table) feeds every hub,
+    // sat and link built from that table; unpersisted before returning.
+    val wantHub = p.hubs.filter(h => include(s"hub_${h.spec.name}"))
+    val wantSat = p.sats.filter(t => include(s"sat_${t.name}"))
+    val wantLink = p.links.filter(l => include(s"link_${l.name}"))
+    val neededCols: Map[String, Seq[String]] =
+      (wantHub.flatMap(h => h.sources.map(src => src.table -> src.parts.map(_.name))) ++
+        wantSat.map(t => t.sourceTable -> (t.bkParts ++ t.descriptors).map(_.name)) ++
+        wantLink.map(l => l.sourceTable -> (l.members.flatMap(_.parts) ++ l.degenerate).map(_.name)))
+        .groupBy(_._1).map { case (t, cs) => t -> cs.flatMap(_._2).distinct.toSeq }
+    val shared: Map[String, DataFrame] = neededCols.map { case (t, cs) =>
+      t -> Tables.load(s, dir, t).select(cs.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val builds: Seq[(String, DataFrame)] =
-      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMulti(s, dir, h, loadTs)) ++
-        p.sats.map(t => s"sat_${t.name}" -> DvBuild.sat(s, dir, t, loadTs)) ++
-        p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l, loadTs)))
-        .filter { case (name, _) => include(name) }
+      wantHub.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMultiFrom(s, h.spec,
+        h.sources.map(src => (src.table, shared(src.table), src.parts)), loadTs)) ++
+        wantSat.map(t => s"sat_${t.name}" -> DvBuild.satFrom(shared(t.sourceTable), t, loadTs)) ++
+        wantLink.map(l => s"link_${l.name}" -> DvBuild.linkFrom(shared(l.sourceTable), l, loadTs))
     // The eight objects are independent — submit their jobs concurrently
     // (Spark's scheduler interleaves them; order of the summary is
     // preserved). Row counts ride on the write pass itself via observe()
@@ -88,31 +108,58 @@ object DvGo {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val prefix = tablePrefix(outDir)
-    val counts = Await.result(Future.sequence(builds.map { case (name, df) =>
-      Future {
-        val obs = org.apache.spark.sql.Observation(s"go_${name}_${System.nanoTime()}")
-        val observed = df.observe(obs, count(lit(1)).as("n"))
-        if (bucketed) {
-          val keys = bucketKeys(p, name)
-          // repartition by the bucket keys first: repartition's hash IS
-          // the bucket-id hash (both HashPartitioning over the same
-          // columns), so each task owns exactly one bucket and the writer
-          // emits ONE file per bucket. Without it every input task fans
-          // out into `buckets` files (tasks x buckets small files per
-          // object — measured 2x build wall-time at sf0.1) and the first
-          // compaction pays the same shuffle anyway.
-          observed.repartition(buckets, keys.map(col): _*)
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(buckets, keys.head, keys.tail: _*)
-            .sortBy(keys.head, keys.tail: _*)
-            .option("path", s"$outDir/$name")
-            .saveAsTable(s"$prefix$name")
-        } else {
-          observed.write.mode("overwrite").parquet(s"$outDir/$name")
-        }
-        name -> obs.get("n").asInstanceOf[Long]
+    def writeOne(name: String, df: DataFrame): (String, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"go_${name}_${System.nanoTime()}")
+      val observed = df.observe(obs, count(lit(1)).as("n"))
+      if (bucketed) {
+        val keys = bucketKeys(p, name)
+        // repartition by the bucket keys first: repartition's hash IS
+        // the bucket-id hash (both HashPartitioning over the same
+        // columns), so each task owns exactly one bucket and the writer
+        // emits ONE file per bucket. Without it every input task fans
+        // out into `buckets` files (tasks x buckets small files per
+        // object — measured 2x build wall-time at sf0.1) and the first
+        // compaction pays the same shuffle anyway.
+        observed.repartition(buckets, keys.map(col): _*)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("path", s"$outDir/$name")
+          .saveAsTable(s"$prefix$name")
+      } else {
+        observed.write.mode("overwrite").parquet(s"$outDir/$name")
       }
-    }), Duration.Inf)
+      name -> obs.get("n").asInstanceOf[Long]
+    }
+    val counts = try {
+      if (bucketed) {
+        // STAGED bucketed writes (r9 verdict #4): the bucketed path pays a
+        // distinct shuffle AND a bucket repartition shuffle per object, and
+        // with all 11 objects in flight their shuffle files coexist —
+        // measured > 69 GB transient /tmp at sf10 on one node. Group by
+        // source table, run groups SEQUENTIALLY (objects within a group
+        // still concurrent — 2-3 jobs keep 32 cores busy), and nudge the
+        // ContextCleaner between groups so a finished group's shuffle
+        // files are reclaimed before the next group shuffles: peak
+        // transient disk is bounded by the largest GROUP, not the sum of
+        // all objects. Order preserved for the summary.
+        val groups = builds.groupBy { case (name, _) => objectSourceTable(p, name) }
+        val groupOrder = builds.map { case (name, _) => objectSourceTable(p, name) }.distinct
+        val got = groupOrder.flatMap { t =>
+          val res = Await.result(Future.sequence(groups(t).map { case (name, df) =>
+            Future(writeOne(name, df))
+          }), Duration.Inf)
+          System.gc() // release finished shuffle refs -> ContextCleaner deletes files
+          res
+        }.toMap
+        builds.map { case (name, _) => name -> got(name) }
+      } else {
+        // non-bucketed: one distinct-shuffle per object, all concurrent
+        Await.result(
+          Future.sequence(builds.map { case (name, df) => Future(writeOne(name, df)) }),
+          Duration.Inf)
+      }
+    } finally shared.values.foreach(_.unpersist())
     val schemaJson = planJson(p, buildId, include,
       bucketing = if (bucketed) Some((prefix, buckets)) else None)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
