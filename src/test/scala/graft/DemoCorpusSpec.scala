@@ -54,6 +54,30 @@ class DemoCorpusSpec extends SparkSpec {
       f"nprobe=2 recall $recall%.3f < 0.8 on planted clusters (scan 0.125)")
   }
 
+  test("committed IVF sweep artifact holds recall >= 0.8 at pruning operating points") {
+    // r9 verdict #6: the recall-vs-scan evidence must be reviewable across
+    // rounds as a committed artifact, not live only in assertions. The
+    // artifact is produced by `tools/ivf_sweep.py <demoDir> --json
+    // IVF_SWEEP_DEMO.json` over `sbt "runMain graft.DemoGen <demoDir>"`
+    // (20k vectors, 32 planted clusters) — this test pins that the
+    // committed numbers still carry the claim: every swept operating
+    // point that scans <= 1/4 of the corpus reaches recall@3 >= 0.8.
+    val art = new java.io.File("IVF_SWEEP_DEMO.json")
+    assert(art.exists, "IVF_SWEEP_DEMO.json missing — regenerate with tools/ivf_sweep.py --json")
+    val sweep = spark.read.option("multiLine", true).json(art.getPath)
+      .selectExpr("explode(sweep) AS e")
+      .select(col("e.K").as("k"), col("e.nprobe"), col("e.recall_at3"), col("e.scan_fraction"))
+      .collect()
+    assert(sweep.length >= 16, s"sweep artifact suspiciously small: ${sweep.length} entries")
+    val pruning = sweep.filter(_.getAs[Double]("scan_fraction") <= 0.25)
+    assert(pruning.nonEmpty, "no pruning operating points in the artifact")
+    pruning.foreach { r =>
+      assert(r.getAs[Double]("recall_at3") >= 0.8,
+        s"committed sweep regressed: K=${r.getAs[Long]("k")} nprobe=${r.getAs[Long]("nprobe")} " +
+          s"recall=${r.getAs[Double]("recall_at3")} at scan ${r.getAs[Double]("scan_fraction")}")
+    }
+  }
+
   test("bpe_fertility surfaces a real cross-language gap on per-language vocabularies") {
     val dir = Files.createTempDirectory("graft_multilingual").toString
     DemoGen.multilingualDocs(spark)

@@ -7,14 +7,21 @@ centroids, cosine assignment with (sim DESC, cent_id ASC) tie-break —
 and measures recall@3 vs the exact brute-force top-3 for the
 vec_id % 10 == 0 query set, sweeping (K, lloyd_iters, nprobe).
 
-Usage: python3 tools/ivf_sweep.py /root/testdata/sf0.1
+Usage: python3 tools/ivf_sweep.py <corpusDir> [--json out.json]
+  --json: additionally emit the sweep as a committed-artifact JSON
+  (r9 verdict #6: the demo-corpus recall evidence should be reviewable
+  across rounds, not live only in test assertions) — one entry per
+  (K, iters, nprobe) with recall@3, scan fraction and cell stats, plus
+  the corpus provenance.
 """
+import json
 import sys
 
 import duckdb
 import numpy as np
 
 d = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+json_out = sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else None
 # testdata is a single parquet file; Spark-written corpora (Sf1Gen,
 # DemoGen) are directories of part files — handle both
 import os
@@ -72,6 +79,7 @@ def best_cell(sims, cids):
     return best
 
 
+entries = []
 for K in (16, 32):
     for iters in (2, 4, 6, 8):
         cents, cids = train(K, iters)
@@ -94,3 +102,13 @@ for K in (16, 32):
             print(f"K={K:3d} iters={iters} nprobe={nprobe} "
                   f"recall@3={hits / tot:.3f} scan={probed / (len(qidx) * n):.3f} "
                   f"max_cell={sizes[0]} cells={len(cellmap)}")
+            entries.append(dict(K=K, iters=iters, nprobe=nprobe,
+                                recall_at3=round(hits / tot, 4),
+                                scan_fraction=round(probed / (len(qidx) * n), 4),
+                                cells=len(cellmap), max_cell=int(sizes[0])))
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(dict(corpus=d, n_vectors=int(n), n_queries=int(len(qidx)),
+                       ground_truth="exact brute-force top-3 cosine",
+                       sweep=entries), f, indent=1)
+    print(f"wrote {json_out} ({len(entries)} entries)")
