@@ -41,6 +41,22 @@ object StreamUpgradeSpec {
                                   max_gap_ms: Option[Long])
   final case class SessionUpdateV2(user_id: Long, session_no: Int, start_ms: Long,
                                    end_ms: Long, n_events: Int, max_gap_ms: Option[Long])
+
+  // ---- upgraded transitions (r10, verdict #7): LastEv + n_seen ----
+  final case class LastEvV2(tms: Long, event_id: Long, event_type: String,
+                            n_seen: Option[Long])
+  final case class TransitionV2(user_id: Long, prev_type: String, next_type: String,
+                                gap_ms: Option[Long])
+
+  // ---- upgraded eff_sat (r10): Set[String] state -> struct ----
+  final case class EffStateV2(seen: Seq[String], n_total: Option[Long])
+  final case class EffAssignV2(p_partkey_bk: String, s_suppkey_bk: String,
+                               eff_from: String, nth_supplier: Option[Long])
+
+  // ---- upgraded anomaly (r10): TypeStats + max_cnt ----
+  final case class TypeStatsV2(n: Long, s: Long, qStr: String, max_cnt: Option[Long])
+  final case class AnomalyFlagV2(event_type: String, day: String, cnt: Long,
+                                 anomaly: Boolean, max_seen: Option[Long])
 }
 
 class StreamUpgradeSpec extends SparkSpec {
@@ -163,8 +179,9 @@ class StreamUpgradeSpec extends SparkSpec {
   // own parity (side 3) against the batch twin.
   // ------------------------------------------------------------------
 
-  private def upgradeDrill[V1: org.apache.spark.sql.Encoder, V2: org.apache.spark.sql.Encoder](
-      tag: String, log: Seq[Streams.Ev],
+  private def upgradeDrill[E: org.apache.spark.sql.Encoder,
+                           V1: org.apache.spark.sql.Encoder, V2: org.apache.spark.sql.Encoder](
+      tag: String, log: Seq[E],
       v1: DataFrame => Dataset[V1], v2: DataFrame => Dataset[V2]): (Seq[V1], Seq[V1], Seq[V2]) = {
     import spark.implicits._
     val tmp = Files.createTempDirectory(s"graft_upgrade_$tag").toString
@@ -203,7 +220,7 @@ class StreamUpgradeSpec extends SparkSpec {
     val combined = spark.read.parquet(outV1).as[V1].collect().toSeq
     // prescribed migration: checkpoint reset + one-shot full replay under V2
     implicit val sqlCtx = spark.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Ev]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[E]
     val qm = v2(mem.toDF()).writeStream
       .format("memory").queryName(s"up_${tag}_v2").outputMode("append").start()
     mem.addData(log.toIndexedSeq: _*); qm.processAllAvailable(); qm.stop()
@@ -300,7 +317,7 @@ class StreamUpgradeSpec extends SparkSpec {
   test("attribution: upgraded state rejected loudly, V1 resumes to full parity, migration computes the new field") {
     import spark.implicits._
     val log = eventLog()
-    val (phase1, combined, migrated) = upgradeDrill[Streams.Attribution, AttributionV2](
+    val (phase1, combined, migrated) = upgradeDrill[Streams.Ev, Streams.Attribution, AttributionV2](
       "attrib", log, Streams.attributionStream, attributionStreamV2)
     // non-destructive: nothing from phase 1 lost
     assert(phase1.nonEmpty && phase1.toSet.subsetOf(combined.toSet))
@@ -331,7 +348,7 @@ class StreamUpgradeSpec extends SparkSpec {
   test("sessionize: upgraded state rejected loudly, V1 resumes non-destructively, migration computes the new field") {
     import spark.implicits._
     val log = eventLog()
-    val (phase1, combined, migrated) = upgradeDrill[Streams.SessionUpdate, SessionUpdateV2](
+    val (phase1, combined, migrated) = upgradeDrill[Streams.Ev, Streams.SessionUpdate, SessionUpdateV2](
       "sess", log, Streams.sessionize, sessionizeV2)
     assert(phase1.toSet.subsetOf(combined.toSet), "resume lost phase-1 sessions")
     // parity against the batch twin: every EMITTED session matches its
@@ -366,6 +383,166 @@ class StreamUpgradeSpec extends SparkSpec {
       assert(s.max_gap_ms.contains(expected),
         s"session (${s.user_id}, ${s.session_no}): max_gap ${s.max_gap_ms} != $expected")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // r10 (verdict #7): the drill extended to the remaining three stateful
+  // streams — transitions, eff_sat, anomaly — closing the checkpoint-
+  // schema risk on all six.
+  // ------------------------------------------------------------------
+
+  private def transitionsStreamV2(events: DataFrame): Dataset[TransitionV2] = {
+    import events.sparkSession.implicits._
+    val wm = events.withColumn("ets", timestamp_millis(col("tms")))
+      .withWatermark("ets", "1 hour").as[Streams.EvT]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvV2, TransitionV2](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[LastEvV2]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (uid, evs, state: GroupState[LastEvV2]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tms, e.event_id))
+          var prev = state.getOption
+          val out = sorted.flatMap { e =>
+            val t = prev.map(p => TransitionV2(uid, p.event_type, e.event_type,
+              Some(e.tms - p.tms)))
+            prev = Some(LastEvV2(e.tms, e.event_id, e.event_type,
+              Some(prev.flatMap(_.n_seen).getOrElse(0L) + 1L)))
+            t
+          }
+          prev.foreach { p =>
+            state.update(p)
+            state.setTimeoutTimestamp(math.max(
+              p.tms + Streams.TransitionIdleMs, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
+  private def effSatStreamV2(assignments: DataFrame): Dataset[EffAssignV2] = {
+    import assignments.sparkSession.implicits._
+    assignments.as[Streams.EffIn]
+      .groupByKey(_.part)
+      .flatMapGroupsWithState[EffStateV2, EffAssignV2](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (part, evs, state: GroupState[EffStateV2]) =>
+          var st = state.getOption.getOrElse(EffStateV2(Seq.empty, Some(0L)))
+          var seen = st.seen.toSet
+          val sorted = evs.toSeq.sortBy(e => (e.ship_day, e.supp.toString))
+          val out = sorted.flatMap { e =>
+            val bk = e.supp.toString
+            if (!seen(bk)) {
+              seen += bk
+              st = EffStateV2(st.seen :+ bk, Some(st.n_total.getOrElse(0L) + 1L))
+              Some(EffAssignV2(part.toString, bk, e.ship_day, st.n_total))
+            } else None
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  private def anomalyStreamV2(dailyCounts: DataFrame): Dataset[AnomalyFlagV2] = {
+    import dailyCounts.sparkSession.implicits._
+    dailyCounts.as[Streams.DayCount].groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeStatsV2, AnomalyFlagV2](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, days, state: GroupState[TypeStatsV2]) =>
+          var st = state.getOption.getOrElse(TypeStatsV2(0L, 0L, "0", Some(0L)))
+          var q = BigInt(st.qStr)
+          val out = days.toSeq.sortBy(_.day).map { d =>
+            val flagged = st.n >= 2 && {
+              val dev = BigInt(st.n) * d.cnt - st.s
+              dev * dev > 4 * (BigInt(st.n) * q - BigInt(st.s) * st.s)
+            }
+            q += BigInt(d.cnt) * BigInt(d.cnt)
+            st = TypeStatsV2(st.n + 1, st.s + d.cnt, q.toString,
+              Some(math.max(st.max_cnt.getOrElse(0L), d.cnt)))
+            AnomalyFlagV2(d.event_type, d.day, d.cnt, flagged, st.max_cnt)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  test("transitions: upgraded state rejected loudly, V1 resumes non-destructively, migration hits lag-twin parity") {
+    import spark.implicits._
+    val log = eventLog()
+    val (phase1, combined, migrated) = upgradeDrill[Streams.Ev, Streams.Transition, TransitionV2](
+      "trans", log, ev => Streams.transitionsStream(ev), transitionsStreamV2)
+    def multiset[T](xs: Seq[T]): Map[T, Int] = xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    // the exact lag-window twin, driver-side (the one-batch replay's truth)
+    val lagPairs = log.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e.tms, e.event_id)).sliding(2).collect {
+        case Seq(a, b) => (u, a.event_type, b.event_type, b.tms - a.tms)
+      }
+    }
+    val migT = migrated.map(t => (t.user_id, t.prev_type, t.next_type, t.gap_ms.getOrElse(-1L)))
+    assert(multiset(migT) == multiset(lagPairs),
+      "one-batch V2 replay diverges from the exact lag twin (incl. the new gap_ms field)")
+    // the resumed two-slice chain may legitimately MISS pairs whose idle
+    // gap crossed TransitionIdleMs between slices (state expiry is the
+    // operator's documented behavior) but must never invent one
+    val migV1 = multiset(migrated.map(t => (t.user_id, t.prev_type, t.next_type)))
+    val comb = multiset(combined.map(t => (t.user_id, t.prev_type, t.next_type)))
+    assert(comb.forall { case (k, n) => migV1.getOrElse(k, 0) >= n },
+      "resumed chain emitted a transition the full replay does not have")
+    assert(phase1.nonEmpty && multiset(phase1.map(t => (t.user_id, t.prev_type, t.next_type)))
+      .forall { case (k, n) => comb.getOrElse(k, 0) >= n }, "resume lost phase-1 transitions")
+  }
+
+  test("eff_sat: upgraded state rejected loudly, V1 resumes to dv_eff_sat parity, migration computes the new field") {
+    import spark.implicits._
+    // global (ship_day, supp) order so first-seen == min ship_day per pair
+    // across the slice boundary (the operator's insert-only honesty rule)
+    val log = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"),
+        to_date(col("l_shipdate")).cast("string").as("ship_day"))
+      .as[Streams.EffIn].collect().sortBy(e => (e.ship_day, e.supp.toString, e.part)).toSeq
+    val (phase1, combined, migrated) = upgradeDrill[Streams.EffIn, Streams.EffAssign, EffAssignV2](
+      "effsat", log, ev => Streams.effSatStream(ev), effSatStreamV2)
+    val batch = SparkEntry.queries("dv_eff_sat")(spark, sfDir)
+      .select("p_partkey_bk", "s_suppkey_bk", "eff_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val combT = combined.map(a => (a.p_partkey_bk, a.s_suppkey_bk, a.eff_from)).toSet
+    assert(combT == batch, "resumed two-slice chain diverges from dv_eff_sat")
+    assert(phase1.nonEmpty && phase1.toSet.subsetOf(combined.toSet), "resume lost phase-1 assignments")
+    val migT = migrated.map(a => (a.p_partkey_bk, a.s_suppkey_bk, a.eff_from)).toSet
+    assert(migT == batch, "migrated replay diverges from dv_eff_sat")
+    // nth_supplier is genuinely computed: dense 1..n per part in eff order
+    migrated.groupBy(_.p_partkey_bk).foreach { case (p, as) =>
+      val ns = as.sortBy(a => (a.eff_from, a.s_suppkey_bk)).map(_.nth_supplier.getOrElse(-1L))
+      assert(ns == (1L to as.length.toLong), s"part $p nth_supplier not dense: $ns")
+    }
+  }
+
+  test("anomaly: upgraded state rejected loudly, V1 resumes to expanding-window parity, migration computes the new field") {
+    import spark.implicits._
+    val log = Tables.loadEvents(spark, sfDir)
+      .withColumn("day", expr("cast(cast(timestamp_millis(tms) as date) as string)"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .as[Streams.DayCount].collect().sortBy(d => (d.day, d.event_type)).toSeq
+    val (phase1, combined, migrated) = upgradeDrill[Streams.DayCount, Streams.AnomalyFlag, AnomalyFlagV2](
+      "anom", log, ev => Streams.anomalyStream(ev.as[Streams.DayCount]), anomalyStreamV2)
+    // the stream's truth is the EXPANDING-window z-test (history so far),
+    // replayed driver-side — not the batch op's global-stats test
+    val expected = log.groupBy(_.event_type).toSeq.flatMap { case (t, ds) =>
+      var (n, s, q) = (0L, BigInt(0), BigInt(0))
+      var mx = 0L
+      ds.sortBy(_.day).map { d =>
+        val dev = BigInt(n) * d.cnt - s
+        val flagged = n >= 2 && dev * dev > 4 * (BigInt(n) * q - s * s)
+        n += 1; s += d.cnt; q += BigInt(d.cnt) * BigInt(d.cnt)
+        mx = math.max(mx, d.cnt)
+        (t, d.day, d.cnt, flagged, mx)
+      }
+    }.toSet
+    val migT = migrated.map(a => (a.event_type, a.day, a.cnt, a.anomaly, a.max_seen.getOrElse(-1L))).toSet
+    assert(migT == expected, "V2 replay diverges from the driver-side expanding-window replay")
+    val combT = combined.map(a => (a.event_type, a.day, a.cnt, a.anomaly)).toSet
+    assert(combT == expected.map(e => (e._1, e._2, e._3, e._4)),
+      "resumed two-slice chain diverges from the expanding-window truth")
+    assert(phase1.nonEmpty && phase1.toSet.subsetOf(combined.toSet), "resume lost phase-1 flags")
   }
 
   test("prescribed migration: checkpoint reset + replay under the upgraded class hits batch parity") {
