@@ -81,7 +81,16 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    // zstd shuffle/spill compression (r10, verdict #4): the DV build's
+    // shuffle payload is hash-hex-string-heavy (two 64-char digests per
+    // sat/link row) where zstd compresses ~1.5-2x better than lz4 — the
+    // sf10 single-node transient-disk budget is the binding constraint
+    // (measured 30.4 GB peak at sf3 under lz4), and on a real cluster
+    // shuffle bytes ARE the network bill. CPU cost is a few percent on
+    // codegen-bound ops; value-level results are unaffected (compression
+    // is transport-only).
+    "spark.io.compression.codec" -> "zstd"
   )
 
   def applyConfs(b: SparkSession.Builder): SparkSession.Builder =

@@ -18,6 +18,17 @@ object DvGo {
 
   final case class BuildResult(buildId: String, outDir: String, objects: Seq[(String, Long)])
 
+  /** Source-parquet bytes past which the bucketed build goes fully
+    * object-sequential (~= sf2 of the gate tables on this testdata).
+    */
+  private val SeqThresholdBytes = 256L << 20
+
+  private def dirBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** The derived plan go() builds by default: classification over the demo
     * scope with the dependent-child user context (the reference's
     * RTD-responses → dv_builder pipeline). Memoized per (session, dir),
@@ -143,12 +154,27 @@ object DvGo {
         // files are reclaimed before the next group shuffles: peak
         // transient disk is bounded by the largest GROUP, not the sum of
         // all objects. Order preserved for the summary.
+        //
+        // ADAPTIVE depth: past SeqThresholdBytes of source parquet, even
+        // one group's concurrent sat+link shuffles exceed a single node's
+        // transient budget (the lineitem group carries two full-width
+        // digest-heavy exchanges per object), so the writes go fully
+        // OBJECT-sequential with a cleaner nudge per object — peak disk
+        // bounded by the largest single object. Below the threshold the
+        // group-concurrent shape stands (a cluster deployment sizes this
+        // by executor-local disk instead).
         val groups = builds.groupBy { case (name, _) => objectSourceTable(p, name) }
         val groupOrder = builds.map { case (name, _) => objectSourceTable(p, name) }.distinct
+        val srcBytes = neededCols.keys.map(t => dirBytes(s, Tables.path(dir, t))).sum
+        val objectSequential = srcBytes > SeqThresholdBytes
         val got = groupOrder.flatMap { t =>
-          val res = Await.result(Future.sequence(groups(t).map { case (name, df) =>
-            Future(writeOne(name, df))
-          }), Duration.Inf)
+          val res =
+            if (objectSequential) groups(t).map { case (name, df) =>
+              val r = writeOne(name, df); System.gc(); r
+            }
+            else Await.result(Future.sequence(groups(t).map { case (name, df) =>
+              Future(writeOne(name, df))
+            }), Duration.Inf)
           System.gc() // release finished shuffle refs -> ContextCleaner deletes files
           res
         }.toMap
