@@ -31,7 +31,7 @@ object Sf1Bench {
     "dedup_substring", "sim_ngram_jaccard", "dedup_cluster",
     "q2_min_cost_supplier", "orders_rfm", "orders_assoc_rules", "events_heavy_hitters",
     "pipeline_curate_full", "pipeline_dedup_full", "text_lm_score", "bpe_train",
-    "emb_covariance")
+    "emb_covariance", "corpus_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -64,15 +64,31 @@ object Sf1Bench {
         None
       }
     }
-    val rows = ops.map { n => (n, time(n, sfSmall), time(n, sfBig)) }
+    // The SMALL side is timed TWICE and both passes recorded (r9 verdict
+    // #2: the committed sf10 table's small sides were contaminated by a
+    // concurrent compile — 22.6 s for an op other artifacts put at 4.1 s —
+    // and a single pass cannot show that in the artifact itself). The min
+    // is the denominator; a pass pair that disagrees wildly is visible
+    // noise. The big side stays single-pass: it is minutes-long where the
+    // small side is seconds, so proportional noise is far smaller and a
+    // second pass would double a multi-hour run.
+    val rows = ops.map { n =>
+      val s1 = time(n, sfSmall); val s2 = time(n, sfSmall)
+      (n, Seq(s1, s2).flatten, time(n, sfBig))
+    }
     // Locale.ROOT like Bench (ADVICE r9): f"" under a comma-decimal locale
     // would emit invalid JSON
     def f2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
-    val parts = rows.collect { case (n, Some(a), Some(b)) =>
-      s""""$n":{"small":${f2(a)},"big":${f2(b)},"ratio":${f2(b / a)}}"""
+    // ratio denominator = the FIRST small pass (cold/cold like the big
+    // side): the second pass is session-memo-warmed (qVecs, band indexes,
+    // codebooks) and using its minute-fraction times would overstate every
+    // memoized op's ratio ~10x. Both passes stay in the artifact.
+    val parts = rows.collect { case (n, ss, Some(b)) if ss.nonEmpty =>
+      val a = ss.head
+      s""""$n":{"small":${f2(a)},"small_passes":[${ss.map(f2).mkString(",")}],"big":${f2(b)},"ratio":${f2(b / a)}}"""
     }
-    val failed = rows.collect { case (n, a, b) if a.isEmpty || b.isEmpty => n }
-    val ratios = rows.collect { case (_, Some(a), Some(b)) => b / a }
+    val failed = rows.collect { case (n, ss, b) if ss.isEmpty || b.isEmpty => n }
+    val ratios = rows.collect { case (_, ss, Some(b)) if ss.nonEmpty => b / ss.head }
     val maxR = if (ratios.nonEmpty) ratios.max else -1.0
     println(s"""{"metric":"sf1_ratios","sf_small":"$sfSmall","sf_big":"$sfBig","n_ops":${parts.size},"max_ratio":${f2(maxR)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"ops":{${parts.mkString(",")}}}""")
     spark.stop()
