@@ -89,8 +89,9 @@ object Tables {
     // (measured 30.4 GB peak at sf3 under lz4), and on a real cluster
     // shuffle bytes ARE the network bill. CPU cost is a few percent on
     // codegen-bound ops; value-level results are unaffected (compression
-    // is transport-only).
-    "spark.io.compression.codec" -> "zstd"
+    // is transport-only). Env-overridable: a CPU-bound deployment with
+    // fast local disk sets GRAFT_IO_CODEC=lz4.
+    "spark.io.compression.codec" -> sys.env.getOrElse("GRAFT_IO_CODEC", "zstd")
   )
 
   def applyConfs(b: SparkSession.Builder): SparkSession.Builder =

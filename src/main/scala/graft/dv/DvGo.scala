@@ -144,41 +144,41 @@ object DvGo {
     }
     val counts = try {
       if (bucketed) {
-        // STAGED bucketed writes (r9 verdict #4): the bucketed path pays a
-        // distinct shuffle AND a bucket repartition shuffle per object, and
-        // with all 11 objects in flight their shuffle files coexist —
-        // measured > 69 GB transient /tmp at sf10 on one node. Group by
-        // source table, run groups SEQUENTIALLY (objects within a group
-        // still concurrent — 2-3 jobs keep 32 cores busy), and nudge the
-        // ContextCleaner between groups so a finished group's shuffle
-        // files are reclaimed before the next group shuffles: peak
-        // transient disk is bounded by the largest GROUP, not the sum of
-        // all objects. Order preserved for the summary.
-        //
-        // ADAPTIVE depth: past SeqThresholdBytes of source parquet, even
-        // one group's concurrent sat+link shuffles exceed a single node's
-        // transient budget (the lineitem group carries two full-width
-        // digest-heavy exchanges per object), so the writes go fully
-        // OBJECT-sequential with a cleaner nudge per object — peak disk
-        // bounded by the largest single object. Below the threshold the
-        // group-concurrent shape stands (a cluster deployment sizes this
-        // by executor-local disk instead).
-        val groups = builds.groupBy { case (name, _) => objectSourceTable(p, name) }
-        val groupOrder = builds.map { case (name, _) => objectSourceTable(p, name) }.distinct
+        // ADAPTIVELY STAGED bucketed writes (r9 verdict #4): the bucketed
+        // path pays a distinct shuffle AND a bucket repartition shuffle
+        // per object, and with all 11 objects in flight their shuffle
+        // files coexist — measured > 69 GB transient /tmp at sf10 on one
+        // node, the reason the r9 sf10 ratio run failed. Past
+        // SeqThresholdBytes of source parquet the writes go fully
+        // OBJECT-sequential with a ContextCleaner nudge per object, so
+        // peak transient disk is bounded by the largest single object
+        // (measured: sf3 peak 30.4 -> 14.4 GB with zstd; sf10 completes
+        // at 52 GB peak). Below the threshold the original fully-
+        // concurrent shape stands — a cluster deployment sizes the
+        // threshold by executor-local disk instead.
         val srcBytes = neededCols.keys.map(t => dirBytes(s, Tables.path(dir, t))).sum
-        val objectSequential = srcBytes > SeqThresholdBytes
-        val got = groupOrder.flatMap { t =>
-          val res =
-            if (objectSequential) groups(t).map { case (name, df) =>
-              val r = writeOne(name, df); System.gc(); r
+        if (srcBytes <= SeqThresholdBytes) {
+          // small sources: transient disk is nowhere near the node budget —
+          // keep the fully-concurrent shape (staging + GC nudges measured
+          // +8 s on the sf0.1 bucketed E2E for zero benefit there)
+          Await.result(
+            Future.sequence(builds.map { case (name, df) => Future(writeOne(name, df)) }),
+            Duration.Inf)
+        } else {
+          // past the threshold: fully OBJECT-sequential with a cleaner
+          // nudge per object, bounding peak transient disk by the largest
+          // single object (group order preserved for the summary)
+          val groups = builds.groupBy { case (name, _) => objectSourceTable(p, name) }
+          val groupOrder = builds.map { case (name, _) => objectSourceTable(p, name) }.distinct
+          val got = groupOrder.flatMap { t =>
+            groups(t).map { case (name, df) =>
+              val r = writeOne(name, df)
+              System.gc() // release finished shuffle refs -> ContextCleaner deletes files
+              r
             }
-            else Await.result(Future.sequence(groups(t).map { case (name, df) =>
-              Future(writeOne(name, df))
-            }), Duration.Inf)
-          System.gc() // release finished shuffle refs -> ContextCleaner deletes files
-          res
-        }.toMap
-        builds.map { case (name, _) => name -> got(name) }
+          }.toMap
+          builds.map { case (name, _) => name -> got(name) }
+        }
       } else {
         // non-bucketed: one distinct-shuffle per object, all concurrent
         Await.result(

@@ -120,6 +120,16 @@ private[graft] object SessionCache {
     }
   }
 
+  /** Expire every degraded-result memo NOW — the maintenance/test face of
+    * the TTL (a production bgw loop's naptime plays the same role: the
+    * next cycle past the window re-sweeps).
+    */
+  private[graft] def expireDegraded(): Unit = {
+    val stale = degradedEntries.values.toSeq
+    degradedEntries.clear()
+    stale.foreach(_._1.unpersist())
+  }
+
   /** Run `f` when this session's context ends — lets sibling driver-side
     * memos (e.g. trained centroids) share the same lifecycle instead of
     * re-growing their own never-evicted maps.

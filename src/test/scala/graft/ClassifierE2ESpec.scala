@@ -141,12 +141,15 @@ class ClassifierE2ESpec extends SparkSpec {
     }
   }
 
-  test("a degraded sweep is NOT memoized: Queued columns recover once the endpoint heals") {
-    // r9 (ADVICE): the per-session response memo used to pin whatever the
-    // sweep returned — a sweep during a transient outage cached its
-    // degraded result and 'Queued for Processing' could never recover
-    // without restarting the session. Degraded sweeps (fewer responses
-    // than signals) now bypass the memo.
+  test("a degraded sweep is TTL-memoized: no re-billing inside the window, recovery after it") {
+    // r9 (ADVICE, both halves): a sweep during a transient outage must not
+    // pin 'Queued for Processing' for the session (the original r9 fix),
+    // but a PERSISTENTLY degraded endpoint must not re-bill the full
+    // HTTP sweep on every status call either — degraded results are now
+    // memoized with a short TTL. Inside the window repeated status calls
+    // serve the memo (zero new requests); past it (SessionCache
+    // .expireDegraded — the bgw-naptime analogue) the healed endpoint is
+    // re-swept and Queued recovers.
     var storming = true
     val srv = new MockTransformerServer("openai", rulesFixture,
       failFor = (table, _, _) => storming && table == "part")
@@ -155,12 +158,21 @@ class ClassifierE2ESpec extends SparkSpec {
         .filter(col("table_name") === "part")
         .select("status").distinct().collect().map(_.getString(0)).toSeq
       assert(during == Seq("Queued for Processing"), s"under outage: $during")
+      // inside the TTL window: the degraded result is SERVED, not re-swept
+      val billed = srv.requests.size
+      val repeat = DvConfig.sourceColumnStatus(spark, sfDir)
+        .filter(col("table_name") === "part")
+        .select("status").distinct().collect().map(_.getString(0)).toSeq
+      assert(repeat == Seq("Queued for Processing"), s"inside TTL: $repeat")
+      assert(srv.requests.size == billed,
+        s"a degraded endpoint re-billed the sweep inside the TTL window: ${srv.requests.size - billed} new requests")
       storming = false // endpoint heals — same url, same model, same session
+      graft.queries.SessionCache.expireDegraded() // TTL elapses
       val after = DvConfig.sourceColumnStatus(spark, sfDir)
         .filter(col("table_name") === "part")
         .select("status").distinct().collect().map(_.getString(0)).toSeq
       assert(!after.contains("Queued for Processing"),
-        s"healed endpoint still serving the memoized degraded sweep: $after")
+        s"healed endpoint still serving the degraded sweep past the TTL: $after")
     }
   }
 
