@@ -788,7 +788,79 @@ FROM flags ORDER BY doc_id"""
        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS selected
        |FROM c, tot ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus_epoch_plan
+  // Multi-EPOCH mixture planning with bounded upsampling — the published
+  // data-mixing discipline behind "repeat low-resource languages up to k
+  // epochs" (corpus_mix's complement: mix downsamples an over-supplied
+  // language, THIS op plans repetition for an under-supplied one). Given
+  // the corpus-relative token budget T = BudgetX x total corpus tokens
+  // and the target language weights, each language gets
+  //   target   = (T * wt) div 100                    (exact BIGINT)
+  //   epochs   = least(MaxEpochs, target div avail)  (full passes)
+  //   residual = the leftover as a permille sampling rate of one more
+  //              pass — zero once the MaxEpochs repetition cap binds
+  //              (the cap protects against memorizing a tiny language,
+  //              so the plan reports the un-servable DEFICIT instead of
+  //              silently over-repeating)
+  //   planned  = epochs*avail + (avail*residual) div 1000
+  // Every quantity is integer division on exact token counts — the two
+  // engines agree bit-for-bit with no rounding discipline needed.
+  //
+  // Scale shape: ONE corpus scan (size of the shared toks split) into a
+  // language-cardinality partial agg; all planning math runs on the
+  // ~5-row frame with a 1-row total broadcast (the corpus_token_budget
+  // crossJoin pattern, ScaleSpec-exempted by name). Nothing else touches
+  // document rows — the op is a metadata-scale calculator over one scan.
+  private val MaxEpochs = 4L
+  private val BudgetX = 2L // plan for a 2x-corpus token budget
+
+  private def epochPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = graft.Tables.load(s, dir, "documents")
+      .select(col("lang"), expr(s"cast(size(${Docs.toksSpark}) as bigint)").as("n"))
+      .groupBy("lang").agg(sum("n").as("avail_tokens"))
+    val total = perLang.agg(sum("avail_tokens").as("total_tokens"))
+    perLang.join(broadcast(MixWeights.toDF("lang", "wt")), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("target_tokens", expr(s"(total_tokens * $BudgetX * wt) div 100"))
+      .withColumn("full_epochs",
+        least(lit(MaxEpochs), expr("target_tokens div avail_tokens")))
+      .withColumn("residual_permille", expr(
+        s"""case when full_epochs < $MaxEpochs
+           |  then least(1000L, ((target_tokens - full_epochs * avail_tokens) * 1000) div avail_tokens)
+           |  else 0L end""".stripMargin))
+      .withColumn("planned_tokens",
+        expr("full_epochs * avail_tokens + (avail_tokens * residual_permille) div 1000"))
+      .withColumn("deficit_tokens", expr("target_tokens - planned_tokens"))
+      .select("lang", "avail_tokens", "target_tokens", "full_epochs",
+        "residual_permille", "planned_tokens", "deficit_tokens")
+      .orderBy("lang")
+  }
+
+  private val epochPlanSql =
+    s"""WITH w(lang, wt) AS (VALUES ${MixWeights.map { case (l, p) => s"('$l', $p)" }.mkString(", ")}),
+       |pl AS (
+       |  SELECT lang, CAST(sum(len(${Docs.toksDuck})) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM pl),
+       |e AS (
+       |  SELECT p.lang, p.avail_tokens,
+       |         CAST((tot.total_tokens * $BudgetX * w.wt) // 100 AS BIGINT) AS target_tokens
+       |  FROM pl p JOIN w USING (lang), tot),
+       |f AS (
+       |  SELECT *, CAST(least($MaxEpochs, target_tokens // avail_tokens) AS BIGINT) AS full_epochs
+       |  FROM e),
+       |r AS (
+       |  SELECT *, CAST(CASE WHEN full_epochs < $MaxEpochs
+       |    THEN least(1000, ((target_tokens - full_epochs * avail_tokens) * 1000) // avail_tokens)
+       |    ELSE 0 END AS BIGINT) AS residual_permille FROM f)
+       |SELECT lang, avail_tokens, target_tokens, full_epochs, residual_permille,
+       |  CAST(full_epochs * avail_tokens + (avail_tokens * residual_permille) // 1000 AS BIGINT) AS planned_tokens,
+       |  CAST(target_tokens - (full_epochs * avail_tokens + (avail_tokens * residual_permille) // 1000) AS BIGINT) AS deficit_tokens
+       |FROM r ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_epoch_plan", epochPlan, Some(epochPlanSql)),
     QueryDef("corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("corpus_split_safe", corpusSplitSafe, Some(corpusSplitSafeSql)),
     QueryDef("curate_importance_sample", importanceSample, Some(importanceSampleSql)),

@@ -448,4 +448,39 @@ class CurateSpec extends SparkSpec {
     val next = ranked(sel.length)
     assert((sel.map(_._3).sum + next._3) * 1000L > total * 300L)
   }
+
+  test("corpus_epoch_plan: integer epoch math re-derives from raw token counts") {
+    val plan = SparkEntry.queries("corpus_epoch_plan")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // independent re-derivation: per-lang whitespaceish token counts
+    val avail = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"),
+        expr("cast(size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')) as bigint)").as("n"))
+      .groupBy("lang").agg(sum("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = avail.values.sum
+    assert(plan.keySet == avail.keySet, s"langs: ${plan.keySet} vs ${avail.keySet}")
+    plan.foreach { case (lang, r) =>
+      val av = r.getAs[Long]("avail_tokens")
+      val tg = r.getAs[Long]("target_tokens")
+      val ep = r.getAs[Long]("full_epochs")
+      val rp = r.getAs[Long]("residual_permille")
+      val pl = r.getAs[Long]("planned_tokens")
+      val df = r.getAs[Long]("deficit_tokens")
+      assert(av == avail(lang), s"$lang avail $av != ${avail(lang)}")
+      // the exact integer plan, recomputed driver-side
+      val wt = Map("en" -> 40L, "zh" -> 25L, "de" -> 15L, "fr" -> 10L, "es" -> 10L)(lang)
+      assert(tg == total * 2 * wt / 100, s"$lang target")
+      assert(ep == math.min(4L, tg / av), s"$lang epochs")
+      val expRp = if (ep < 4) math.min(1000L, (tg - ep * av) * 1000 / av) else 0L
+      assert(rp == expRp, s"$lang residual $rp != $expRp")
+      assert(pl == ep * av + av * rp / 1000 && df == tg - pl, s"$lang planned/deficit")
+      // plan invariants: never over-serves, repetition capped, residual a rate
+      assert(pl <= tg && df >= 0 && ep <= 4 && rp >= 0 && rp <= 1000)
+      assert(pl <= 4 * av + av, s"$lang plan exceeds the repetition cap class")
+    }
+    // non-hollow: the gate corpus genuinely differentiates languages
+    val eps = plan.values.map(_.getAs[Long]("full_epochs")).toSet
+    assert(eps.size > 1, s"every language planned the same epochs ($eps) — hollow signal")
+  }
 }

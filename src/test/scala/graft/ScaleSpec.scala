@@ -56,7 +56,8 @@ class ScaleSpec extends SparkSpec {
       "orders_rfm",       // 1-row ref-date/total-count broadcasts (histogram quintiles)
       "corpus_source_stats", // 1-row corpus-total broadcast for the share denominator
       "corpus_length_hist", // same 1-row totals broadcast (doc/token share denominators)
-      "corpus_token_budget" // 1-row total-tokens broadcast (the budget denominator)
+      "corpus_token_budget", // 1-row total-tokens broadcast (the budget denominator)
+      "corpus_epoch_plan" // 1-row total-tokens broadcast over the ~5-row lang frame
     )
     // Eager build wrappers run their whole vault build during DataFrame
     // CONSTRUCTION and return a LocalTableScan summary — sweeping that
