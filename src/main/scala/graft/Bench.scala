@@ -7,7 +7,7 @@ object Bench {
     val spark = Tables.applyConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false"), sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up before timing: run every query once at the smallest SF so

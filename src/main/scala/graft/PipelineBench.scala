@@ -32,7 +32,7 @@ object PipelineBench {
     val spark = Tables.applyConfs(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false"), args(0), args(1))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

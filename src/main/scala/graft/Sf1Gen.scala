@@ -43,6 +43,10 @@ object Sf1Gen {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false"))
+      // the effective scale is the OUTPUT (Copies x input), not the input
+      // dir the generic dir-size probe would see
+      .config("spark.io.compression.codec",
+        Tables.ioCodecForBytes(Tables.dirBytes(in) * Copies))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")

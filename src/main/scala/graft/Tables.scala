@@ -76,24 +76,52 @@ object Tables {
     * fires on nanos, TIMESTAMP_NTZ for micros) into the same `tms`.
     * timeZone=UTC is load-bearing for that normalization — see tmsFromTs.
     */
-  val sessionConfs: Map[String, String] = Map(
+  def sessionConfs(dataDirs: Seq[String] = Nil): Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
-    // zstd shuffle/spill compression (r10, verdict #4): the DV build's
-    // shuffle payload is hash-hex-string-heavy (two 64-char digests per
-    // sat/link row) where zstd compresses ~1.5-2x better than lz4 — the
-    // sf10 single-node transient-disk budget is the binding constraint
-    // (measured 30.4 GB peak at sf3 under lz4), and on a real cluster
-    // shuffle bytes ARE the network bill. CPU cost is a few percent on
-    // codegen-bound ops; value-level results are unaffected (compression
-    // is transport-only). Env-overridable: a CPU-bound deployment with
-    // fast local disk sets GRAFT_IO_CODEC=lz4.
-    "spark.io.compression.codec" -> sys.env.getOrElse("GRAFT_IO_CODEC", "zstd")
+    "spark.io.compression.codec" -> ioCodecFor(dataDirs)
   )
 
-  def applyConfs(b: SparkSession.Builder): SparkSession.Builder =
-    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+  /** ADAPTIVE shuffle/spill codec (r10 verdict #4 introduced zstd; r11
+    * verdict #2 makes it scale-gated like DvGo's staging threshold —
+    * the precedent this constant mirrors). The DV build's shuffle
+    * payload is hash-hex-string-heavy (two 64-char digests per sat/link
+    * row) where zstd compresses ~1.5-2x better than lz4: at sf3+/sf10
+    * the single-node transient-disk budget is the binding constraint
+    * (lz4 peaked 30.4 GB at sf3; zstd is part of why sf10 fits in
+    * 52 GB), and on a real cluster shuffle bytes ARE the network bill.
+    * But below the threshold the disk budget never binds and zstd's CPU
+    * tax is a pure loss (~6-11% on the sf0.1 bench, r10 verdict #3) —
+    * so sessions over small data keep lz4. The switch is per-SESSION
+    * (spark.io.* is a core conf, fixed at context construction), decided
+    * on the total on-disk bytes of the data dirs the entrypoint is about
+    * to process; a session given no dirs defaults to lz4 (every dir-less
+    * entrypoint here is gate-scale). GRAFT_IO_CODEC still overrides both
+    * ways for deployments that know their disk/CPU balance.
+    */
+  val IoCodecThresholdBytes: Long = 256L * 1024 * 1024
+
+  private[graft] def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
+  /** The bytes-based form for entrypoints that know their effective scale
+    * better than their input dir shows (Sf1Gen's output is Copies x its
+    * input; a cluster deployment would pass its table-catalog size).
+    */
+  def ioCodecForBytes(bytes: Long): String =
+    sys.env.getOrElse("GRAFT_IO_CODEC",
+      if (bytes > IoCodecThresholdBytes) "zstd" else "lz4")
+
+  def ioCodecFor(dataDirs: Seq[String]): String =
+    ioCodecForBytes(dataDirs.map(dirBytes).sum)
+
+  def applyConfs(b: SparkSession.Builder, dataDirs: String*): SparkSession.Builder =
+    sessionConfs(dataDirs).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }

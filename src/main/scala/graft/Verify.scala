@@ -13,7 +13,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val spark = VerifyShared.session()
+    val spark = VerifyShared.session(sfDir)
     new java.io.File(outDir).mkdirs()
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
@@ -42,13 +42,13 @@ object Verify {
   * oracle_sql.json writer, ONE session bootstrap.
   */
 private[graft] object VerifyShared {
-  def session(): SparkSession = {
+  def session(dataDirs: String*): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = Tables.applyConfs(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false"), dataDirs: _*)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -10,7 +10,7 @@ package graft
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSeq
-    val spark = VerifyShared.session()
+    val spark = VerifyShared.session(sfDir)
     new java.io.File(outDir).mkdirs()
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")

@@ -106,7 +106,16 @@ object Curate extends QueryModule {
     val tf = occ.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("tf"))
     val cBg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
     val cW1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    tf.join(cBg, "bg").join(cW1, "w1")
+    // EXPLICIT broadcast (r10 verdict #5): the LM tables are vocabulary-
+    // bounded (distinct bigrams/unigrams saturate on a fixed vocab — they
+    // do NOT grow with the corpus), but Catalyst sizes an aggregate by
+    // its corpus-scale child and was planning sort-merge — re-shuffling
+    // the corpus-scale tf side on bg and again on w1 (17.9x at 100x, the
+    // family's only double-digit ratio). Hinted, the tf side goes
+    // shuffle-free from its (doc_id,w1,bg) agg straight into the per-doc
+    // rollup: the op's only corpus-scale exchanges are the two partial-
+    // agg-combined groupBys.
+    tf.join(broadcast(cBg), "bg").join(broadcast(cW1), "w1")
       .withColumn("p_scaled", expr("c_bg * 1000000L div c_w1"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"), sum(expr("tf * p_scaled")).as("sum_p"))
@@ -816,9 +825,16 @@ FROM flags ORDER BY doc_id"""
 
   private def epochPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // avail_tokens > 0 guard (ADVICE r10): a language whose documents all
+    // tokenize empty would otherwise divide by zero — NULL in Spark's
+    // non-ANSI `div` but a hard error in DuckDB, a cross-engine
+    // divergence. An empty-token language has nothing to repeat, so the
+    // plan excludes it (its 0 contributes nothing to the total either
+    // way); the filter is identical in both engines.
     val perLang = graft.Tables.load(s, dir, "documents")
       .select(col("lang"), expr(s"cast(size(${Docs.toksSpark}) as bigint)").as("n"))
       .groupBy("lang").agg(sum("n").as("avail_tokens"))
+      .filter(col("avail_tokens") > 0)
     val total = perLang.agg(sum("avail_tokens").as("total_tokens"))
     perLang.join(broadcast(MixWeights.toDF("lang", "wt")), "lang")
       .crossJoin(broadcast(total))
@@ -840,8 +856,9 @@ FROM flags ORDER BY doc_id"""
   private val epochPlanSql =
     s"""WITH w(lang, wt) AS (VALUES ${MixWeights.map { case (l, p) => s"('$l', $p)" }.mkString(", ")}),
        |pl AS (
-       |  SELECT lang, CAST(sum(len(${Docs.toksDuck})) AS BIGINT) AS avail_tokens
-       |  FROM documents GROUP BY lang),
+       |  SELECT lang, avail_tokens FROM (
+       |    SELECT lang, CAST(sum(len(${Docs.toksDuck})) AS BIGINT) AS avail_tokens
+       |    FROM documents GROUP BY lang) WHERE avail_tokens > 0),
        |tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM pl),
        |e AS (
        |  SELECT p.lang, p.avail_tokens,

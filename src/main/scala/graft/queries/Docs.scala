@@ -115,7 +115,14 @@ private[graft] object SessionCache {
               case Some(winner) => df.unpersist(); winner
               case None => df
             }
-            else { degradedEntries.put(key, (df, now)); df }
+            else degradedEntries.putIfAbsent(key, (df, now)) match {
+              // mirror the entries race handling (ADVICE r10): a
+              // concurrent degraded build for the same key must not be
+              // overwritten-and-leaked — the loser unpersists its frame
+              // and adopts the winner's
+              case Some((winner, _)) => df.unpersist(); winner
+              case None => df
+            }
         }
     }
   }

@@ -46,11 +46,19 @@ object Similarity extends QueryModule {
   // top-K runs inside the scan's (query_id, neighbor-salt) cells, so no
   // window partition ever holds the corpus — the merge window sees at
   // most saltBuckets×K rows per query.
-  private def knn(s: SparkSession, dir: String): DataFrame = {
+  private def knn(s: SparkSession, dir: String): DataFrame =
+    knnFor(s, dir, col("vec_id") < KnnQueries)
+
+  /** Brute-force exact top-K for an arbitrary CONSTANT-size query
+    * predicate — knn_cosine pins vec_id < 50; knn_recall_report's IVF
+    * tier brings its own capped-population sample (ADVICE r10). The
+    * shape is identical either way: broadcast queries, one corpus scan.
+    */
+  private def knnFor(s: SparkSession, dir: String, qpred: Column): DataFrame = {
     // graftCosine (native codegen expression) accumulates in index order —
     // bit-identical to the oracle's precomputed-norm formula.
     val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val queries = vecs.filter(col("vec_id") < KnnQueries)
+    val queries = vecs.filter(qpred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val pairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -61,11 +69,13 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "rank")
   }
 
-  private val knnSql =
+  private val knnSql = knnSqlFor(s"vec_id < $KnnQueries")
+
+  private def knnSqlFor(qpredSql: String): String =
     s"""WITH vecs AS (
        |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
        |queries AS (
-       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id < $KnnQueries),
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM vecs WHERE $qpredSql),
        |pairs AS (
        |  SELECT q.query_id, v.vec_id AS neighbor_id,
        |         ${dotDuck("q.qe", "v.embedding")} / (sqrt(q.qn) * sqrt(v.nrm)) AS cosine
@@ -816,11 +826,18 @@ object Similarity extends QueryModule {
     centroidMemo.getOrElseUpdate((s, dir), trainCentroids(s, dir))
   }
 
-  private def trainCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
-    val vecs = qVecs(s, dir)
-    var cents: Seq[(Long, Seq[Long])] = vecs.filter(col("vec_id") < IvfK)
+  private def trainCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] =
+    trainCentroidsFrom(qVecs(s, dir))
+
+  /** The same IvfIters-Lloyd training over an arbitrary (vec_id, …, q)
+    * frame — ann_ivf_incr trains on the STORED subset only, and its spec
+    * drives synthetic corpora through the identical kernel.
+    */
+  private[graft] def trainCentroidsFrom(vecs: DataFrame): Seq[(Long, Seq[Long])] = {
+    var cents: Seq[(Long, Seq[Long])] = vecs.select(col("vec_id"), col("q"))
+      .filter(col("vec_id") < IvfK)
       .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](2).toSeq)).toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     for (_ <- 1 to IvfIters) {
       val assigned = vecs.select(col("q"), expr(bestCellExpr(cents, "q")).as("cell"))
       val dimSums = (1 to Dim).map(d => sum(expr(s"element_at(q, $d)")).as(s"s$d"))
@@ -886,6 +903,127 @@ object Similarity extends QueryModule {
     vecs.select(col("vec_id"), expr(bestCellExpr(cents, "q")).as("cell"))
   }
 
+  // ------------------------------------------------------- ann_ivf_incr
+  // INCREMENTAL IVF index maintenance — the production seam the
+  // train-once index lacks at 100 TB: vectors arrive continuously, and
+  // retraining the coarse quantizer per batch is neither affordable nor
+  // necessary. The dv_hub_incr discipline applied to the index: the
+  // arriving batch (vec_id % IncrMod == IncrRes stands in for "the new
+  // micro-batch"; the stored corpus is everything else) is assigned to
+  // the STORED-trained coarse centroids — an append-only, scan-local
+  // literal-argmax projection, no retrain, no corpus re-read — and the
+  // op reports, per cell, the evidence for WHEN to retrain: the mean
+  // per-dimension displacement of the arriving members' mean from the
+  // stored members' mean, in exact integer micro-q units.
+  //
+  // Determinism: displacements are computed on SHIFTED quantized values
+  // q' = q + IvfScale (>= 0 always), because Spark's `div` truncates
+  // toward zero while DuckDB's `//` floors — identical only on
+  // non-negatives; the shift cancels in the difference of means up to
+  // the shared integer-division grid, so both engines agree bit-for-bit.
+  // A cell with no stored members (a centroid orphaned by Lloyd
+  // rounds) has no mean to drift from — it flags retrain outright.
+  //
+  // Scale shape: two scan-local assignments, one posexplode x Dim into a
+  // (cell, dim)-keyed partial agg per side (reduce output is
+  // cells x Dim rows — index-scale, never corpus-scale), a full-outer
+  // equi-join and final agg on that index-scale frame. One pass over
+  // each side, linear at any SF; the reference analogue is the bgw
+  // refresh loop's incremental discipline (controller/dv_loader.rs:5-66).
+  private[graft] val IncrMod = 10L
+  private[graft] val IncrRes = 7L // residue 0 is the ANN query population
+  // Retrain trigger: mean per-dim displacement >= ~600 q-units (~0.15
+  // embedding units). MEASURED against the undrifted split at every gate
+  // SF — same-distribution sampling noise peaks at 416M micro (sf0.01,
+  // cells with 1-2 arrivals) and shrinks with scale (148M at sf0.1) —
+  // so the trigger sits ~1.4x above the worst observed noise while a
+  // genuinely shifted batch (the spec drives +0.5 embedding units)
+  // measures ~2e9, 3.4x above it.
+  private[graft] val DriftRetrainMicro = 600000000L
+
+  def ivfStoredCentroids(s: SparkSession, dir: String): Seq[(Long, Seq[Long])] = {
+    SessionCache.onSessionEnd(s, "ivf_centroids") {
+      centroidMemo.keys.filter(_._1 eq s).toSeq.foreach(centroidMemo.remove)
+    }
+    centroidMemo.getOrElseUpdate((s, s"stored:$dir"),
+      trainCentroidsFrom(qVecs(s, dir).filter(col("vec_id") % IncrMod =!= IncrRes)))
+  }
+
+  /** The assignment+drift kernel over explicit stored/arriving frames —
+    * package-visible so the spec can drive it with synthetic drifted and
+    * duplicate batches; the registered op binds the corpus split and the
+    * stored-trained centroids.
+    */
+  private[graft] def ivfIncrKernel(stored: DataFrame, arriving: DataFrame,
+                                   cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    def dimAgg(df: DataFrame, sumName: String, cntName: String): DataFrame =
+      df.select(expr(bestCellExpr(cents, "q")).as("cell"),
+          posexplode(expr(s"transform(q, v -> v + $IvfScale)")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as(sumName), count(lit(1)).as(cntName))
+    val sAgg = dimAgg(stored, "s_d", "n_s")
+    val aAgg = dimAgg(arriving, "a_d", "n_a")
+    sAgg.join(aAgg, Seq("cell", "pos"), "full_outer")
+      .groupBy("cell").agg(
+        max(coalesce(col("n_s"), lit(0L))).as("n_stored"),
+        max(coalesce(col("n_a"), lit(0L))).as("n_arrived"),
+        sum(when(col("n_s").isNotNull && col("n_a").isNotNull,
+            abs(expr("(a_d * 1000000L) div n_a - (s_d * 1000000L) div n_s")))
+          .otherwise(lit(0L))).as("sum_diff"))
+      .select(col("cell"), col("n_stored"), col("n_arrived"),
+        expr(s"sum_diff div $Dim").as("drift_micro"),
+        when(col("n_stored") === 0 ||
+            expr(s"sum_diff div $Dim") >= DriftRetrainMicro, 1L)
+          .otherwise(0L).as("retrain_flag"))
+      .orderBy("cell")
+  }
+
+  private def annIvfIncr(s: SparkSession, dir: String): DataFrame = {
+    val vecs = qVecs(s, dir)
+    ivfIncrKernel(
+      vecs.filter(col("vec_id") % IncrMod =!= IncrRes),
+      vecs.filter(col("vec_id") % IncrMod === IncrRes),
+      ivfStoredCentroids(s, dir))
+  }
+
+  // SQL twin: the stored-trained chain (shared training CTEs under the
+  // i_ prefix, source-filtered to the stored subset) + the arriving
+  // batch assigned against i_c2, then the same shifted per-dim means.
+  private val annIvfIncrSql = {
+    val storedFilter = s"vec_id % $IncrMod <> $IncrRes"
+    val dims = s"(SELECT unnest(generate_series(1, $Dim)) AS d) dd"
+    s"""WITH ${ivfChainCtes("i_", storedFilter)},
+       |arrv AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id % $IncrMod = $IncrRes),
+       |aassign AS (${assignDuck("arrv", "i_c2")}),
+       |sdim AS (
+       |  SELECT cell, dd.d, CAST(sum(q[dd.d] + $IvfScale) AS BIGINT) AS s_d,
+       |         CAST(count(*) AS BIGINT) AS n_s
+       |  FROM i_assigned CROSS JOIN $dims GROUP BY cell, dd.d),
+       |adim AS (
+       |  SELECT cell, dd.d, CAST(sum(q[dd.d] + $IvfScale) AS BIGINT) AS a_d,
+       |         CAST(count(*) AS BIGINT) AS n_a
+       |  FROM aassign CROSS JOIN $dims GROUP BY cell, dd.d),
+       |j AS (
+       |  SELECT coalesce(s.cell, a.cell) AS cell, s.s_d, s.n_s, a.a_d, a.n_a
+       |  FROM sdim s FULL OUTER JOIN adim a ON a.cell = s.cell AND a.d = s.d),
+       |percell AS (
+       |  SELECT cell,
+       |         CAST(max(coalesce(n_s, 0)) AS BIGINT) AS n_stored,
+       |         CAST(max(coalesce(n_a, 0)) AS BIGINT) AS n_arrived,
+       |         CAST(sum(CASE WHEN n_s IS NOT NULL AND n_a IS NOT NULL
+       |           THEN abs((a_d * 1000000) // n_a - (s_d * 1000000) // n_s)
+       |           ELSE 0 END) AS BIGINT) AS sum_diff
+       |  FROM j GROUP BY cell)
+       |SELECT cell, n_stored, n_arrived,
+       |       CAST(sum_diff // $Dim AS BIGINT) AS drift_micro,
+       |       CAST(CASE WHEN n_stored = 0 OR sum_diff // $Dim >= $DriftRetrainMicro
+       |         THEN 1 ELSE 0 END AS BIGINT) AS retrain_flag
+       |FROM percell ORDER BY cell""".stripMargin
+  }
+
   // SQL twin: the same two Lloyd iterations unrolled as CTEs over the same
   // integer fixed-point arithmetic.
   private def dotQDuck(a: String, b: String): String =
@@ -921,12 +1059,12 @@ object Similarity extends QueryModule {
     * training definition, two consumers, no collision with the PQ
     * subspace CTE names under a distinct prefix.
     */
-  private[queries] def ivfChainCtes(p: String): String =
+  private[queries] def ivfChainCtes(p: String, srcFilter: String = "TRUE"): String =
     s"""${p}vecs AS (
        |  SELECT vec_id, embedding,
        |         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * $IvfScale) AS BIGINT)) AS q,
        |         ${dotDuck("embedding", "embedding")} AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $srcFilter),
        |${p}c0 AS (SELECT vec_id AS cent_id, q AS qc FROM ${p}vecs WHERE vec_id < $IvfK),
        |${p}a1 AS (${assignDuck(s"${p}vecs", s"${p}c0")}),
        |${p}c1 AS (${resumDuck(s"${p}a1")}),
@@ -1432,37 +1570,49 @@ object Similarity extends QueryModule {
   // the tier scans themselves.
   private def knnRecallReport(s: SparkSession, dir: String): DataFrame = {
     val exact = knn(s, dir).select(col("query_id"), col("neighbor_id"), col("rank"))
-    def tierRecall(tierName: String, t: DataFrame, k: Int, qpred: Column): DataFrame =
-      exact.filter(col("rank") <= k && qpred)
+    // IVF tier sample (ADVICE r10): the first ~50 MEMBERS of the capped
+    // population — query_id % mod == 0 AND query_id < 50*mod — so the
+    // sample size stays constant across SFs (the old intersection with
+    // query_id < 50 degenerated to the single query 0 once mod > 50,
+    // ~sf0.5+). The sample needs its own exact ground truth: knn's frame
+    // only covers vec_id < 50, and at mod > 1 the sample members lie
+    // outside it. Still a constant-50-query brute force — one broadcast
+    // corpus scan, linear at any SF, mirrored by the oracle verbatim.
+    val mod = ivfQueryMod(s, dir)
+    val exactIvf = knnFor(s, dir,
+        col("vec_id") % mod === 0 && col("vec_id") < lit(50L * mod))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    def tierRecall(tierName: String, t: DataFrame, k: Int, ex: DataFrame): DataFrame =
+      ex.filter(col("rank") <= k)
         .join(t.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
           Seq("query_id", "neighbor_id"), "left")
         .agg(coalesce(sum("hit"), lit(0L)).as("hits"), count(lit(1)).as("total"))
         .select(lit(tierName).as("tier"), col("hits"), col("total"),
           expr("hits * 1000000 div total").as("recall_micro"))
-    tierRecall("ann_cosine_int8", annInt8(s, dir), TopK, col("query_id") < KnnQueries)
-      .unionByName(tierRecall("ann_cosine_ivf", annIvf(s, dir), IvfTopK,
-        col("query_id") < KnnQueries && col("query_id") % ivfQueryMod(s, dir) === 0))
-      .unionByName(tierRecall("ann_cosine_lsh", annLsh(s, dir), AnnTopK,
-        col("query_id") < KnnQueries))
+    tierRecall("ann_cosine_int8", annInt8(s, dir), TopK, exact)
+      .unionByName(tierRecall("ann_cosine_ivf", annIvf(s, dir), IvfTopK, exactIvf))
+      .unionByName(tierRecall("ann_cosine_lsh", annLsh(s, dir), AnnTopK, exact))
       .orderBy("tier")
   }
 
   private def knnRecallSql: String = {
-    def tier(name: String, tierSql: String, k: Int, qpred: String): String =
+    def tier(name: String, tierSql: String, k: Int, exactSql: String): String =
       s"""SELECT '$name' AS tier, hits, total FROM (
          |  SELECT CAST(coalesce(sum(hit), 0) AS BIGINT) AS hits,
          |         CAST(count(*) AS BIGINT) AS total FROM (
          |    SELECT CASE WHEN t.neighbor_id IS NOT NULL THEN 1 END AS hit
-         |    FROM (SELECT * FROM ($knnSql) WHERE rank <= $k AND $qpred) e
+         |    FROM (SELECT * FROM ($exactSql) WHERE rank <= $k) e
          |    LEFT JOIN (SELECT query_id, neighbor_id FROM ($tierSql)) t
          |      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id))""".stripMargin
+    val exactIvfSql = knnSqlFor(
+      s"vec_id % ($ivfQueryModDuck) = 0 AND vec_id < 50 * ($ivfQueryModDuck)")
     s"""SELECT tier, hits, total, CAST(hits * 1000000 // total AS BIGINT) AS recall_micro
        |FROM (
-       |${tier("ann_cosine_int8", annInt8Sql, TopK, s"query_id < $KnnQueries")}
+       |${tier("ann_cosine_int8", annInt8Sql, TopK, knnSql)}
        |UNION ALL
-       |${tier("ann_cosine_ivf", annIvfSql, IvfTopK, s"query_id < $KnnQueries AND query_id % ($ivfQueryModDuck) = 0")}
+       |${tier("ann_cosine_ivf", annIvfSql, IvfTopK, exactIvfSql)}
        |UNION ALL
-       |${tier("ann_cosine_lsh", annSql, AnnTopK, s"query_id < $KnnQueries")}
+       |${tier("ann_cosine_lsh", annSql, AnnTopK, knnSql)}
        |)
        |ORDER BY tier""".stripMargin
   }
@@ -1477,6 +1627,7 @@ object Similarity extends QueryModule {
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
     QueryDef("ann_cosine_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
+    QueryDef("ann_ivf_incr", annIvfIncr, Some(annIvfIncrSql)),
     QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
     QueryDef("dedup_embed_cosine_prod", embedDedupProd, Some(embedDedupProdSql)),

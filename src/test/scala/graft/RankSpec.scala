@@ -147,6 +147,33 @@ class RankSpec extends SparkSpec {
     assert("Join".r.findAllIn(plan).size >= 2, s"expected >=2 joins in:\n$plan")
   }
 
+  test("pagerank rounds are exchange-free on the edge side (r10 verdict #4)") {
+    // pagerank materializes repartition(src).localCheckpoint() so each
+    // round's src-equi-join finds the corpus-scale edge frame already
+    // clustered — only the node-scale rank frame moves. Pin that: under a
+    // forced shuffle join (broadcast off; sparkPlan = pre-AQE, like the
+    // op's own planning at cluster scale), the join child carrying `deg`
+    // (the edge side) must plan with ZERO ShuffleExchange below it.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edgesD = Rank.prEdges(spark, sfDir).repartition(col("src")).localCheckpoint()
+      val seed = edgesD.select(col("src").as("node_id")).distinct()
+        .withColumn("r", lit(1000000L))
+      val iter = Rank.prIteration(edgesD, seed, 45L)
+      val phys = iter.queryExecution.sparkPlan
+      val joins = phys.collect { case j: BaseJoinExec => j }
+      assert(joins.size == 1, s"expected exactly the round join, got:\n$phys")
+      val edgeSide = joins.head.children.find(_.output.exists(_.name == "deg"))
+        .getOrElse(fail(s"no join child carries deg in:\n$phys"))
+      val shuffles = edgeSide.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"edge side re-shuffles inside the round:\n$edgeSide")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("search_hybrid: fusion arithmetic exact, dense side agrees with knn, both modalities live") {
     val rows = SparkEntry.queries("search_hybrid")(spark, sfDir).collect()
     // 20 probes x top-10

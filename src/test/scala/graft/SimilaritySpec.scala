@@ -465,4 +465,74 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_zero")).sum > 0)
     assert(got.forall(r => r.getAs[Long]("min_q") < r.getAs[Long]("max_q")))
   }
+
+  // ---------------------------------------------------------- ann_ivf_incr
+  private def qFrame() = Tables.load(spark, sfDir, "embeddings")
+    // 4096 = Similarity.IvfScale (package-private to queries)
+    .select(col("vec_id"),
+      expr("transform(embedding, e -> cast(floor(cast(e as double) * 4096) as bigint))").as("q"))
+
+  test("ann_ivf_incr: registered op conserves counts and stays calm on the undrifted corpus") {
+    val rows = SparkEntry.queries("ann_ivf_incr")(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val nArr = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === 7).count()
+    // every vector lands in exactly one cell, on both sides of the split
+    assert(rows.map(_.getAs[Long]("n_stored")).sum == n - nArr)
+    assert(rows.map(_.getAs[Long]("n_arrived")).sum == nArr)
+    // 15 stored-trained cells: the 16 seed ids minus the arriving residue 7
+    assert(rows.length == 15 && !rows.exists(_.getAs[Long]("cell") == 7L))
+    // the arriving split IS the stored distribution - the retrain trigger
+    // must not fire (threshold sits 1.4x above the measured noise ceiling)
+    assert(rows.forall(_.getAs[Long]("retrain_flag") == 0L))
+    // drift evidence only where arrivals exist
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_arrived") == 0L) assert(r.getAs[Long]("drift_micro") == 0L)
+      else assert(r.getAs[Long]("drift_micro") > 0L)
+    }
+  }
+
+  test("ann_ivf_incr kernel: duplicate (undrifted) batch has zero drift and full-retrain parity") {
+    val vecs = qFrame()
+    val cents = Similarity.trainCentroidsFrom(vecs)
+    // the arriving batch is the stored corpus verbatim under fresh ids
+    val dup = vecs.withColumn("vec_id", col("vec_id") + 1000000L)
+    val out = Similarity.ivfIncrKernel(vecs, dup, cents).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("drift_micro") == 0L, s"nonzero drift on duplicates: $r")
+      assert(r.getAs[Long]("n_stored") == r.getAs[Long]("n_arrived"))
+      assert(r.getAs[Long]("retrain_flag") == 0L)
+    }
+    // FULL-RETRAIN PARITY: retraining on stored+batch doubles every Lloyd
+    // sum exactly (integer partials), and cosine assignment is scale-
+    // invariant (2*dot / sqrt(4*norm) is bit-identical in IEEE), so the
+    // append-only incremental assignment equals what a full retrain on
+    // the grown corpus would assign - the op loses nothing on undrifted
+    // data, which is exactly when skipping the retrain is sound.
+    val retrained = Similarity.trainCentroidsFrom(vecs.unionByName(dup))
+    val incr = Similarity.ivfIncrKernel(vecs, dup, cents)
+      .select("cell", "n_stored", "n_arrived").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val full = Similarity.ivfIncrKernel(vecs, dup, retrained)
+      .select("cell", "n_stored", "n_arrived").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(incr == full, s"incremental vs full-retrain cell membership diverged")
+  }
+
+  test("ann_ivf_incr kernel: a genuinely shifted batch fires the retrain trigger") {
+    val vecs = qFrame()
+    val cents = Similarity.trainCentroidsFrom(vecs)
+    // +2048 q-units in every dimension = +0.5 embedding units - a real
+    // distribution shift, ~3.4x the trigger
+    val shifted = vecs.withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("q", expr("transform(q, v -> v + 2048L)"))
+    val out = Similarity.ivfIncrKernel(vecs, shifted, cents).collect()
+    val hit = out.filter(_.getAs[Long]("n_arrived") > 0L)
+    assert(hit.nonEmpty)
+    hit.foreach { r =>
+      assert(r.getAs[Long]("drift_micro") >= Similarity.DriftRetrainMicro,
+        s"shifted batch under trigger: $r")
+      assert(r.getAs[Long]("retrain_flag") == 1L)
+    }
+  }
 }
