@@ -81,12 +81,37 @@ object Sf1Bench {
     // keeps every other op in declaration order.
     val heavyLast = Map("dv_go_build" -> 1, "dv_go_derived" -> 2, "dv_go_build_bucketed" -> 3)
     val ordered = ops.sortBy(n => heavyLast.getOrElse(n, 0))
+    // Per-op transient-disk attribution (r10 verdict #7): when
+    // GRAFT_SPILL_ROOT is set, sample `du -sb` of that root every ~3 s
+    // during each op's BIG-side run and report peak-minus-baseline per op
+    // — the whole-run sampler could only say "52 GB somewhere in 34 ops";
+    // this says which op owns the peak, from inside the same artifact.
+    val spillRoot = sys.env.get("GRAFT_SPILL_ROOT")
+    def duBytes(d: String): Long =
+      try scala.sys.process.Process(Seq("du", "-sb", d)).!!.trim.split("\\s+")(0).toLong
+      catch { case _: Throwable => -1L }
+    def sampled[A](f: => A): (A, Long) = spillRoot match {
+      case None => (f, -1L)
+      case Some(root) =>
+        val base = duBytes(root)
+        @volatile var peak = base
+        @volatile var live = true
+        val t = new Thread(() => while (live) {
+          val b = duBytes(root); if (b > peak) peak = b; Thread.sleep(3000)
+        })
+        t.setDaemon(true); t.start()
+        val r = f
+        live = false; t.join(5000)
+        val last = duBytes(root); if (last > peak) peak = last
+        (r, if (base < 0 || peak < 0) -1L else peak - base)
+    }
     val rows = ordered.map { n =>
       val s1 = time(n, sfSmall); val s2 = time(n, sfSmall)
       // settle the heap before the minutes-long big side so the timing is
       // the op's own cost, not the previous op's deferred GC debt
       System.gc(); Thread.sleep(2000)
-      (n, s1, Seq(s1, s2).flatten, time(n, sfBig))
+      val (b, spill) = sampled(time(n, sfBig))
+      (n, s1, Seq(s1, s2).flatten, b, spill)
     }
     // Locale.ROOT like Bench (ADVICE r9): f"" under a comma-decimal locale
     // would emit invalid JSON
@@ -98,11 +123,12 @@ object Sf1Bench {
     // first pass marks the op failed even when the warm second pass
     // succeeds (ADVICE r10): falling back to the warm denominator would
     // silently overstate that op's ratio ~10x with no trace in the JSON.
-    val parts = rows.collect { case (n, Some(a), ss, Some(b)) =>
-      s""""$n":{"small":${f2(a)},"small_passes":[${ss.map(f2).mkString(",")}],"big":${f2(b)},"ratio":${f2(b / a)}}"""
+    val parts = rows.collect { case (n, Some(a), ss, Some(b), spill) =>
+      val spillPart = if (spill >= 0) s""","spill_peak_mb":${spill / 1000000L}""" else ""
+      s""""$n":{"small":${f2(a)},"small_passes":[${ss.map(f2).mkString(",")}],"big":${f2(b)},"ratio":${f2(b / a)}$spillPart}"""
     }
-    val failed = rows.collect { case (n, s1, _, b) if s1.isEmpty || b.isEmpty => n }
-    val ratios = rows.collect { case (_, Some(a), _, Some(b)) => b / a }
+    val failed = rows.collect { case (n, s1, _, b, _) if s1.isEmpty || b.isEmpty => n }
+    val ratios = rows.collect { case (_, Some(a), _, Some(b), _) => b / a }
     val maxR = if (ratios.nonEmpty) ratios.max else -1.0
     println(s"""{"metric":"sf1_ratios","sf_small":"$sfSmall","sf_big":"$sfBig","n_ops":${parts.size},"max_ratio":${f2(maxR)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"ops":{${parts.mkString(",")}}}""")
     spark.stop()

@@ -160,6 +160,26 @@ object DvLoader {
   def streamTableLoadBatch(s: SparkSession, batch: DataFrame, tableName: String,
                            repoDir: String, loadTs: String): Unit = {
     val schema = readSchema(s, repoDir)
+    // The per-object loads are independent (distinct directories/catalog
+    // tables, shared read-only batch) — submit them concurrently like
+    // DvGo.go's builds; the scheduler interleaves their jobs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loads = streamTableLoadPlans(s, batch, tableName, repoDir, loadTs).map {
+      case (obj, novel) => () => appendSide(s, repoDir, schema, obj, novel)
+    }
+    Await.result(Future.sequence(loads.map(f => Future(f()))), Duration.Inf)
+  }
+
+  /** The per-object micro-batch PLANS of the schema-driven streaming load
+    * — (object name, novel-rows frame) pairs, exposed unwritten so the
+    * streaming plan sweep (r10 verdict #8) audits the exact frames every
+    * micro-batch executes; [[streamTableLoadBatch]] appends them.
+    */
+  def streamTableLoadPlans(s: SparkSession, batch: DataFrame, tableName: String,
+                           repoDir: String, loadTs: String): Seq[(String, DataFrame)] = {
+    val schema = readSchema(s, repoDir)
     // First micro-batch of a fresh repo: nothing stored yet -> full insert.
     // ONLY a missing path means "fresh" — any other analysis failure
     // (schema drift, renamed hash-key column) must fail the batch loudly,
@@ -174,26 +194,18 @@ object DvLoader {
       } catch {
         case e: org.apache.spark.sql.AnalysisException if isPathMissing(e) => b
       }
-    // The per-object loads are independent (distinct directories/catalog
-    // tables, shared read-only batch) — submit them concurrently like
-    // DvGo.go's builds; the scheduler interleaves their jobs.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val loads: Seq[() => Unit] =
-      schema.hubs.filter(_.sourceTable == tableName).map { h => () =>
-        appendSide(s, repoDir, schema, s"hub_${h.name}",
-          novelAgainst(s"hub_${h.name}", Seq(h.hkName), DvBuild.hubFrom(s, batch, h, loadTs)))
-      } ++
-      schema.sats.filter(_.sourceTable == tableName).map { t => () =>
-        appendSide(s, repoDir, schema, s"sat_${t.name}",
-          novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs)))
-      } ++
-      schema.links.filter(_.sourceTable == tableName).map { l => () =>
-        appendSide(s, repoDir, schema, s"link_${l.name}",
-          novelAgainst(s"link_${l.name}", Seq(l.hkName), DvBuild.linkFrom(batch, l, loadTs)))
-      }
-    Await.result(Future.sequence(loads.map(f => Future(f()))), Duration.Inf)
+    schema.hubs.filter(_.sourceTable == tableName).map { h =>
+      s"hub_${h.name}" ->
+        novelAgainst(s"hub_${h.name}", Seq(h.hkName), DvBuild.hubFrom(s, batch, h, loadTs))
+    } ++
+    schema.sats.filter(_.sourceTable == tableName).map { t =>
+      s"sat_${t.name}" ->
+        novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs))
+    } ++
+    schema.links.filter(_.sourceTable == tableName).map { l =>
+      s"link_${l.name}" ->
+        novelAgainst(s"link_${l.name}", Seq(l.hkName), DvBuild.linkFrom(batch, l, loadTs))
+    }
   }
 
   /** Re-register a bucketed vault table over its existing repo files —

@@ -121,17 +121,21 @@ object Streams {
     * form of DvBuild.hubIncrement; the hub parquet is hash-keyed so at scale
     * this is a broadcast of the batch side against a bucketed table).
     */
-  def hubLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, hubPath: String, loadTs: String): Unit = {
+  def hubLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, hubPath: String, loadTs: String): Unit =
+    hubLoadPlan(spark, batch, keyCol, hubPath, loadTs).write.mode("append").parquet(hubPath)
+
+  /** The micro-batch PLAN of #40, exposed unwritten so the streaming plan
+    * sweep (r10 verdict #8) audits the exact frame every batch executes.
+    */
+  def hubLoadPlan(spark: SparkSession, batch: DataFrame, keyCol: String, hubPath: String, loadTs: String): DataFrame = {
     val keyed = batch.select(canonByType(batch, keyCol).as("bk")).distinct()
       .select(dvHash(Seq(col("bk"))).as("hub_hk"), lit(loadTs).as("load_ts"), col("bk"))
-    val novel =
-      try {
-        val existing = spark.read.parquet(hubPath).select("hub_hk")
-        keyed.join(existing, Seq("hub_hk"), "left_anti")
-      } catch { // ONLY a missing path means first batch; anything else must fail loudly
-        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
-      }
-    novel.write.mode("append").parquet(hubPath)
+    try {
+      val existing = spark.read.parquet(hubPath).select("hub_hk")
+      keyed.join(existing, Seq("hub_hk"), "left_anti")
+    } catch { // ONLY a missing path means first batch; anything else must fail loudly
+      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
+    }
   }
 
   /** #41: watermarked stream-stream join — each purchase enriched with
@@ -159,21 +163,24 @@ object Streams {
     * versions (the streaming form of DvBuild.satIncrement).
     */
   def satLoadBatch(spark: SparkSession, batch: DataFrame, keyCol: String, descCols: Seq[String],
-                   satPath: String, loadTs: String): Unit = {
+                   satPath: String, loadTs: String): Unit =
+    satLoadPlan(spark, batch, keyCol, descCols, satPath, loadTs).write.mode("append").parquet(satPath)
+
+  /** The micro-batch PLAN of #42 (see [[hubLoadPlan]]). */
+  def satLoadPlan(spark: SparkSession, batch: DataFrame, keyCol: String, descCols: Seq[String],
+                  satPath: String, loadTs: String): DataFrame = {
     val keyed = batch
       .select((canonByType(batch, keyCol).as("bk") +: descCols.map(col)): _*)
       .distinct()
       .select((dvHash(Seq(col("bk"))).as("hub_hk") +:
         dvHash(descCols.map(c => canonByType(batch, c))).as("sat_hd") +:
         lit(loadTs).as("load_ts") +: col("bk") +: descCols.map(col)): _*)
-    val novel =
-      try {
-        val existing = spark.read.parquet(satPath).select("hub_hk", "sat_hd")
-        keyed.join(existing, Seq("hub_hk", "sat_hd"), "left_anti")
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
-      }
-    novel.write.mode("append").parquet(satPath)
+    try {
+      val existing = spark.read.parquet(satPath).select("hub_hk", "sat_hd")
+      keyed.join(existing, Seq("hub_hk", "sat_hd"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
+    }
   }
 
   def satLoadSink(events: DataFrame, keyCol: String, descCols: Seq[String],
@@ -192,21 +199,24 @@ object Streams {
     * with the same hk anti-join as hubs, dv_loader.rs:166-199).
     */
   def linkLoadBatch(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
-                    linkPath: String, loadTs: String): Unit = {
+                    linkPath: String, loadTs: String): Unit =
+    linkLoadPlan(spark, batch, keyCols, linkPath, loadTs).write.mode("append").parquet(linkPath)
+
+  /** The micro-batch PLAN of #45 (see [[hubLoadPlan]]). */
+  def linkLoadPlan(spark: SparkSession, batch: DataFrame, keyCols: Seq[String],
+                   linkPath: String, loadTs: String): DataFrame = {
     val bks = keyCols.map(c => canonByType(batch, c).as(s"${c}_bk"))
     val keyed = batch.select(bks: _*).distinct()
       .select((dvHash(keyCols.map(c => col(s"${c}_bk"))).as("link_hk") +:
         lit(loadTs).as("load_ts") +:
         keyCols.map(c => dvHash(Seq(col(s"${c}_bk"))).as(s"hub_${c}_hk"))) ++
         keyCols.map(c => col(s"${c}_bk")): _*)
-    val novel =
-      try {
-        val existing = spark.read.parquet(linkPath).select("link_hk")
-        keyed.join(existing, Seq("link_hk"), "left_anti")
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
-      }
-    novel.write.mode("append").parquet(linkPath)
+    try {
+      val existing = spark.read.parquet(linkPath).select("link_hk")
+      keyed.join(existing, Seq("link_hk"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => keyed
+    }
   }
 
   /** Wire #45 onto a streaming DataFrame via foreachBatch. */
@@ -308,16 +318,18 @@ object Streams {
     * (in_doc, corpus_doc) pairs anti-joined against the flagged-pairs
     * parquet — redelivered or multi-band-matched pairs never double-land.
     */
-  def nearDupBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit = {
+  def nearDupBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit =
+    nearDupSinkPlan(spark, batch, outPath).write.mode("append").parquet(outPath)
+
+  /** The sink-side micro-batch PLAN of #49 (see [[hubLoadPlan]]). */
+  def nearDupSinkPlan(spark: SparkSession, batch: DataFrame, outPath: String): DataFrame = {
     val pairs = batch.dropDuplicates("in_doc", "corpus_doc")
-    val novel =
-      try {
-        val existing = spark.read.parquet(outPath).select("in_doc", "corpus_doc")
-        pairs.join(existing, Seq("in_doc", "corpus_doc"), "left_anti")
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => pairs
-      }
-    novel.write.mode("append").parquet(outPath)
+    try {
+      val existing = spark.read.parquet(outPath).select("in_doc", "corpus_doc")
+      pairs.join(existing, Seq("in_doc", "corpus_doc"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => pairs
+    }
   }
 
   def nearDupSink(docs: DataFrame, corpusBands: DataFrame, corpusShingles: DataFrame,
@@ -341,7 +353,12 @@ object Streams {
                             o_totalprice: Double)
 
   def martRefreshBatch(spark: SparkSession, batch: DataFrame, dims: DataFrame,
-                       martPath: String, loadTs: String): Unit = {
+                       martPath: String, loadTs: String): Unit =
+    martRefreshPlan(spark, batch, dims, martPath, loadTs).write.mode("append").parquet(martPath)
+
+  /** The micro-batch PLAN of #47 (see [[hubLoadPlan]]). */
+  def martRefreshPlan(spark: SparkSession, batch: DataFrame, dims: DataFrame,
+                      martPath: String, loadTs: String): DataFrame = {
     // Within-batch dedup must be BY KEY, not by full row: one micro-batch
     // can carry the same order twice with differing attributes (an update
     // delivered alongside the insert) — keep one deterministic
@@ -365,14 +382,12 @@ object Streams {
         col("o_orderkey_bk"), col("o_custkey_bk"),
         col("o_orderstatus"), col("o_totalprice"),
         coalesce(col("region"), lit("UNKNOWN")).as("region"))
-    val novel =
-      try {
-        val existing = spark.read.parquet(martPath).select("hub_order_hk")
-        rows.join(existing, Seq("hub_order_hk"), "left_anti")
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => rows
-      }
-    novel.write.mode("append").parquet(martPath)
+    try {
+      val existing = spark.read.parquet(martPath).select("hub_order_hk")
+      rows.join(existing, Seq("hub_order_hk"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => rows
+    }
   }
 
   /** The customer→region dimension side for #47 (dimension-scale by
