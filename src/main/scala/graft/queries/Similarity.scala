@@ -956,9 +956,14 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfIncrKernel(stored: DataFrame, arriving: DataFrame,
                                    cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    // The argmax MUST be its own projection BELOW the generator: a select
+    // mixing a generator with computed expressions puts those expressions
+    // in the Project ABOVE Generate, re-evaluating the 15-centroid literal
+    // argmax once per EXPLODED row (64x per vector — measured 12.5 s at
+    // sf0.1 where the whole op should cost a fraction of a second).
     def dimAgg(df: DataFrame, sumName: String, cntName: String): DataFrame =
-      df.select(expr(bestCellExpr(cents, "q")).as("cell"),
-          posexplode(expr(s"transform(q, v -> v + $IvfScale)")))
+      df.select(expr(bestCellExpr(cents, "q")).as("cell"), col("q"))
+        .select(col("cell"), posexplode(expr(s"transform(q, v -> v + $IvfScale)")))
         .groupBy("cell", "pos")
         .agg(sum("col").as(sumName), count(lit(1)).as(cntName))
     val sAgg = dimAgg(stored, "s_d", "n_s")
