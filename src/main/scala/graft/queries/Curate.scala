@@ -103,9 +103,18 @@ object Curate extends QueryModule {
         "transform(sequence(1, size(toks)-1), k -> named_struct('w1', element_at(toks,k), 'bg', concat_ws(' ', element_at(toks,k), element_at(toks,k+1))))"))
         .as("o"))
       .select(col("doc_id"), col("o.w1").as("w1"), col("o.bg").as("bg"))
-    val tf = occ.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("tf"))
-    val cBg = occ.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val cW1 = occ.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    // ONE corpus explode, not three (r11: the sf10 profile showed the
+    // dominant cost was occ being re-derived for tf, c_bg AND c_w1 — the
+    // LM tables are aggregates OF tf, so memoize tf once per (session,
+    // corpus) and fold the corpus counts from it: c_bg = Σ_docs tf is the
+    // same number as count(*) over occ, bit-for-bit, and the two
+    // re-aggregations now read the cached (doc,w1,bg) frame instead of
+    // re-exploding the corpus).
+    val tf = SessionCache.memo(s, "lm_tf", dir) {
+      occ.groupBy("doc_id", "w1", "bg").agg(count(lit(1)).as("tf"))
+    }
+    val cBg = tf.groupBy("bg").agg(sum("tf").as("c_bg"))
+    val cW1 = tf.groupBy("w1").agg(sum("tf").as("c_w1"))
     // EXPLICIT broadcast (r10 verdict #5): the LM tables are vocabulary-
     // bounded (distinct bigrams/unigrams saturate on a fixed vocab — they
     // do NOT grow with the corpus), but Catalyst sizes an aggregate by

@@ -235,21 +235,34 @@ object Rank extends QueryModule {
       .select(col("dst").as("node_id"),
         (lit(tele) + expr("(85L * csum) div 100L")).as("r"))
 
+  /** Above this node count the rank frame (~16 B/row) outgrows the 64 MB
+    * broadcast threshold, the round joins plan as shuffle joins, and the
+    * un-partitioned edge frame would re-shuffle EVERY round.
+    */
+  private val PrBroadcastableNodes = 4000000L
+
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     // (src, dst, deg) materialized once: every iteration re-joins it.
-    // HASH-PARTITIONED ON THE JOIN KEY before materializing (r10 verdict
-    // #4): localCheckpoint preserves the physical plan's output
-    // partitioning into the LogicalRDD, so every round's src-equi-join
-    // sees its clustered-distribution requirement already satisfied on
-    // the edge side — zero Exchange on the (corpus-scale) edge frame
-    // inside the rounds; only the (node-scale) rank frame moves. At sf10
-    // the 4 rounds re-shuffled the full 1.5M-row symmetrized edge set
-    // each pass (54.7 s, 16.4x at 100x); on a cluster this is the
-    // DvLoader.storedSide bucketing discipline applied to the iteration.
-    // RankSpec pins the round plan edge-side-exchange-free.
-    val edgesD = prEdges(s, dir).repartition(col("src")).localCheckpoint()
+    val edgesRaw = prEdges(s, dir).localCheckpoint()
     // Node count: one aggregate off the materialized edges — bounded.
-    val n = edgesD.select("src").distinct().count()
+    val n = edgesRaw.select("src").distinct().count()
+    // ADAPTIVE pre-partitioning (r10 verdict #4, gated like the staging
+    // threshold): below PrBroadcastableNodes the rank frame broadcasts
+    // into every round join, so the edge side never shuffles anyway and
+    // an up-front repartition is pure cost (measured +14 s at sf10,
+    // where n = 16k). Past it the rounds plan as shuffle joins and the
+    // un-partitioned edge set would re-shuffle all 4 rounds — there we
+    // hash-partition ON THE JOIN KEY once and re-materialize:
+    // localCheckpoint preserves the physical output partitioning into
+    // the LogicalRDD, so each round's src-equi-join finds its clustered
+    // distribution already satisfied on the (corpus-scale) edge side and
+    // only the (node-scale) rank frame moves — the DvLoader.storedSide
+    // bucketing discipline applied to the iteration. RankSpec pins the
+    // partitioned round plan edge-side-exchange-free under forced
+    // shuffle joins.
+    val edgesD =
+      if (n <= PrBroadcastableNodes) edgesRaw
+      else edgesRaw.repartition(col("src")).localCheckpoint()
     val r0 = PrScale / n
     val tele = (15L * r0) / 100L
     var rank = edgesD.select(col("src").as("node_id")).distinct()
