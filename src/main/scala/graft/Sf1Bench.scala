@@ -26,11 +26,12 @@ object Sf1Bench {
     "graph_pagerank", "graph_triangles",
     "search_hybrid", "knn_cosine", "knn_label_vote",
     "ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_ivf_probe", "ann_cosine_int8",
-    "ann_ivf_pq", "ann_l2_pq", "ann_ivf_incr",
+    "ann_ivf_pq", "ann_l2_pq", "ann_ivf_incr", "ann_range_cosine",
     "dedup_embed_cosine", "dedup_embed_cosine_prod", "dedup_minhash_lsh",
     "dedup_substring", "sim_ngram_jaccard", "dedup_cluster",
     "q2_min_cost_supplier", "orders_rfm", "orders_assoc_rules", "events_heavy_hitters",
     "pipeline_curate_full", "pipeline_dedup_full", "text_lm_score", "bpe_train",
+    "text_char_diversity",
     "emb_covariance", "corpus_token_budget")
 
   def main(args: Array[String]): Unit = {

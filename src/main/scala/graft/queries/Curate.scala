@@ -761,7 +761,7 @@ FROM flags ORDER BY doc_id"""
   // offsets come from a window over the ~100 band TOTALS (bounded,
   // broadcast back). Selection compares cum*1000 <= total*BudgetPermille
   // in exact BIGINTs — no division, both engines agree bit-for-bit.
-  private val BudgetPermille = 300L
+  private[graft] val BudgetPermille = 300L
   private val BandWidth = 10000L // micro-score bands: ~100 over the 1e6 score space
   private def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val dq = docsQInt(s, dir)
@@ -885,7 +885,57 @@ FROM flags ORDER BY doc_id"""
        |  CAST(target_tokens - (full_epochs * avail_tokens + (avail_tokens * residual_permille) // 1000) AS BIGINT) AS deficit_tokens
        |FROM r ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------ corpus_zipf_check
+  // Zipf rank-frequency conformance over the corpus vocabulary — the
+  // distribution-drift detector for degenerate corpora (natural language
+  // keeps freq_r ≈ freq_1 / r; template spam, model-generated loops and
+  // mode-collapsed synthetic data don't). Reports the top ZipfTopK terms
+  // by (frequency desc, term asc — deterministic tie-break) with rank,
+  // exact count, and the exact-integer conformance ratio
+  // observed/ideal = (freq_r · rank · 1e6) div freq_1 in micro-units
+  // (1e6 = perfect Zipf; the §5 rules ban a libm log-log slope fit, and
+  // the per-rank ratio table is MORE actionable than one slope anyway).
+  // Products go through DECIMAL(38,0)/HUGEINT — freq · rank · 1e6
+  // overflows int64 once a term passes ~1.8e11 occurrences.
+  //
+  // Scale shape: ONE explode→groupBy term-count shuffle (output is
+  // vocabulary-scale), the global top-K is the salted two-phase form
+  // (merge window sees ≤ 32·K rows), and freq_1 joins back as a 1-row
+  // broadcast onto the K-bounded frame.
+  private val ZipfTopK = 50
+
+  private def zipfCheck(s: SparkSession, dir: String): DataFrame = {
+    val counts = Docs.enriched(s, dir)
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = graft.dv.Scale.saltedTopK(counts, Seq.empty,
+      Seq(col("freq").desc, col("term")), xxhash64(col("term")), ZipfTopK)
+    val f1 = top.filter(col("rank") === 1).select(col("freq").as("freq_1"))
+    top.crossJoin(broadcast(f1))
+      .select(col("rank").cast("long").as("rank"), col("term"), col("freq"),
+        expr("cast(cast(freq as decimal(38,0)) * rank * 1000000 div freq_1 as bigint)")
+          .as("zipf_ratio_micro"))
+      .orderBy("rank")
+  }
+
+  private val zipfCheckSql =
+    s"""WITH tf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${Docs.toksDuck}) AS term FROM documents)
+       |  GROUP BY term),
+       |ranked AS (
+       |  SELECT term, freq,
+       |         CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+       |  FROM tf),
+       |top AS (SELECT * FROM ranked WHERE rank <= $ZipfTopK),
+       |f1 AS (SELECT freq AS freq_1 FROM top WHERE rank = 1)
+       |SELECT rank, term, freq,
+       |       CAST((CAST(freq AS HUGEINT) * rank * 1000000) // freq_1 AS BIGINT)
+       |         AS zipf_ratio_micro
+       |FROM top, f1 ORDER BY rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("corpus_zipf_check", zipfCheck, Some(zipfCheckSql)),
     QueryDef("corpus_epoch_plan", epochPlan, Some(epochPlanSql)),
     QueryDef("corpus_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("corpus_split_safe", corpusSplitSafe, Some(corpusSplitSafeSql)),

@@ -88,6 +88,43 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------- ann_range_cosine
+  // RADIUS search — the retrieval mode the top-K family doesn't cover:
+  // every neighbor of each constant query with cosine >= RangeTau, no K
+  // cutoff (the "find EVERYTHING at least this similar" shape behind
+  // dedup review queues, policy filters, and recall audits, where a
+  // fixed K silently truncates dense neighborhoods). Same scale contract
+  // as knn_cosine: constant 50-query broadcast, ONE corpus scan — and,
+  // unlike top-K, no window at all: rows materialized = answer size.
+  // Cosines come from the same codegen graftCosine knn_cosine pins
+  // bit-identical to the oracle formula, so the tau boundary decides
+  // identically in both engines (no epsilon needed).
+  private[graft] val RangeTau = 0.3
+
+  private def annRange(s: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = vecs.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val annRangeSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM vecs WHERE vec_id < $KnnQueries),
+       |pairs AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id,
+       |         ${dotDuck("q.qe", "v.embedding")} / (sqrt(q.qn) * sqrt(v.nrm)) AS cosine
+       |  FROM vecs v JOIN queries q ON v.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, cosine
+       |FROM pairs WHERE cosine >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   // ----------------------------------------------------- ann_cosine_lsh
   // Scale shape (VERDICT r2 #2): the query set is a CONSTANT 50 vectors —
   // the same cap knn_cosine carries — so the query side broadcasts and the
@@ -774,6 +811,21 @@ object Similarity extends QueryModule {
       emb(s, dir).select(col("vec_id"), col("embedding"), expr(qExpr).as("q"))
     }
 
+  /** Adds the fixed-point `q` column to an arbitrary (vec_id, embedding)
+    * frame — the quantization step the streaming twin applies to each
+    * arriving micro-batch (the batch side gets it memoized via [[qVecs]]).
+    */
+  private[graft] def withQuantized(df: DataFrame): DataFrame =
+    df.withColumn("q", expr(qExpr))
+
+  /** Scan-local cell assignment of a quantized frame against literal
+    * centroids — a pure codegen projection (no join, no shuffle): the
+    * append-only index write the streaming IVF maintenance twin performs
+    * per micro-batch.
+    */
+  private[graft] def assignCells(qframe: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+    qframe.select(col("vec_id"), expr(bestCellExpr(cents, "q")).as("cell"))
+
   /** Struct array `[(sim_to_centroid, -cent_id), ...]` with centroids baked
     * in as plan literals: cell assignment is a pure scan-local codegen
     * projection — no join, no window, no shuffle. Struct ordering gives
@@ -956,18 +1008,33 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfIncrKernel(stored: DataFrame, arriving: DataFrame,
                                    cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    ivfIncrFromAggs(
+      ivfDimAgg(stored, cents, "s_d", "n_s"),
+      ivfDimAgg(arriving, cents, "a_d", "n_a"))
+  }
+
+  /** One side's per-(cell, pos) shifted dim sums — the index-scale partial
+    * ([[ivfIncrKernel]]'s dimAgg, hoisted): package-visible so the
+    * streaming twin precomputes the STORED side once and folds each
+    * arriving micro-batch against it (cells × Dim rows, never
+    * corpus-scale).
+    */
+  private[graft] def ivfDimAgg(df: DataFrame, cents: Seq[(Long, Seq[Long])],
+                               sumName: String, cntName: String): DataFrame =
     // The argmax MUST be its own projection BELOW the generator: a select
     // mixing a generator with computed expressions puts those expressions
     // in the Project ABOVE Generate, re-evaluating the 15-centroid literal
     // argmax once per EXPLODED row (64x per vector — measured 12.5 s at
     // sf0.1 where the whole op should cost a fraction of a second).
-    def dimAgg(df: DataFrame, sumName: String, cntName: String): DataFrame =
-      df.select(expr(bestCellExpr(cents, "q")).as("cell"), col("q"))
-        .select(col("cell"), posexplode(expr(s"transform(q, v -> v + $IvfScale)")))
-        .groupBy("cell", "pos")
-        .agg(sum("col").as(sumName), count(lit(1)).as(cntName))
-    val sAgg = dimAgg(stored, "s_d", "n_s")
-    val aAgg = dimAgg(arriving, "a_d", "n_a")
+    df.select(expr(bestCellExpr(cents, "q")).as("cell"), col("q"))
+      .select(col("cell"), posexplode(expr(s"transform(q, v -> v + $IvfScale)")))
+      .groupBy("cell", "pos")
+      .agg(sum("col").as(sumName), count(lit(1)).as(cntName))
+
+  /** The drift report off two precomputed [[ivfDimAgg]] sides — the join
+    * and final agg are on the index-scale (cell, pos) frame.
+    */
+  private[graft] def ivfIncrFromAggs(sAgg: DataFrame, aAgg: DataFrame): DataFrame = {
     sAgg.join(aAgg, Seq("cell", "pos"), "full_outer")
       .groupBy("cell").agg(
         max(coalesce(col("n_s"), lit(0L))).as("n_stored"),
@@ -1628,6 +1695,7 @@ object Similarity extends QueryModule {
     QueryDef("sim_maxsim", maxsim, Some(maxsimSql)),
     QueryDef("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     QueryDef("knn_cosine", knn, Some(knnSql)),
+    QueryDef("ann_range_cosine", annRange, Some(annRangeSql)),
     QueryDef("knn_label_vote", knnLabelVote, Some(knnLabelVoteSql)),
     QueryDef("ann_cosine_lsh", annLsh, Some(annSql)),
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),

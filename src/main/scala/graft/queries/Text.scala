@@ -466,8 +466,71 @@ object Text extends QueryModule {
        |  n_near_dup_drop * 1000000 // n_docs AS near_dup_micro
        |FROM agg ORDER BY decile""".stripMargin
 
+  // --------------------------------------------- text_char_diversity
+  // Character-level diversity — the garbage detector UNDER the token
+  // layer (binary spew, key-mash, single-char floods tokenize into few
+  // "words" and slip past token-ratio rules). Shannon entropy is the
+  // textbook form but log2 is libm — banned by the cross-engine
+  // determinism rules (SURVEY §5) — so the op reports the EXACT-rational
+  // diversity family instead: collision probability Σ(c_i/n)² (Rényi-2's
+  // argument — low = diverse) and the top-char share (Gopher's
+  // max-frequency discipline applied to characters), both as exact
+  // integer micro/percent units, plus the distinct-char count. A doc is
+  // flagged when its character mass concentrates: top char ≥ 30% or
+  // fewer than 10 distinct characters.
+  //
+  // Scale shape: one corpus scan explodes to total-chars rows (the same
+  // linear volume every token op pays), partial-aggregated on the
+  // compact (doc_id, ch) key, then a doc-keyed final agg — two shuffles,
+  // both map-side-combined; no windows, no joins. Empty docs are filtered
+  // out on both sides (see the sequence-descend note below), which also
+  // makes every divisor strictly positive.
+  private val DiversityTopPct = 30L
+  private val DiversityMinDistinct = 10L
+
+  private def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    // length > 0 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    // DuckDB's generate_series(1, 0) is empty — filter empty docs out
+    // explicitly so both engines drop them the same way.
+    val chars = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars_t"), count(lit(1)).as("distinct_chars"),
+        max("c").as("top_c"), sum(expr("c * c")).as("sumsq"))
+      .select(col("doc_id"), col("n_chars_t"), col("distinct_chars"),
+        expr("sumsq * 1000000L div (n_chars_t * n_chars_t)").as("collision_micro"),
+        expr("top_c * 100L div n_chars_t").as("top_char_pct"))
+      .withColumn("flagged",
+        when(col("top_char_pct") >= DiversityTopPct ||
+            col("distinct_chars") < DiversityMinDistinct, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val charDiversitySql = s"""
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(g.d AS INT), 1) AS ch
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS d) g),
+    hist AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch),
+    agg AS (
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_chars_t,
+        CAST(count(*) AS BIGINT) AS distinct_chars,
+        CAST((sum(c*c) * 1000000) // (sum(c) * sum(c)) AS BIGINT) AS collision_micro,
+        CAST((max(c) * 100) // sum(c) AS BIGINT) AS top_char_pct
+      FROM hist GROUP BY doc_id)
+    SELECT doc_id, n_chars_t, distinct_chars, collision_micro, top_char_pct,
+      CAST(CASE WHEN top_char_pct >= $DiversityTopPct
+                  OR distinct_chars < $DiversityMinDistinct
+           THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM agg ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("text_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
+    QueryDef("text_char_diversity", charDiversity, Some(charDiversitySql)),
     QueryDef("text_feature_hash", featureHash, Some(featureHashSql)),
     QueryDef("text_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("text_token_count", tokenCount, Some(tokenCountSql)),

@@ -721,4 +721,125 @@ object Streams {
         graft.functions.GraftColumns.graftCosine(col("embedding"), col("corpus_emb")).as("cosine"))
       .filter(col("cosine") >= Similarity.DedupTau)
   }
+
+  /** #56: streaming INCREMENTAL IVF index maintenance — the streaming
+    * form of `ann_ivf_incr` (§2.C 36b''), closing the loop between
+    * continuous vector arrival (stream_semantic_dedup admits them) and
+    * the train-once IVF index. Per micro-batch:
+    *
+    *   1. each arriving vector is quantized and assigned to the
+    *      STORED-trained coarse centroids SCAN-LOCALLY (the literal-argmax
+    *      codegen projection — no join, no shuffle, no retrain), and
+    *   2. only never-seen vec_ids append to the cell-assignment index
+    *      (the hubLoadPlan anti-join discipline applied to the index, so
+    *      a re-delivered batch appends nothing), while
+    *   3. the batch's per-cell drift evidence — the exact-integer
+    *      displacement report of the batch kernel — lands on a drift log
+    *      keyed by batch_id, joined against a PRECOMPUTED index-scale
+    *      stored-side aggregate (cells × Dim rows; the stream-static join
+    *      is never corpus-scale). Drift is a per-batch time series and is
+    *      deliberately computed on the batch AS DELIVERED (a re-delivered
+    *      batch reports its drift again — honest monitoring), while the
+    *      INDEX stays exactly-once via the anti-join.
+    *
+    * At 100 TB the index parquet is a bucketed table like the vault repos
+    * and the stored agg refreshes with each retrain; the reference
+    * analogue is the bgw refresh loop's incremental discipline
+    * (extension/src/controller/dv_loader.rs:5-66).
+    */
+  def ivfAssignPlan(spark: SparkSession, batch: DataFrame,
+                    cents: Seq[(Long, Seq[Long])], indexPath: String,
+                    loadTs: String): DataFrame = {
+    import graft.queries.Similarity
+    val assigned = Similarity.assignCells(
+        Similarity.withQuantized(batch.select(col("vec_id"), col("embedding"))), cents)
+      .select(col("vec_id"), col("cell"), lit(loadTs).as("load_ts"))
+    try {
+      val existing = spark.read.parquet(indexPath).select("vec_id")
+      assigned.join(existing, Seq("vec_id"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => assigned
+    }
+  }
+
+  /** The per-batch drift report of #56 (see [[ivfAssignPlan]]): the batch
+    * side folds through the same ivfDimAgg the batch op uses, against the
+    * caller's precomputed stored-side aggregate.
+    */
+  def ivfDriftPlan(batch: DataFrame, cents: Seq[(Long, Seq[Long])],
+                   storedAgg: DataFrame): DataFrame = {
+    import graft.queries.Similarity
+    Similarity.ivfIncrFromAggs(storedAgg,
+      Similarity.ivfDimAgg(
+        Similarity.withQuantized(batch.select(col("vec_id"), col("embedding"))),
+        cents, "a_d", "n_a"))
+  }
+
+  /** The stored-side (cell, pos) aggregate #56 joins every batch against —
+    * computed ONCE per index generation (index-scale output: cells × Dim
+    * rows), not per micro-batch.
+    */
+  def ivfStoredAgg(stored: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import graft.queries.Similarity
+    Similarity.ivfDimAgg(
+      Similarity.withQuantized(stored.select(col("vec_id"), col("embedding"))),
+      cents, "s_d", "n_s")
+  }
+
+  /** #57: streaming token-budget admission gate — the continuous form of
+    * corpus_token_budget (§2.C 36i''): documents arrive with their token
+    * count and exact-integer quality score (the shared builders compute
+    * both scan-locally, the curateGateStream discipline) and the gate
+    * marks each against the INCLUSIVE running token total using the batch
+    * op's exact comparison, cum·1000 ≤ totalTokens·permille — no division,
+    * both sides BIGINT. State = ONE running counter per budget key (this
+    * registered form keys globally to pin batch parity; production keys
+    * per source, which also removes the single-group bottleneck at
+    * scale — the counter is the same either way). Within a micro-batch,
+    * docs sequence deterministically by (q_int desc, doc_id) — the batch
+    * op's rank order — so a quality-ordered replay reproduces
+    * corpus_token_budget row for row across any batch boundaries (the
+    * spec pins it); out-of-rank arrival degrades gracefully to
+    * arrival-order gating, the only semantics a stream can offer.
+    * Rejected docs still accrue to the counter (the batch op's monotone
+    * prefix semantics): the gate MARKS, the sink filters.
+    */
+  final case class BudgetDoc(doc_id: Long, n_tokens: Long, q_int: Long)
+  final case class BudgetState(cum: Long)
+  final case class BudgetVerdict(doc_id: Long, q_int: Long, n_tokens: Long,
+                                 cum_tokens: Long, selected: Long)
+
+  def tokenBudgetGateStream(docs: DataFrame, totalTokens: Long,
+                            permille: Long): Dataset[BudgetVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.as[BudgetDoc]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[BudgetState, BudgetVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, evs, state: GroupState[BudgetState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = evs.toSeq.sortBy(d => (-d.q_int, d.doc_id)).map { d =>
+            cum += d.n_tokens
+            BudgetVerdict(d.doc_id, d.q_int, d.n_tokens, cum,
+              if (cum * 1000L <= totalTokens * permille) 1L else 0L)
+          }
+          state.update(BudgetState(cum))
+          out.iterator
+      }
+  }
+
+  /** Wire #56 onto a streaming vector DataFrame via foreachBatch. */
+  def ivfIncrSink(vecs: DataFrame, cents: Seq[(Long, Seq[Long])],
+                  storedAgg: DataFrame, indexPath: String, driftPath: String,
+                  checkpoint: String) =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfAssignPlan(batch.sparkSession, batch, cents, indexPath, s"batch_$batchId")
+          .write.mode("append").parquet(indexPath)
+        ivfDriftPlan(batch, cents, storedAgg)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(driftPath)
+      }
 }

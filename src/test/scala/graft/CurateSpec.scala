@@ -9,6 +9,28 @@ class CurateSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("corpus_zipf_check: contiguous ranks, perfect head ratio, driver-side recount parity") {
+    val rows = run("corpus_zipf_check").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L, s"rank gap at ${i + 1}") }
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    freqs.zip(freqs.tail).foreach { case (a, b) => assert(a >= b, "freq not non-increasing") }
+    assert(rows.head.getAs[Long]("zipf_ratio_micro") == 1000000L,
+      "rank-1 ratio must be exactly 1e6 by construction")
+    // full parity with a driver-side recount of the token stream
+    val counts = graft.queries.Docs.enriched(spark, sfDir)
+      .select(explode(col("toks")).as("t")).groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val expect = counts.sortBy { case (t, c) => (-c, t) }.take(50)
+    val f1 = expect.head._2
+    rows.zip(expect).zipWithIndex.foreach { case ((r, (t, c)), i) =>
+      assert(r.getString(1) == t && r.getAs[Long]("freq") == c, s"rank ${i + 1} term/freq")
+      assert(r.getAs[Long]("zipf_ratio_micro") ==
+        (BigInt(c) * (i + 1) * 1000000 / f1).toLong, s"rank ${i + 1} ratio")
+    }
+  }
+
   test("dedup_cluster: canonical is the component min and pairs land in one cluster") {
     val assign = run("dedup_cluster").cache()
     // canonical id never exceeds the member id (min-label semantics)

@@ -44,6 +44,7 @@ class ScaleSpec extends SparkSpec {
     val bnljExempt = Set(
       "knn_cosine",       // constant 50-query broadcast, vec_id =!= query_id (ground
                           // truth); top-K is salted two-phase (no corpus-sized window)
+      "ann_range_cosine", // same constant query broadcast; radius filter, no window at all
       "knn_label_vote",   // same constant probe broadcast + salted top-K, vote layer on top
       "sim_maxsim",       // same constant query set, 16 sub-cosines per pair
       "ann_cosine_int8",  // same constant query set over the int8 corpus
@@ -57,7 +58,8 @@ class ScaleSpec extends SparkSpec {
       "corpus_source_stats", // 1-row corpus-total broadcast for the share denominator
       "corpus_length_hist", // same 1-row totals broadcast (doc/token share denominators)
       "corpus_token_budget", // 1-row total-tokens broadcast (the budget denominator)
-      "corpus_epoch_plan" // 1-row total-tokens broadcast over the ~5-row lang frame
+      "corpus_epoch_plan", // 1-row total-tokens broadcast over the ~5-row lang frame
+      "corpus_zipf_check" // 1-row freq_1 broadcast onto the K-bounded top frame
     )
     // Eager build wrappers run their whole vault build during DataFrame
     // CONSTRUCTION and return a LocalTableScan summary — sweeping that
@@ -111,6 +113,7 @@ class ScaleSpec extends SparkSpec {
       "graph_triangles" -> "salted merge window, <=32*K rows by construction",
       "orders_assoc_rules" -> "salted merge window, <=32*K rows by construction",
       "orders_basket_pairs" -> "salted merge window, <=32*K rows by construction",
+      "corpus_zipf_check" -> "salted merge window, <=32*K rows by construction",
       // value-domain histograms / grids — bounded by the axis, not the data
       "orders_rfm" -> "R/F/M value histograms: day grid, order-count grid, 100-currency buckets",
       "win_running_revenue" -> "monthly grid (date domain, ~84 rows)",

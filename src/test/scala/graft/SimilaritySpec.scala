@@ -36,6 +36,30 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery <= 5)
   }
 
+  test("ann_range_cosine: complete radius answer — contains knn above tau, exceeds its K") {
+    val range = Similarity.defs.find(_.name == "ann_range_cosine").get.run(spark, sfDir)
+    val rows = range.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= Similarity.RangeTau, "pair below the radius")
+      assert(r.getLong(0) != r.getLong(1), "self pair leaked")
+    }
+    // consistency with the exact top-K ground truth: every knn_cosine row
+    // at or above tau MUST appear in the radius answer (same codegen
+    // cosine, so the comparison is bit-exact)
+    val knnAbove = SparkEntry.queries("knn_cosine")(spark, sfDir)
+      .filter(col("cosine") >= Similarity.RangeTau)
+      .select("query_id", "neighbor_id", "cosine")
+    assert(knnAbove.count() > 0, "tau check vacuous — no knn rows above tau")
+    assert(knnAbove.exceptAll(range).count() == 0,
+      "knn pair above tau missing from the radius answer")
+    // and the radius op returns what a fixed K truncates: at least one
+    // query's neighborhood at tau is LARGER than knn's TopK
+    val maxPerQuery = range.groupBy("query_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerQuery > 5, s"no query exceeds TopK ($maxPerQuery) — radius adds nothing here")
+  }
+
   test("dedup_embed_cosine banded plan reproduces the exact all-pairs result (recall 1.0)") {
     val banded = Similarity.defs.find(_.name == "dedup_embed_cosine").get.run(spark, sfDir)
     val exact = Similarity.embedDedupAllPairs(spark, sfDir)

@@ -51,6 +51,12 @@ class StreamPlanSweepSpec extends SparkSpec {
       Streams.nearDupBatch(spark, Seq((1L, 2L, 1.0)).toDF("in_doc", "corpus_doc", "jaccard"),
         s"$dir/pairs")
     }
+    locally {
+      val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      val cents = graft.queries.Similarity.ivfStoredCentroids(spark, sfDir)
+      Streams.ivfAssignPlan(spark, emb.limit(20), cents, s"$dir/ivf", "t0")
+        .write.mode("append").parquet(s"$dir/ivf")
+    }
     Files.createDirectories(Paths.get(s"$dir/repo"))
     Files.writeString(Paths.get(s"$dir/repo/dv_schema.json"),
       DvGo.planJson(DvPlanner.literalPlan, "sweep",
@@ -133,7 +139,22 @@ class StreamPlanSweepSpec extends SparkSpec {
         graft.queries.Similarity.embedBandIndex(spark, sfDir),
         graft.queries.Similarity.embedVectors(spark, sfDir))))),
       "stream_computed_sat" -> (() =>
-        Seq(plan(Streams.computedSatStream(orderEvs()).toDF())))
+        Seq(plan(Streams.computedSatStream(orderEvs()).toDF()))),
+      // the IVF maintenance op = the seeded exactly-once index append plan
+      // (anti-join IN the plan) PLUS the per-batch drift report against a
+      // precomputed stored-side aggregate
+      "stream_ivf_incr" -> { () =>
+        val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+        val cents = graft.queries.Similarity.ivfStoredCentroids(spark, sfDir)
+        Seq(plan(Streams.ivfAssignPlan(spark, emb, cents, s"$tmp/ivf", "t1")),
+          plan(Streams.ivfDriftPlan(emb, cents, Streams.ivfStoredAgg(emb, cents))))
+      },
+      // the budget gate plan: scan-local inputs into one keyed state op —
+      // the topology is input-schema-driven, so literal stand-in columns
+      // sweep the same plan the production quality columns get
+      "stream_token_budget_gate" -> (() => Seq(plan(Streams.tokenBudgetGateStream(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("n_tokens"),
+          lit(500000L).as("q_int")), 1000000L, 300L).toDF())))
     )
   }
 
@@ -165,7 +186,7 @@ class StreamPlanSweepSpec extends SparkSpec {
     assert(joining >= 8, s"only $joining swept ops contain joins — seeding broke?")
     // and the anti-join sinks really swept their stored side (seeded paths)
     Seq("stream_dv_hub_load", "stream_dv_sat_load", "stream_dv_link_load",
-        "stream_mart_refresh", "stream_dv_schema_load").foreach { n =>
+        "stream_mart_refresh", "stream_dv_schema_load", "stream_ivf_incr").foreach { n =>
       assert(byName(n).exists(_.contains("LeftAnti")),
         s"$n plan lost its stored-side anti-join — the sweep is auditing a first-batch projection")
     }

@@ -609,4 +609,86 @@ class StreamingSpec extends SparkSpec {
       s"copy did not flag its source: ${out.take(5).toSeq}")
     out.foreach(t => assert(t._3 >= 0.4))
   }
+
+  test("streaming IVF maintenance: exactly-once index appends, drift parity with ann_ivf_incr") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    val vecs = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val stored = vecs.filter(col("vec_id") % Similarity.IncrMod =!= Similarity.IncrRes)
+    val arriving = vecs.filter(col("vec_id") % Similarity.IncrMod === Similarity.IncrRes)
+    val cents = Similarity.ivfStoredCentroids(spark, sfDir)
+    val storedAgg = Streams.ivfStoredAgg(stored, cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_incr_stream").toString
+    val (indexPath, driftPath) = (s"$dir/index", s"$dir/drift")
+    val rows = arriving.collect().map(r =>
+      SVec(r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+    val (b1, b2) = rows.partition(_.vec_id % 20 == Similarity.IncrRes) // two micro-batches
+    assert(b1.nonEmpty && b2.nonEmpty, "batch split degenerate")
+    val mem = MemoryStream[SVec]
+    val q = Streams.ivfIncrSink(mem.toDF(), cents, storedAgg, indexPath, driftPath,
+      s"$dir/ckpt").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // the index holds each arriving vector exactly once, with the batch
+    // kernel's exact cell assignment (bit-identical argmax)
+    val index = spark.read.parquet(indexPath)
+    assert(index.count() == rows.length)
+    assert(index.select("vec_id").distinct().count() == rows.length)
+    val expected = Similarity.assignCells(Similarity.withQuantized(arriving), cents)
+    assert(index.select("vec_id", "cell").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(index.select("vec_id", "cell")).count() == 0)
+    // re-delivery: batch 1 arrives again — the anti-join appends NOTHING
+    // (the batch-1 predicate re-applied to the source frame: inner case
+    // classes can't instantiate through toDF's outer-scope encoder here)
+    val redelivered = Streams.ivfAssignPlan(spark,
+      arriving.filter(col("vec_id") % 20 === Similarity.IncrRes), cents, indexPath, "redo")
+    assert(redelivered.count() == 0, "re-delivered batch leaked into the index")
+    // drift log: per-cell arrivals across the two batches sum to the
+    // registered batch op's n_arrived
+    val batchOp = SparkEntry.queries("ann_ivf_incr")(spark, sfDir)
+    val streamedArrivals = spark.read.parquet(driftPath)
+      .groupBy("cell").agg(sum("n_arrived").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batchOp.select("cell", "n_arrived").collect().foreach { r =>
+      assert(streamedArrivals.getOrElse(r.getLong(0), 0L) == r.getLong(1),
+        s"cell ${r.getLong(0)}: streamed arrivals diverge from the batch op")
+    }
+    // full-replay parity: ONE batch carrying every arrival reproduces the
+    // registered op bit for bit (same kernel, same stored agg)
+    val oneShot = Streams.ivfDriftPlan(arriving, cents, storedAgg).collect().toSeq
+    assert(oneShot == batchOp.collect().toSeq,
+      "one-batch drift replay diverges from ann_ivf_incr")
+  }
+
+  test("streaming token-budget gate: quality-ordered replay reproduces corpus_token_budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
+      .select("doc_id", "q_int", "n_tokens", "cum_tokens", "selected").collect()
+    val total = batch.map(_.getAs[Long]("n_tokens")).sum
+    // feed in the batch op's rank order, split across two micro-batches at
+    // an arbitrary prefix boundary (any index in rank order is one)
+    val ranked = batch.sortBy(r => (-r.getAs[Long]("q_int"), r.getAs[Long]("doc_id")))
+      .map(r => Streams.BudgetDoc(r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("q_int")))
+    val (b1, b2) = ranked.splitAt(ranked.length / 3)
+    val mem = MemoryStream[Streams.BudgetDoc]
+    val q = Streams.tokenBudgetGateStream(mem.toDF(), total,
+        graft.queries.Curate.BudgetPermille)
+      .toDF().writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("budget_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val expected = batch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("q_int"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("selected"))).toSet
+    assert(streamed == expected,
+      "streamed verdicts diverge from the batch op on a rank-ordered replay")
+    // non-vacuous: the budget binds inside the replay — both verdicts occur
+    assert(streamed.exists(_._5 == 1L) && streamed.exists(_._5 == 0L))
+  }
 }

@@ -13,6 +13,32 @@ class TextSpec extends SparkSpec {
     assert(df.filter(col("n_bpe_tokens") < col("n_words")).count() == 0)
   }
 
+  test("text_char_diversity: exact integer stats match a driver-side histogram") {
+    val df = run("text_char_diversity")
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(df.count() == docs.filter(length(col("text")) > 0).count())
+    // re-derive every column from a plain Scala char histogram on a slice
+    val texts = docs.orderBy("doc_id").limit(25).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = df.filter(col("doc_id").isin(texts.keys.toSeq: _*)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, text) =>
+      val hist = text.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = text.length.toLong
+      val r = got(id)
+      assert(r.getLong(1) == n, s"doc $id n_chars_t")
+      assert(r.getLong(2) == hist.size.toLong, s"doc $id distinct_chars")
+      assert(r.getLong(3) == hist.values.map(c => c * c).sum * 1000000L / (n * n),
+        s"doc $id collision_micro")
+      assert(r.getLong(4) == hist.values.max * 100L / n, s"doc $id top_char_pct")
+      assert(r.getLong(5) == (if (r.getLong(4) >= 30L || r.getLong(2) < 10L) 1L else 0L),
+        s"doc $id flagged")
+    }
+    // uniform word-soup corpus: a lower collision than any single-char
+    // flood (1e6) and the space char dominating below the flag threshold
+    assert(df.filter(col("collision_micro") >= 1000000L).count() == 0)
+  }
+
   test("quality score in [0,1]") {
     val df = run("text_quality")
     assert(df.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
