@@ -82,7 +82,14 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
-    "spark.io.compression.codec" -> ioCodecFor(dataDirs)
+    "spark.io.compression.codec" -> ioCodecFor(dataDirs),
+    // local-mode resilience: the executor IS the driver, so a heartbeat
+    // timeout can only be a false positive (a long GC pause or a host-level
+    // CPU-steal stall — observed 140 s on this VM killing a healthy 100x
+    // dry-run mid-op). 600 s rides out any plausible stall; on a real
+    // cluster this would be tuned per-site, and lost-executor handling is
+    // the scheduler's job, not a session default.
+    "spark.network.timeout" -> "600s"
   )
 
   /** ADAPTIVE shuffle/spill codec (r10 verdict #4 introduced zstd; r11
