@@ -96,6 +96,11 @@ object Curate extends QueryModule {
   // tfs, corpus bigram/unigram counts are vocabulary-sized aggregates that
   // broadcast into the tf join — the detail side shuffles once on
   // (doc_id, bigram), never on the corpus.
+  // ~2M (bg, bigint) rows broadcast as ~100-150 MB — comfortably inside an
+  // executor heap, far below driver OOM territory; real web corpora blow
+  // past this within a few GB of text and fall back to AQE planning.
+  private val LmBroadcastMaxBigrams = 2000000L
+
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
     val occ = Docs.enriched(s, dir)
       .filter(size(col("toks")) >= 2)
@@ -115,16 +120,24 @@ object Curate extends QueryModule {
     }
     val cBg = tf.groupBy("bg").agg(sum("tf").as("c_bg"))
     val cW1 = tf.groupBy("w1").agg(sum("tf").as("c_w1"))
-    // EXPLICIT broadcast (r10 verdict #5): the LM tables are vocabulary-
-    // bounded (distinct bigrams/unigrams saturate on a fixed vocab — they
-    // do NOT grow with the corpus), but Catalyst sizes an aggregate by
-    // its corpus-scale child and was planning sort-merge — re-shuffling
-    // the corpus-scale tf side on bg and again on w1 (17.9x at 100x, the
-    // family's only double-digit ratio). Hinted, the tf side goes
-    // shuffle-free from its (doc_id,w1,bg) agg straight into the per-doc
-    // rollup: the op's only corpus-scale exchanges are the two partial-
-    // agg-combined groupBys.
-    tf.join(broadcast(cBg), "bg").join(broadcast(cW1), "w1")
+    // ADAPTIVE broadcast (r12, de-risking r10 verdict #5's fixed hint): on
+    // THIS corpus the LM tables saturate on a fixed vocab, but real web
+    // text grows distinct bigrams near-linearly — an unconditional hint
+    // would force collecting a corpus-scale aggregate to the driver at
+    // 100 TB. So the hint is GATED on the measured distinct-bigram count
+    // (the codec/staging/pagerank adaptive-threshold precedent): below the
+    // cap, hinting avoids Catalyst's sort-merge mis-plan (it sizes the agg
+    // by its corpus-scale child — 17.9x at 100x unhinted, the r10
+    // finding) and the tf side goes shuffle-free from its (doc_id,w1,bg)
+    // agg straight into the per-doc rollup; above it, AQE plans from real
+    // runtime sizes. distinct(w1) <= distinct(bg) (every unigram heads
+    // >=1 bigram), so one measured count gates both sides; the count is
+    // one pass over the memoized tf, once per (session, corpus).
+    val bgCount = SessionCache.memoVal(s, "lm_bg_count", dir) { cBg.count() }
+    val (bgSide, w1Side) =
+      if (bgCount <= LmBroadcastMaxBigrams) (broadcast(cBg), broadcast(cW1))
+      else (cBg, cW1)
+    tf.join(bgSide, "bg").join(w1Side, "w1")
       .withColumn("p_scaled", expr("c_bg * 1000000L div c_w1"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"), sum(expr("tf * p_scaled")).as("sum_p"))

@@ -501,7 +501,12 @@ object Text extends QueryModule {
       .agg(sum("c").as("n_chars_t"), count(lit(1)).as("distinct_chars"),
         max("c").as("top_c"), sum(expr("c * c")).as("sumsq"))
       .select(col("doc_id"), col("n_chars_t"), col("distinct_chars"),
-        expr("sumsq * 1000000L div (n_chars_t * n_chars_t)").as("collision_micro"),
+        // DECIMAL(38,0) routing (r12 ADVICE): sumsq*1e6 wraps BIGINT once a
+        // doc's Σc² exceeds ~9.2e12 (~3M chars concentrated on few chars)
+        // while the oracle's sum(c*c) is HUGEINT-exact — the corpus_zipf_check
+        // discipline applied here; div on decimals returns BIGINT.
+        expr("cast(sumsq as decimal(38,0)) * 1000000 div (cast(n_chars_t as decimal(38,0)) * n_chars_t)")
+          .as("collision_micro"),
         expr("top_c * 100L div n_chars_t").as("top_char_pct"))
       .withColumn("flagged",
         when(col("top_char_pct") >= DiversityTopPct ||

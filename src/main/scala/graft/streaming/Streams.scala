@@ -828,7 +828,18 @@ object Streams {
       }
   }
 
-  /** Wire #56 onto a streaming vector DataFrame via foreachBatch. */
+  /** Wire #56 onto a streaming vector DataFrame via foreachBatch.
+    *
+    * BOTH appends are idempotent under same-batch_id checkpoint replay
+    * (r12 ADVICE): the index anti-joins on vec_id (never-seen vectors
+    * only), and the drift log anti-joins on batch_id — a crash between
+    * the two appends and the stream commit re-runs the batch but appends
+    * nothing twice, so the spec-pinned per-cell arrival-sum parity holds
+    * across replays. "Honest monitoring" (drift recomputed per DELIVERED
+    * batch) still applies to upstream re-delivery, which arrives under a
+    * NEW batch_id. The seen-batch_ids side is metadata-scale (one id per
+    * micro-batch ever run) — AQE broadcasts the anti-join.
+    */
   def ivfIncrSink(vecs: DataFrame, cents: Seq[(Long, Seq[Long])],
                   storedAgg: DataFrame, indexPath: String, driftPath: String,
                   checkpoint: String) =
@@ -838,8 +849,16 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ivfAssignPlan(batch.sparkSession, batch, cents, indexPath, s"batch_$batchId")
           .write.mode("append").parquet(indexPath)
-        ivfDriftPlan(batch, cents, storedAgg)
+        val drift = ivfDriftPlan(batch, cents, storedAgg)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(driftPath)
+        val fresh = try {
+          val seen = batch.sparkSession.read.parquet(driftPath)
+            .select("batch_id").distinct()
+          drift.join(seen, Seq("batch_id"), "left_anti")
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if graft.dv.DvLoader.isPathMissing(e) => drift
+        }
+        fresh.write.mode("append").parquet(driftPath)
       }
 }
