@@ -692,35 +692,52 @@ object Streams {
 
   /** #52: streaming SEMANTIC dedup gate — the embedding twin of
     * stream_near_dup: is an arriving vector a near-duplicate of anything
-    * already indexed? The arriving row computes its packed hyperplane
-    * band-signature word SCAN-LOCALLY with the batch index's exact codegen
-    * kernel and constants (Similarity.withEmbedSigWord), candidates come
-    * from a stream-static (band, sig) equi-join against the corpus band
-    * index, and the exact cosine against the slim vector table decides at
-    * the batch threshold. STATELESS — no watermark state; at scale the
-    * corpus side is a bucketed band-keyed table maintained by the batch
-    * indexer. A pair matching in >1 band emits duplicate rows
-    * (at-least-once) — sink with the keyed anti-join append like
-    * nearDupBatch for exactly-once pairs.
+    * already indexed?
+    *
+    * r12 (r11 verdict #1): the asymmetric form of the batch blocked-EXACT
+    * kernel, the `dedup_incremental` new×old discipline applied to
+    * `dedup_embed_cosine`'s blocks. Each arriving vector explodes to B
+    * probe rows and equi-joins the bucketed corpus block table (B
+    * metadata-scale rows of ~n/B vectors each — the batch kernel's
+    * layout, shared via Similarity.embedBlocksTable); each joined row
+    * runs the probe kernel: index-ordered exact dots against one block,
+    * emitting only pairs ≥ τ. Per-arrival cost is EXACTLY n dot products
+    * with a ~1 constant and recall 1.0 structural — at τ=0.4, where a
+    * random pair's cosine sits near the decision band, no banded index
+    * prunes honestly (the replaced 32-band × 2-bit index passed a random
+    * pair with p ≈ 1−0.75³² ≈ 0.9999, i.e. ~8n candidate rows per
+    * arrival — a corpus scan with an 8× constant). STATELESS — no
+    * watermark state; at 100 TB the block table is a bucketed parquet
+    * maintained by the batch indexer and the per-arrival Ω(n) is the
+    * exactness contract's price, paid once per vector with the kernel's
+    * unit constant. Emits each (arrival, corpus) pair exactly once —
+    * sink with the keyed anti-join append like nearDupBatch for
+    * exactly-once across re-delivery.
     */
-  def semanticDedupStream(vecs: DataFrame, corpusIndex: DataFrame,
-                          corpusVecs: DataFrame): DataFrame = {
+  def semanticDedupStream(vecs: DataFrame, corpusBlocks: DataFrame,
+                          nBlocks: Int): DataFrame = {
     import graft.queries.Similarity
-    val sigged = Similarity.withEmbedSigWord(vecs, "embedding")
-      .select(col("vec_id").as("in_vec"), col("embedding"), col("word"))
-      .select(col("in_vec"), col("embedding"), col("word"),
-        explode(expr(s"sequence(0, ${Similarity.EmbedBands - 1})")).as("band"))
-      .withColumn("sig", expr("shiftright(word, 2 * band) & 3"))
-    sigged
-      .join(corpusIndex.withColumnRenamed("vec_id", "corpus_vec"), Seq("band", "sig"))
-      .filter(col("in_vec") =!= col("corpus_vec"))
-      .join(corpusVecs
-        .withColumnRenamed("vec_id", "corpus_vec")
-        .withColumnRenamed("embedding", "corpus_emb"), Seq("corpus_vec"))
-      .select(col("in_vec"), col("corpus_vec"),
-        graft.functions.GraftColumns.graftCosine(col("embedding"), col("corpus_emb")).as("cosine"))
-      .filter(col("cosine") >= Similarity.DedupTau)
+    val s = vecs.sparkSession
+    import s.implicits._
+    semanticDedupJoined(vecs, corpusBlocks, nBlocks)
+      .select(col("in_vec"), col("embedding"), col("items"))
+      .as[(Long, Seq[Float], Seq[(Long, Seq[Float])])]
+      .flatMap { case (inVec, e, items) =>
+        Similarity.probeBlockKernel(inVec, e, items, Similarity.DedupTau)
+      }
+      .toDF("in_vec", "corpus_vec", "cosine")
   }
+
+  /** The pre-kernel probe join of [[semanticDedupStream]] — exposed so
+    * StreamingSpec can pin the per-arrival candidate volume structurally:
+    * exactly nBlocks joined rows per arriving vector, whose item lists
+    * sum to exactly the corpus size (every corpus vector touched once).
+    */
+  private[graft] def semanticDedupJoined(vecs: DataFrame, corpusBlocks: DataFrame,
+                                         nBlocks: Int): DataFrame =
+    vecs.select(col("vec_id").as("in_vec"), col("embedding"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+      .join(corpusBlocks, Seq("blk"))
 
   /** #56: streaming INCREMENTAL IVF index maintenance — the streaming
     * form of `ann_ivf_incr` (§2.C 36b''), closing the loop between

@@ -240,31 +240,28 @@ class PropertySpec extends SparkSpec {
     assert(vals.exists(v => math.abs(v) > 9007199254740992L))
   }
 
-  test("packed 64-bit band word: every 2-bit field equals its band signature, sign bit included") {
-    import spark.implicits._
-    // vectors with sign-varied entries so all 32 bands take varied values
-    val vecs = (0 until 60).map { i =>
-      (i.toLong, Array.tabulate(64)(d => ((((i * 131 + d * 17) % 97) - 48) / 48.0).toFloat))
+  test("streaming probe kernel is bit-identical to the batch blocked kernel's math") {
+    // r12: the packed band word died with the banded stream gate; what
+    // must stay pinned instead is that the ASYMMETRIC probe kernel
+    // (stream_semantic_dedup's per-row body) reproduces the exact cosine
+    // arithmetic — index-ordered double dot, own-length norms — on
+    // synthetic vectors spanning signs and magnitudes.
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(d => ((((i * 131 + d * 17) % 97) - 48) / 48.0).toFloat))
     }
-    val df = vecs.toDF("vec_id", "embedding")
-    val withWord = graft.queries.Similarity.withEmbedSigWord(df, "embedding")
-    val kernel = graft.functions.GraftColumns.graftHyperplaneSigs(
-      col("embedding"), graft.queries.Similarity.dedupCoefs, 2)
-    val rows = withWord.withColumn("sigs", kernel)
-      .select("vec_id", "word", "sigs").collect()
-    rows.foreach { r =>
-      val word = r.getAs[Long]("word")
-      val sigs = r.getAs[scala.collection.Seq[Long]]("sigs")
-      assert(sigs.length == 32)
-      (0 until 32).foreach { b =>
-        assert(((word >>> (2 * b)) & 3L) == sigs(b),
-          s"vec ${r.getAs[Long]("vec_id")}: band $b field ${(word >>> (2 * b)) & 3L} != sig ${sigs(b)}")
+    val items = vecs.map { case (id, e) => (id, e) }
+    vecs.take(5).foreach { case (pid, pe) =>
+      val got = graft.queries.Similarity
+        .probeBlockKernel(pid, pe, items, -2.0).toSeq
+      assert(got.size == vecs.size - 1, "self-pair not skipped or rows lost")
+      got.foreach { case (a, b, c) =>
+        assert(a == pid && b != pid)
+        val eb = vecs(b.toInt)._2
+        def dot(x: Seq[Float], y: Seq[Float]) =
+          x.zip(y).foldLeft(0.0) { case (acc, (u, v)) => acc + u.toDouble * v.toDouble }
+        val expect = dot(pe, eb) / (math.sqrt(dot(pe, pe)) * math.sqrt(dot(eb, eb)))
+        assert(c == expect, s"probe cosine $c != reference $expect for ($a,$b)")
       }
     }
-    // non-vacuous: the top band (bits 62-63) must actually be exercised —
-    // a fold that silently dropped the high bands would pass a low-band-
-    // only check; negative words prove bit 63 is reachable via shift-or
-    assert(rows.exists(_.getAs[Long]("word") < 0L),
-      "no word with the sign bit set — top band never exercised")
   }
 }

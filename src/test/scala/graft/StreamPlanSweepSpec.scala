@@ -136,8 +136,8 @@ class StreamPlanSweepSpec extends SparkSpec {
       "stream_quality_gate" -> (() => Seq(plan(Streams.qualityGateStream(ords, cust)))),
       "stream_semantic_dedup" -> (() => Seq(plan(Streams.semanticDedupStream(
         Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding"),
-        graft.queries.Similarity.embedBandIndex(spark, sfDir),
-        graft.queries.Similarity.embedVectors(spark, sfDir))))),
+        graft.queries.Similarity.embedBlocksTable(spark, sfDir),
+        graft.queries.Similarity.dedupBlockCount(spark, sfDir))))),
       "stream_computed_sat" -> (() =>
         Seq(plan(Streams.computedSatStream(orderEvs()).toDF()))),
       // the IVF maintenance op = the seeded exactly-once index append plan

@@ -578,27 +578,43 @@ class StreamingSpec extends SparkSpec {
   test("streaming semantic dedup: batch parity with dedup_embed_cosine, copy flagged at 1.0") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val idx = graft.queries.Similarity.embedBandIndex(spark, sfDir)
-    val cvecs = graft.queries.Similarity.embedVectors(spark, sfDir)
+    val blocks = graft.queries.Similarity.embedBlocksTable(spark, sfDir)
+    val nBlocks = graft.queries.Similarity.dedupBlockCount(spark, sfDir)
     // BATCH parity: replaying the whole corpus through the stream function
     // reproduces the batch op's verified pair set exactly (the stream emits
-    // per-band, both directions; restrict + distinct to compare)
+    // both directions on a full replay; restrict to compare). With the
+    // asymmetric exact kernel the parity is structural, not statistical.
     val streamed = Streams.semanticDedupStream(
-        Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding"), idx, cvecs)
+        Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding"),
+        blocks, nBlocks)
       .filter(col("in_vec") < col("corpus_vec"))
       .select(col("in_vec"), col("corpus_vec")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val batch = SparkEntry.queries("dedup_embed_cosine")(spark, sfDir)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(streamed == batch, "stream replay diverges from the batch banded dedup")
+    assert(streamed == batch, "stream replay diverges from the batch blocked dedup")
+    // PER-ARRIVAL CANDIDATE VOLUME (r11 verdict #1's missing pin): one
+    // arriving vector joins EXACTLY nBlocks block rows whose item lists
+    // sum to EXACTLY the corpus size — ~n candidates with a 1.0 constant,
+    // not the old band index's ~8n. Recall alone cannot catch a
+    // non-pruning index; this does.
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val oneArrival = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").limit(1)
+    val joined = Streams.semanticDedupJoined(oneArrival, blocks, nBlocks).cache()
+    assert(joined.count() == nBlocks.toLong,
+      s"per-arrival joined rows ${joined.count()} != block count $nBlocks")
+    val touched = joined.agg(sum(size(col("items")))).collect()(0).getLong(0)
+    assert(touched == n, s"per-arrival candidate volume $touched != corpus size $n")
+    joined.unpersist()
     // LIVE: a verbatim copy of a corpus vector must flag its source at 1.0
     val srcRow = Tables.load(spark, sfDir, "embeddings")
       .orderBy("vec_id").select("vec_id", "embedding").head()
     val (srcId, srcEmb) =
       (srcRow.getLong(0), srcRow.getAs[scala.collection.Seq[Float]](1).toSeq)
     val mem = MemoryStream[SVec]
-    val q = Streams.semanticDedupStream(mem.toDF(), idx, cvecs).writeStream
+    val q = Streams.semanticDedupStream(mem.toDF(), blocks, nBlocks).writeStream
       .format("memory").queryName("semdedup_out").outputMode("append").start()
     mem.addData(SVec(900001L, srcEmb))
     q.processAllAvailable()
@@ -608,6 +624,9 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(t => t._1 == 900001L && t._2 == srcId && t._3 >= 0.9999),
       s"copy did not flag its source: ${out.take(5).toSeq}")
     out.foreach(t => assert(t._3 >= 0.4))
+    // exactly-once per pair from the gate itself (the old banded gate
+    // emitted once per matching band): no duplicate (in, corpus) rows
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length)
   }
 
   test("streaming IVF maintenance: exactly-once index appends, drift parity with ann_ivf_incr") {
