@@ -31,7 +31,7 @@ object Sf1Bench {
     "dedup_substring", "sim_ngram_jaccard", "dedup_cluster",
     "q2_min_cost_supplier", "orders_rfm", "orders_assoc_rules", "events_heavy_hitters",
     "pipeline_curate_full", "pipeline_dedup_full", "text_lm_score", "bpe_train",
-    "text_char_diversity",
+    "text_char_diversity", "corpus_zipf_check", "corpus_pack_write",
     "emb_covariance", "corpus_token_budget")
 
   def main(args: Array[String]): Unit = {

@@ -30,7 +30,7 @@ object DvBuild {
       (g, spec.bkParts.map(_ => g))
     }.toDF("ghost", "parts")
       .select(
-        (sha2(concat_ws(",", col("parts")), 256).as(spec.hkName) +:
+        (unhex(sha2(concat_ws(",", col("parts")), 256)).as(spec.hkName) +:
           lit(GhostTs).as("load_ts") +:
           lit(GhostSource).as("record_source") +:
           spec.bkParts.map(p => col("ghost").as(s"${p.name}_bk"))): _*)

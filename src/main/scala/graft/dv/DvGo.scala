@@ -547,4 +547,83 @@ object DvGo {
       Seq(linkCountSql(linkOrders), linkCountSql(linkLineitem))).mkString("\nUNION ALL\n") +
       "\nORDER BY object"
   }
+
+  /** Deterministic erasure-request predicate for the purge query face:
+    * every 7th customer (offset 3) files a right-to-erasure request —
+    * non-empty at every SF, never the whole table.
+    */
+  private[dv] val PurgeMod = 7L
+  private[dv] val PurgeRes = 3L
+
+  /** Query face of the sensitive-satellite purge (r11 verdict #8): build a
+    * customer-scoped BUCKETED vault, physically purge the victim set from
+    * sat_customer_sensitive via the stage-and-swap rewrite
+    * (DvMaintenance.purgeSensitive), and return the post-purge satellite
+    * read through the bucketed catalog table. The oracle rebuilds the
+    * satellite from the source filtered to survivors — the hash match
+    * proves the purge dropped EXACTLY the victims' rows and nothing else.
+    * The hub (the key skeleton, ghosts included) is deliberately NOT
+    * rewritten: erasure removes descriptors, not history structure — the
+    * reference's sensitive-descriptor split (dv_builder.rs:149-170) exists
+    * precisely so this rewrite stays satellite-local. The result frame is
+    * materialized outside the temp vault (embedPairsTable discipline) so
+    * the vault and its catalog entries drop eagerly.
+    */
+  def satPurgeE2E(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{canon, dvHash}
+    val spec = satCustomerSensitive
+    val obj = s"sat_${spec.name}"
+    val out = java.nio.file.Files.createTempDirectory("graft_dv_purge_").toString
+    val prefix = tablePrefix(out)
+    try {
+      go(s, dir, out, bucketed = true, buckets = 8,
+        include = Set("hub_customer", obj))
+      val victims = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % PurgeMod === PurgeRes)
+        .select(dvHash(spec.bkParts.map(p => canon(col(p.name), p.typeName)))
+          .as(spec.hkName))
+      DvMaintenance.purgeSensitive(s, out, obj, victims, spec.hkName)
+      val resPath = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_purge_res_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      graft.queries.SessionCache.onSessionEnd(s, s"purge_res_dir_$resPath") {
+        val hp = new org.apache.hadoop.fs.Path(resPath)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      s.table(s"$prefix$obj")
+        .select((Seq(col(spec.hkName), col("load_ts"), col("record_source"),
+          col(spec.hdName)) ++ spec.descriptors.map(d => col(d.name))): _*)
+        .write.mode("overwrite").parquet(resPath)
+      s.read.parquet(resPath).orderBy(spec.hkName, spec.hdName)
+    } finally {
+      try {
+        s.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith(prefix))
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[dv] satPurgeE2E catalog cleanup failed (NON-masking): $e")
+      }
+      DvLoader.deletePathQuietly(java.nio.file.Paths.get(out), "satPurgeE2E vault")
+    }
+  }
+
+  /** Oracle twin of satPurgeE2E: the satellite rebuild restricted to
+    * surviving customers — identical hash/canon arithmetic to
+    * DvSqlGen.satSql with the victim predicate pushed into the source.
+    */
+  def satPurgeSql: String = {
+    import graft.functions.GraftFunctions.{canonSql, dvHashSql}
+    val spec = satCustomerSensitive
+    val hk = dvHashSql(spec.bkParts.map(p => canonSql(p.name, p.typeName)))
+    val hd = dvHashSql(spec.descriptors.map(d => canonSql(d.name, d.typeName)))
+    val descNames = spec.descriptors.map(_.name).mkString(", ")
+    s"""WITH versions AS (
+       |  SELECT DISTINCT $hk AS ${spec.hkName}, $hd AS ${spec.hdName}, $descNames
+       |  FROM ${spec.sourceTable}
+       |  WHERE c_custkey % $PurgeMod <> $PurgeRes)
+       |SELECT ${spec.hkName}, '${DvDefaults.LoadTs}' AS load_ts,
+       |  '${DvDefaults.recordSource(spec.sourceTable)}' AS record_source, ${spec.hdName}, $descNames
+       |FROM versions
+       |ORDER BY ${spec.hkName}, ${spec.hdName}""".stripMargin
+  }
 }

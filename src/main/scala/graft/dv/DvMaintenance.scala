@@ -40,7 +40,51 @@ object DvMaintenance {
     *    the stale `<obj>__old` and recompacts the already-compacted
     *    object (idempotent).
     */
-  def compactBucketed(s: SparkSession, repoDir: String, obj: String): (Long, Long) = {
+  def compactBucketed(s: SparkSession, repoDir: String, obj: String): (Long, Long) =
+    rewriteBucketed(s, repoDir, obj, identity)
+
+  /** Physical erasure for sensitive satellites (r11 verdict #8 — GDPR
+    * right-to-erasure): rewrite `sat_*_sensitive` DROPPING every row whose
+    * hash key appears in `victims` (one `hkCol` column, metadata-scale: one
+    * row per erasure request), while PRESERVING the bucketed layout — the
+    * same stage-and-swap rewrite as compaction, so the post-purge object
+    * is also one file per bucket and subsequent incremental loads stay
+    * shuffle-free. The vault's ordinary delete story stays LOGICAL
+    * (`dv_sat_status`); THIS is the physical hop for data the law says
+    * must not exist anymore — which is exactly why the reference splits
+    * sensitive descriptors into their own satellite
+    * (extension/src/model/dv_builder.rs:149-170): erasure rewrites only
+    * the sensitive rows, never the hub skeleton or the non-sensitive
+    * history.
+    *
+    * Guards: the object must be a `_sensitive` satellite (refuse to purge
+    * structural objects), and ghost rows (record_source = SYSTEM) survive
+    * unconditionally even if a victim hk collides with one. The victims
+    * side is broadcast into an anti-join (erasure requests are
+    * request-scale, never corpus-scale). Returns (rows_before,
+    * rows_after). Crash safety: identical to compaction — every
+    * interrupted state is repaired by re-running (same stage/swap/restore
+    * discipline).
+    */
+  def purgeSensitive(s: SparkSession, repoDir: String, obj: String,
+                     victims: org.apache.spark.sql.DataFrame,
+                     hkCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(obj.endsWith("_sensitive"),
+      s"purgeSensitive: $obj is not a sensitive satellite — logical deletes (dv_sat_status) cover it")
+    val objPath = s"$repoDir/$obj"
+    val before = s.read.parquet(objPath).count()
+    rewriteBucketed(s, repoDir, obj, df => {
+      val (ghosts, purgeable) = (df.filter(col("record_source") === lit(DvDefaults.GhostSource)),
+        df.filter(col("record_source") =!= lit(DvDefaults.GhostSource)))
+      purgeable.join(broadcast(victims.select(col(hkCol)).distinct()), Seq(hkCol), "left_anti")
+        .unionByName(ghosts)
+    })
+    (before, s.read.parquet(objPath).count())
+  }
+
+  private def rewriteBucketed(s: SparkSession, repoDir: String, obj: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (Long, Long) = {
     val schema = DvLoader.readSchema(s, repoDir)
     val b = schema.bucketing.getOrElse(
       sys.error(s"compactBucketed: repo at $repoDir is not bucketed"))
@@ -77,7 +121,7 @@ object DvMaintenance {
     // advertises hash partitioning while actually splitting buckets per
     // append file set, which lets the optimizer elide the repartition and
     // defeats the consolidation. Stage beside the object, then swap.
-    s.read.parquet(objPath.toString)
+    transform(s.read.parquet(objPath.toString))
       .repartition(b.buckets, keys.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(b.buckets, keys.head, keys.tail: _*)

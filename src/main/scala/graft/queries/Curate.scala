@@ -361,6 +361,96 @@ object Curate extends QueryModule {
        |FROM pre WHERE n_tokens > 0
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- corpus_pack_write
+  // Materialize the fixed-length packed token sequences corpus_pack's span
+  // map DESCRIBES — the last missing hop between the curation pipeline and
+  // a trainer's input reader (r11 verdict #5). Every document's tokens land
+  // at global positions [start, start+n) in the deterministic hash order,
+  // so sequence seq_id = gpos div SeqLen holds exactly the 2048-token
+  // window the span map promised: doc-contiguous, split-allowed, every
+  // slot filled (only the final sequence may be partial). The sequence
+  // table is written INSERT-ONLY with the vault loader's append
+  // discipline (anti-join on seq_id — dv_loader.rs:5-66; a re-run appends
+  // nothing), then read back and reduced to the oracle-comparable form:
+  // (seq_id, n_docs, n_tokens, sha256 of the space-joined token window).
+  //
+  // Scale shape: one corpus token explode (the linear volume every token
+  // op pays) keyed by seq_id — a single shuffle on a compact BIGINT key
+  // whose groups are EXACTLY SeqLen rows (no skew by construction); the
+  // in-sequence order is index-ordered array accumulation over unique
+  // gpos (SURVEY §5), never a window. The span-map join reuses the
+  // memoized two-phase prefix sum. At 100 TB the table is a bucketed
+  // parquet like the vault repos; here the path is session-scoped (the
+  // embedPairsTable precedent: warehouse dir + random suffix, cleaned on
+  // session end, shared storage on a cluster).
+  private[graft] def packedSeqBuild(s: SparkSession, dir: String): DataFrame = {
+    val spans = tokenStarts(s, dir).filter(col("n_tokens") > 0)
+      .select("doc_id", "start")
+    val toks = Docs.enriched(s, dir).select(col("doc_id"), col("toks"))
+    spans.join(toks, "doc_id")
+      .select(col("doc_id"), col("start"), posexplode(col("toks")).as(Seq("k", "tok")))
+      .withColumn("gpos", col("start") + col("k"))
+      .withColumn("seq_id", expr(s"gpos div $SeqLen"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        transform(array_sort(collect_list(struct(col("gpos"), col("tok")))),
+          x => x.getField("tok")).as("tokens"))
+  }
+
+  /** The materialized sequence-table path — session-scoped and memoized so
+    * a second corpus_pack_write call in the same session exercises the
+    * idempotent-append path (the spec pins it).
+    */
+  private def packedSeqPath(s: SparkSession, dir: String): String =
+    SessionCache.memoVal(s, "packed_seq_path", dir) {
+      val p = s"${s.conf.get("spark.sql.warehouse.dir")}/graft_packed_seqs_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      SessionCache.onSessionEnd(s, s"packed_seq_dir_$p") {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      p
+    }
+
+  private def corpusPackWrite(s: SparkSession, dir: String): DataFrame = {
+    val path = packedSeqPath(s, dir)
+    val built = packedSeqBuild(s, dir)
+    val fresh = try {
+      val existing = s.read.parquet(path).select("seq_id")
+      built.join(existing, Seq("seq_id"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if graft.dv.DvLoader.isPathMissing(e) => built
+    }
+    fresh.write.mode("append").parquet(path)
+    s.read.parquet(path)
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+        sha2(concat_ws(" ", col("tokens")), 256).as("seq_sha"))
+      .orderBy("seq_id")
+  }
+
+  private val corpusPackWriteSql =
+    s"""WITH t0 AS (SELECT doc_id, ${Docs.toksDuck} AS toks FROM documents),
+       |d AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         ${md5Long64Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM t0),
+       |keyed AS (SELECT *, h % $PrefixBuckets AS b FROM d),
+       |pre AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |    ORDER BY b, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM keyed),
+       |tok AS (
+       |  SELECT doc_id, start + u.k - 1 AS gpos, toks[CAST(u.k AS INT)] AS tok
+       |  FROM pre, LATERAL (SELECT unnest(generate_series(1, CAST(n_tokens AS INT))) AS k) u
+       |  WHERE n_tokens > 0)
+       |SELECT gpos // $SeqLen AS seq_id,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  sha256(string_agg(tok, ' ' ORDER BY gpos)) AS seq_sha
+       |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin
+
   // ------------------------------------------------------ corpus_health
   // The pipeline-side twin of dv_health: one queryable health table for
   // the corpus — the monitoring surface a production training-data
@@ -965,6 +1055,7 @@ FROM flags ORDER BY doc_id"""
     QueryDef("vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("corpus_shards", corpusShards, Some(corpusShardsSql)),
     QueryDef("corpus_pack", corpusPack, Some(corpusPackSql)),
+    QueryDef("corpus_pack_write", corpusPackWrite, Some(corpusPackWriteSql)),
     QueryDef("corpus_health", corpusHealth, Some(corpusHealthSql))
   )
 }

@@ -803,7 +803,15 @@ object DataVault extends QueryModule {
        |FROM p ORDER BY table_name, column_name""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  // Vault digests travel as BINARY(32) everywhere inside the engine (r12,
+  // GraftFunctions.dvHash); the oracle compares lowercase hex, so EVERY
+  // def's output passes the generic hexDigests edge — by column TYPE, so
+  // no op can forget a digest and leak bytes into a hash compare. Hex is
+  // monotone in unsigned-byte order, so each op's ORDER BY is unaffected.
+  val defs: Seq[QueryDef] = rawDefs.map(d =>
+    d.copy(run = (s, dir) => graft.functions.GraftFunctions.hexDigests(d.run(s, dir))))
+
+  private def rawDefs: Seq[QueryDef] = Seq(
     QueryDef("dv_source_profile", sourceProfile, Some(sourceProfileSql)),
     QueryDef("dv_computed_sat", computedSat, Some(computedSatSql)),
     QueryDef("dv_quality_checks", qualityChecks, Some(qualityChecksSql)),
@@ -913,6 +921,7 @@ object DataVault extends QueryModule {
     // micro-batches (second idempotent) + compaction + re-query through
     // the bucketed catalog tables (VERDICT r5 #5 — timed, not just specced).
     QueryDef("dv_go_build_bucketed", (s, d) => DvGo.goBucketedE2E(s, d), Some(DvGo.goBucketedSql)),
+    QueryDef("dv_sat_purge", (s, d) => DvGo.satPurgeE2E(s, d), Some(DvGo.satPurgeSql)),
     // Derived-plan parity: the plan go() builds comes from classification
     // (planFromClassification), and this op PROVES it reproduces every
     // hand-written object — DataFrame-compared flags hash-checked TRUE.

@@ -804,41 +804,48 @@ object Streams {
   }
 
   /** #57: streaming token-budget admission gate — the continuous form of
-    * corpus_token_budget (§2.C 36i''): documents arrive with their token
-    * count and exact-integer quality score (the shared builders compute
-    * both scan-locally, the curateGateStream discipline) and the gate
-    * marks each against the INCLUSIVE running token total using the batch
-    * op's exact comparison, cum·1000 ≤ totalTokens·permille — no division,
-    * both sides BIGINT. State = ONE running counter per budget key (this
-    * registered form keys globally to pin batch parity; production keys
-    * per source, which also removes the single-group bottleneck at
-    * scale — the counter is the same either way). Within a micro-batch,
-    * docs sequence deterministically by (q_int desc, doc_id) — the batch
-    * op's rank order — so a quality-ordered replay reproduces
-    * corpus_token_budget row for row across any batch boundaries (the
-    * spec pins it); out-of-rank arrival degrades gracefully to
-    * arrival-order gating, the only semantics a stream can offer.
-    * Rejected docs still accrue to the counter (the batch op's monotone
-    * prefix semantics): the gate MARKS, the sink filters.
+    * corpus_token_budget (§2.C 36i''), KEYED PER SOURCE (r12, the r11
+    * verdict #7 seam): documents arrive with their source, token count and
+    * exact-integer quality score (the shared builders compute both
+    * scan-locally, the curateGateStream discipline) and the gate marks
+    * each against its SOURCE's inclusive running token total using the
+    * batch op's exact comparison, cum·1000 ≤ sourceTotal·permille — no
+    * division, both sides BIGINT. State = one BIGINT counter per source,
+    * sharded across the cluster by the group key, so no single task
+    * funnels the corpus (the r11 registered form keyed globally — the
+    * single-group bottleneck is gone from the registered surface; global
+    * gating is the degenerate one-source call: source = lit("all")).
+    * Source budgets arrive as a metadata-scale Map (one entry per source,
+    * closure-serialized like the IVF centroids). Within a (micro-batch,
+    * source) cell, docs sequence deterministically by (q_int desc,
+    * doc_id) — the batch op's rank order, bounded by batch size — so a
+    * quality-ordered replay reproduces a per-source corpus_token_budget
+    * run row for row across any batch boundaries (the spec pins it);
+    * out-of-rank arrival degrades gracefully to arrival-order gating, the
+    * only semantics a stream can offer. Rejected docs still accrue to
+    * their source's counter (the batch op's monotone prefix semantics):
+    * the gate MARKS, the sink filters. A source missing from the budget
+    * map gets budget 0 — every arrival marked rejected, never dropped.
     */
-  final case class BudgetDoc(doc_id: Long, n_tokens: Long, q_int: Long)
+  final case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long, q_int: Long)
   final case class BudgetState(cum: Long)
-  final case class BudgetVerdict(doc_id: Long, q_int: Long, n_tokens: Long,
-                                 cum_tokens: Long, selected: Long)
+  final case class BudgetVerdict(source: String, doc_id: Long, q_int: Long,
+                                 n_tokens: Long, cum_tokens: Long, selected: Long)
 
-  def tokenBudgetGateStream(docs: DataFrame, totalTokens: Long,
+  def tokenBudgetGateStream(docs: DataFrame, sourceTotals: Map[String, Long],
                             permille: Long): Dataset[BudgetVerdict] = {
     import docs.sparkSession.implicits._
     docs.as[BudgetDoc]
-      .groupByKey(_ => 0)
+      .groupByKey(_.source)
       .flatMapGroupsWithState[BudgetState, BudgetVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, evs, state: GroupState[BudgetState]) =>
+        case (src, evs, state: GroupState[BudgetState]) =>
           var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val budget = sourceTotals.getOrElse(src, 0L) * permille
           val out = evs.toSeq.sortBy(d => (-d.q_int, d.doc_id)).map { d =>
             cum += d.n_tokens
-            BudgetVerdict(d.doc_id, d.q_int, d.n_tokens, cum,
-              if (cum * 1000L <= totalTokens * permille) 1L else 0L)
+            BudgetVerdict(src, d.doc_id, d.q_int, d.n_tokens, cum,
+              if (cum * 1000L <= budget) 1L else 0L)
           }
           state.update(BudgetState(cum))
           out.iterator

@@ -333,6 +333,45 @@ class CurateSpec extends SparkSpec {
     assert(pack.exists(_.getAs[Long]("n_seqs") > 1))
   }
 
+  test("corpus_pack_write: token conservation, full windows, idempotent re-append") {
+    val first = run("corpus_pack_write").collect()
+    assert(first.nonEmpty)
+    // CONSERVATION: every kept token lands in exactly one sequence slot —
+    // the sequence totals reproduce the span map's token mass
+    val packTotal = run("corpus_pack").collect().map(_.getAs[Long]("n_tokens")).sum
+    assert(first.map(_.getAs[Long]("n_tokens")).sum == packTotal)
+    // doc-contiguous split packing fills every slot: all sequences carry
+    // exactly 2048 tokens except (possibly) the last, and ids are the
+    // contiguous range the span map promised
+    val L = 2048L
+    val ids = first.map(_.getAs[Long]("seq_id")).sorted
+    assert(ids.head == 0L && ids.last == (packTotal - 1) / L)
+    assert(ids.toSeq == (0L to ids.last))
+    first.sortBy(_.getAs[Long]("seq_id")).init.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == L,
+        s"sequence ${r.getAs[Long]("seq_id")} not full: ${r.getAs[Long]("n_tokens")}")
+    }
+    // n_docs agrees with the span map's per-sequence doc coverage
+    val spanDocs = run("corpus_pack").collect().flatMap { r =>
+      (r.getAs[Long]("seq_first") to r.getAs[Long]("seq_last")).map(_ -> r.getAs[Long]("doc_id"))
+    }.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).distinct.length.toLong }
+    first.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == spanDocs(r.getAs[Long]("seq_id")))
+    }
+    // INSERT-ONLY discipline: a second run anti-joins on seq_id and
+    // appends nothing — same rows, same hashes
+    val second = run("corpus_pack_write").collect()
+    assert(second.map(r => (r.getAs[Long]("seq_id"), r.getAs[String]("seq_sha"))).sorted.toSeq ==
+      first.map(r => (r.getAs[Long]("seq_id"), r.getAs[String]("seq_sha"))).sorted.toSeq)
+    // the surfaced op plan is a read-back scan (eager build), so audit the
+    // BUILD plan here the way GoSpec audits the vault builds: equi-joins
+    // only (span map on doc_id), no cartesian/BNLJ
+    val buildPlan = graft.queries.Curate.packedSeqBuild(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("CartesianProduct"))
+    assert(!buildPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("corpus_mix: kept set is exactly the integer-threshold filter, binding lang survives whole") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),

@@ -133,7 +133,8 @@ class DataVaultSpec extends SparkSpec {
     val again = dv.DvBuild.satIncrement(sat, sat, "hub_customer_hk", "sat_customer_hd")
     assert(again.count() == 0)
     val mutated = sat.withColumn("sat_customer_hd",
-      when(col("c_mktsegment") === "BUILDING", sha2(concat(col("sat_customer_hd"), lit("x")), 256))
+      when(col("c_mktsegment") === "BUILDING",
+        unhex(sha2(concat(hex(col("sat_customer_hd")), lit("x")), 256)))
         .otherwise(col("sat_customer_hd")))
     val changed = dv.DvBuild.satIncrement(sat, mutated, "hub_customer_hk", "sat_customer_hd")
     val expected = sat.filter(col("c_mktsegment") === "BUILDING").count()
@@ -202,10 +203,12 @@ class DataVaultSpec extends SparkSpec {
       // pair order is canonical (a < b as document ids)
       assert(links.filter(col("doc_a_bk").cast("long") >= col("doc_b_bk").cast("long"))
         .count() == 0)
-      // member hub keys are the dv hash of their business keys
+      // member hub keys are the dv hash of their business keys (the op's
+      // edge renders digests as lowercase hex — recompute through the same
+      // rendering)
       val recomputed = links.filter(
-        graft.functions.GraftFunctions.dvHash(Seq(col("doc_a_bk"))) =!= col("hub_document_hk_a") ||
-          graft.functions.GraftFunctions.dvHash(Seq(col("doc_b_bk"))) =!= col("hub_document_hk_b"))
+        lower(hex(graft.functions.GraftFunctions.dvHash(Seq(col("doc_a_bk"))))) =!= col("hub_document_hk_a") ||
+          lower(hex(graft.functions.GraftFunctions.dvHash(Seq(col("doc_b_bk"))))) =!= col("hub_document_hk_b"))
       assert(recomputed.count() == 0)
     } finally links.unpersist()
   }
@@ -375,7 +378,10 @@ class DataVaultSpec extends SparkSpec {
           s"stored PIT state reshuffled in the fold:\n$storedSide")
         assert(storedSide.toString.contains("Bucketed: true"),
           s"stored side not a bucketed scan:\n$storedSide")
-        assert(DvBuild.pitProject(folded).exceptAll(rebuild).isEmpty,
+        // the registered rebuild is hex at the edge; render the internal
+        // fold's binary digests the same way before comparing
+        assert(graft.functions.GraftFunctions.hexDigests(DvBuild.pitProject(folded))
+          .exceptAll(rebuild).isEmpty,
           "bucketed-state fold diverged from the rebuild")
       } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
     } finally { state0.unpersist(); state1.unpersist() }

@@ -104,4 +104,82 @@ class DvMaintenanceSpec extends SparkSpec {
       DvLoader.deletePath(Paths.get(out))
     }
   }
+
+  test("purgeSensitive: exact physical erasure, bucket layout survives, hub and ghosts untouched") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_purge_spec").toString
+    val obj = "sat_customer_sensitive"
+    val hk = "hub_customer_hk"
+    val hd = "sat_customer_sensitive_hd"
+    var tables = Seq.empty[String]
+    try {
+      DvGo.go(spark, sfDir, out, include = Set("hub_customer", obj),
+        bucketed = true, buckets = 4)
+      val prefix = DvLoader.readSchema(spark, out).bucketing.get.tablePrefix
+      val (satT, hubT) = (s"$prefix$obj", s"${prefix}hub_customer")
+      tables = Seq(satT, hubT)
+      // force registration of both catalog tables
+      spark.read.parquet(s"$out/$obj"); spark.read.parquet(s"$out/hub_customer")
+      DvMaintenance.compactBucketed(spark, out, obj) // registers satT
+      DvMaintenance.compactBucketed(spark, out, "hub_customer")
+      // deterministic victim set: 20 satellite hash keys (digests are
+      // BINARY(32) in the vault — collect them as hex for readable
+      // assertions, pass them back through unhex)
+      val victims = spark.table(satT)
+        .select(lower(hex(col(hk))).as(hk)).distinct().orderBy(hk).limit(20)
+        .collect().map(_.getString(0))
+      val victimsDf = victims.toSeq.toDF(hk).select(unhex(col(hk)).as(hk))
+      // inject a SYSTEM (ghost-source) satellite row whose hk IS a victim —
+      // appended THROUGH the catalog under the table's bucket spec (a plain
+      // parquet append would corrupt the layout); the purge guard must keep it
+      Seq((victims.head, "0001-01-01 00:00:00", "SYSTEM", "ghost_hd", "ghost", 0.0))
+        .toDF(spark.table(satT).columns: _*)
+        .select(unhex(col(hk)).as(hk), col("load_ts"), col("record_source"),
+          unhex(sha2(col(hd), 256)).as(hd), col("c_name"), col("c_acctbal"))
+        .write.mode("append").format("parquet")
+        .bucketBy(4, hk, hd).sortBy(hk, hd).saveAsTable(satT)
+      def isVictim = lower(hex(col(hk))).isin(victims: _*)
+      val beforeSat = spark.table(satT).count()
+      val victimRows = spark.table(satT)
+        .filter(isVictim && col("record_source") =!= "SYSTEM").count()
+      assert(victimRows > 0, "vacuous purge — no victim rows present")
+      val hubBefore = contentHash(hubT)
+      val (b, a) = DvMaintenance.purgeSensitive(spark, out, obj, victimsDf, hk)
+      assert(b == beforeSat && a == beforeSat - victimRows,
+        s"purge counts off: before=$b after=$a expected ${beforeSat - victimRows}")
+      // EXACT erasure: no surviving non-SYSTEM row carries a victim hk,
+      // and non-victim rows are all still there
+      val post = spark.table(satT)
+      assert(post.filter(isVictim && col("record_source") =!= "SYSTEM").count() == 0)
+      assert(post.count() == a)
+      // the injected SYSTEM row survived the purge (ghost guard)
+      assert(post.filter(col("record_source") === "SYSTEM").count() == 1)
+      // the hub — key skeleton and its ghost records — is untouched
+      assert(contentHash(hubT) == hubBefore, "purge leaked into the hub")
+      assert(spark.table(hubT).filter(col("record_source") === "SYSTEM").count() == 2)
+      // bucket layout survives: the rewrite left one file per bucket and
+      // the catalog read agrees with the plain-path read (no corruption)
+      import scala.jdk.CollectionConverters._
+      val files = scala.util.Using.resource(Files.walk(Paths.get(s"$out/$obj"))) { w =>
+        w.iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+      }
+      assert(files == 4, s"expected one file per bucket post-purge, files=$files")
+      assert(spark.read.parquet(s"$out/$obj").count() == a)
+      // a subsequent bucketed append still works against the purged object
+      Seq(("zz_probe_hk", "2024-03-01 00:00:00", "source.customer", "probe_hd", "probe", 1.0))
+        .toDF(spark.table(satT).columns: _*)
+        .select(unhex(sha2(col(hk), 256)).as(hk), col("load_ts"), col("record_source"),
+          unhex(sha2(col(hd), 256)).as(hd), col("c_name"), col("c_acctbal"))
+        .write.mode("append").format("parquet")
+        .bucketBy(4, hk, hd).sortBy(hk, hd).saveAsTable(satT)
+      assert(spark.table(satT).count() == a + 1)
+      // structural-object guard: purging a hub must refuse
+      intercept[IllegalArgumentException] {
+        DvMaintenance.purgeSensitive(spark, out, "hub_customer", victimsDf, hk)
+      }
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      DvLoader.deletePath(Paths.get(out))
+    }
+  }
 }

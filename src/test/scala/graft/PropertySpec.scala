@@ -42,12 +42,18 @@ class PropertySpec extends SparkSpec {
   test("dvHash equals sha256 of comma-joined parts, with null -> empty") {
     import spark.implicits._
     val samples = sampleOf(Gen.listOfN(100, Gen.zip(token, Gen.option(token))))
+    // dvHash carries BINARY(32) (r12); the hex edge must render the exact
+    // reference contract, and the binary form must BE those bytes
     val fromSpark = samples.toDF("a", "b")
       .select(col("a"), col("b"),
-        GraftFunctions.dvHash(Seq(col("a"), col("b"))).as("h"))
-      .collect().map(r => (r.getString(0), Option(r.getString(1))) -> r.getString(2)).toMap
+        lower(hex(GraftFunctions.dvHash(Seq(col("a"), col("b"))))).as("h"),
+        GraftFunctions.dvHashHex(Seq(col("a"), col("b"))).as("hx"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))) -> (r.getString(2), r.getString(3)))
+      .toMap
     samples.foreach { case (a, b) =>
-      assert(fromSpark((a, b)) == sha256Jvm(s"$a,${b.getOrElse("")}"))
+      val (h, hx) = fromSpark((a, b))
+      assert(h == sha256Jvm(s"$a,${b.getOrElse("")}"))
+      assert(hx == h, "binary and hex dvHash forms diverge")
     }
   }
 

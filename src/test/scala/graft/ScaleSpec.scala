@@ -9,7 +9,8 @@ class ScaleSpec extends SparkSpec {
     val hub = DvBuild.hub(spark, sfDir, DvPlanner.hubCustomer)
     Scale.writeBucketed(hub, "hub_customer_bucketed", "hub_customer_hk", buckets = 8)
     val batch = Tables.load(spark, sfDir, "customer")
-      .select(sha2(col("c_custkey").cast("string"), 256).as("hub_customer_hk"))
+      .select(graft.functions.GraftFunctions.dvHash(Seq(col("c_custkey").cast("string")))
+        .as("hub_customer_hk"))
     val inc = Scale.incrementAgainstBucketed(spark, batch, "hub_customer_bucketed", "hub_customer_hk")
     val physical = inc.queryExecution.executedPlan.toString
     // the bucketed (right/stored) side must be scan->join with no shuffle:
@@ -22,9 +23,11 @@ class ScaleSpec extends SparkSpec {
     // batch = orders after 1997-06; stored = hub of all earlier orders
     val o = Tables.load(spark, sfDir, "orders")
     val stored = o.filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
-      .select(sha2(col("o_orderkey").cast("string"), 256).as("hub_order_hk")).distinct()
+      .select(graft.functions.GraftFunctions.dvHash(Seq(col("o_orderkey").cast("string")))
+        .as("hub_order_hk")).distinct()
     val batch = o.filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
-      .select(sha2(col("o_orderkey").cast("string"), 256).as("hub_order_hk")).distinct()
+      .select(graft.functions.GraftFunctions.dvHash(Seq(col("o_orderkey").cast("string")))
+        .as("hub_order_hk")).distinct()
     val direct = DvBuild.hubIncrement(stored, batch, "hub_order_hk")
     val bloomed = Scale.incrementBloomPruned(batch, stored, "hub_order_hk")
     // identical result (bloom has no false negatives)

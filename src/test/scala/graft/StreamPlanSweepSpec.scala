@@ -149,12 +149,13 @@ class StreamPlanSweepSpec extends SparkSpec {
         Seq(plan(Streams.ivfAssignPlan(spark, emb, cents, s"$tmp/ivf", "t1")),
           plan(Streams.ivfDriftPlan(emb, cents, Streams.ivfStoredAgg(emb, cents))))
       },
-      // the budget gate plan: scan-local inputs into one keyed state op —
-      // the topology is input-schema-driven, so literal stand-in columns
-      // sweep the same plan the production quality columns get
+      // the budget gate plan: scan-local inputs into one source-keyed state
+      // op — the topology is input-schema-driven, so literal stand-in
+      // columns sweep the same plan the production quality columns get
       "stream_token_budget_gate" -> (() => Seq(plan(Streams.tokenBudgetGateStream(
-        docs.select(col("doc_id"), length(col("text")).cast("long").as("n_tokens"),
-          lit(500000L).as("q_int")), 1000000L, 300L).toDF())))
+        docs.select(col("source"), col("doc_id"),
+          length(col("text")).cast("long").as("n_tokens"),
+          lit(500000L).as("q_int")), Map("src0" -> 1000000L), 300L).toDF())))
     )
   }
 

@@ -681,33 +681,87 @@ class StreamingSpec extends SparkSpec {
       "one-batch drift replay diverges from ann_ivf_incr")
   }
 
-  test("streaming token-budget gate: quality-ordered replay reproduces corpus_token_budget") {
+  test("streaming token-budget gate: per-source state, rank-ordered replay matches per-source batch runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val permille = graft.queries.Curate.BudgetPermille
+    val srcOf = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val batch = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
-      .select("doc_id", "q_int", "n_tokens", "cum_tokens", "selected").collect()
-    val total = batch.map(_.getAs[Long]("n_tokens")).sum
-    // feed in the batch op's rank order, split across two micro-batches at
-    // an arbitrary prefix boundary (any index in rank order is one)
-    val ranked = batch.sortBy(r => (-r.getAs[Long]("q_int"), r.getAs[Long]("doc_id")))
-      .map(r => Streams.BudgetDoc(r.getAs[Long]("doc_id"),
-        r.getAs[Long]("n_tokens"), r.getAs[Long]("q_int")))
+      .select("doc_id", "q_int", "n_tokens").collect()
+      .map(r => (srcOf(r.getLong(0)), r.getLong(0), r.getLong(1), r.getLong(2)))
+    val srcTotals = batch.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._4).sum }
+    assert(srcTotals.size > 1, "single-source corpus — the per-key sweep is vacuous")
+    // per-source expectation: the batch op's greedy prefix discipline
+    // applied within each source against that source's own budget
+    val expected = batch.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.toSeq.sortBy(r => (-r._3, r._2)).map { case (_, id, q, nt) =>
+        cum += nt
+        (src, id, q, nt, cum, if (cum * 1000L <= srcTotals(src) * permille) 1L else 0L)
+      }
+    }.toSet
+    // feed in GLOBAL rank order (sources interleaved), split across two
+    // micro-batches at an arbitrary boundary — restricted to any source,
+    // global rank order IS that source's rank order, so per-source parity
+    // must hold across the batch cut
+    val ranked = batch.sortBy(r => (-r._3, r._2))
+      .map { case (src, id, q, nt) => Streams.BudgetDoc(src, id, nt, q) }
     val (b1, b2) = ranked.splitAt(ranked.length / 3)
     val mem = MemoryStream[Streams.BudgetDoc]
-    val q = Streams.tokenBudgetGateStream(mem.toDF(), total,
-        graft.queries.Curate.BudgetPermille)
+    val q = Streams.tokenBudgetGateStream(mem.toDF(), srcTotals, permille)
       .toDF().writeStream.format("memory").queryName("budget_out")
       .outputMode("append").start()
     mem.addData(b1.toSeq: _*); q.processAllAvailable()
     mem.addData(b2.toSeq: _*); q.processAllAvailable()
     q.stop()
     val streamed = spark.table("budget_out").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == expected,
+      "streamed per-source verdicts diverge from the per-source batch runs")
+    // non-vacuous: the budget binds INSIDE sources — some source carries
+    // both verdicts (not only all-in/all-out sources)
+    val bySrc = streamed.groupBy(_._1)
+    assert(bySrc.exists { case (_, vs) =>
+      vs.exists(_._6 == 1L) && vs.exists(_._6 == 0L) })
+    // an unbudgeted source is marked rejected, never dropped
+    val mem2 = MemoryStream[Streams.BudgetDoc]
+    val q2 = Streams.tokenBudgetGateStream(mem2.toDF(), srcTotals, permille)
+      .toDF().writeStream.format("memory").queryName("budget_out2")
+      .outputMode("append").start()
+    mem2.addData(Streams.BudgetDoc("never_cataloged", 999999L, 10L, 500000L))
+    q2.processAllAvailable()
+    q2.stop()
+    val orphan = spark.table("budget_out2").collect()
+    assert(orphan.length == 1 && orphan(0).getLong(5) == 0L)
+  }
+
+  test("streaming token-budget gate: one-source degenerate call reproduces corpus_token_budget globally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
+      .select("doc_id", "q_int", "n_tokens", "cum_tokens", "selected").collect()
+    val total = batch.map(_.getAs[Long]("n_tokens")).sum
+    val ranked = batch.sortBy(r => (-r.getAs[Long]("q_int"), r.getAs[Long]("doc_id")))
+      .map(r => Streams.BudgetDoc("all", r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("q_int")))
+    val (b1, b2) = ranked.splitAt(ranked.length / 3)
+    val mem = MemoryStream[Streams.BudgetDoc]
+    val q = Streams.tokenBudgetGateStream(mem.toDF(), Map("all" -> total),
+        graft.queries.Curate.BudgetPermille)
+      .toDF().writeStream.format("memory").queryName("budget_all_out")
+      .outputMode("append").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("budget_all_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     val expected = batch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("q_int"),
       r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("selected"))).toSet
     assert(streamed == expected,
-      "streamed verdicts diverge from the batch op on a rank-ordered replay")
-    // non-vacuous: the budget binds inside the replay — both verdicts occur
+      "one-source replay diverges from the global batch op")
     assert(streamed.exists(_._5 == 1L) && streamed.exists(_._5 == 0L))
   }
 }
