@@ -270,7 +270,7 @@ object Curate extends QueryModule {
   // global ORDER BY window would drag the whole corpus through one
   // partition; this never does, at any scale.
   private val ShardBudget = 2048L
-  private val PrefixBuckets = 64
+  private[graft] val PrefixBuckets = 64
 
   /** (doc_id, n_tokens, start): every doc's global token offset in the
     * deterministic hash order, via the two-phase prefix sum — shared by
@@ -330,7 +330,7 @@ object Curate extends QueryModule {
   // boundary cuts. Same two-phase prefix sum as corpus_shards — no
   // global-order window at any scale. Zero-token docs (empty after
   // tokenization) carry no span and are excluded explicitly.
-  private val SeqLen = ShardBudget
+  private[graft] val SeqLen = ShardBudget
 
   private def corpusPack(s: SparkSession, dir: String): DataFrame =
     tokenStarts(s, dir)
@@ -450,6 +450,61 @@ object Curate extends QueryModule {
        |  CAST(count(*) AS BIGINT) AS n_tokens,
        |  sha256(string_agg(tok, ' ' ORDER BY gpos)) AS seq_sha
        |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin
+
+  // ----------------------------------------------- corpus_pack_segments
+  // Per-sequence document-SEGMENT map for the packed windows
+  // corpus_pack_write materializes: one row per (sequence, document
+  // fragment) with the fragment's in-window offset and length, ordered by
+  // position. This is the attention/loss-mask spec a trainer consumes next
+  // to the packed token file — cross-document attention is masked exactly
+  // at these boundaries (the pack-and-split regime trains with block-
+  // diagonal attention over segments). Derived purely from the span map:
+  // doc d occupying global range [start, start+n) contributes to window w
+  // the fragment [max(start, wL), min(start+n, (w+1)L)) — so the op is
+  // SPAN-scale (docs + boundary crossings), never a token explode. The
+  // sequence() explode fans each doc to its n_seqs windows (almost always
+  // 1-2); seg_idx comes from a window partitioned by seq_id whose groups
+  // are bounded by SeqLen fragments by construction — never corpus-scale.
+  // Within a window fragments tile contiguously, so seg_start is unique
+  // and the ordering deterministic (SURVEY §5).
+  private def corpusPackSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = tokenStarts(s, dir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id",
+        explode(expr(s"sequence(start div $SeqLen, (start + n_tokens - 1) div $SeqLen)")))
+      .withColumn("seg_start", greatest(col("start") - col("seq_id") * SeqLen, lit(0L)))
+      .withColumn("seg_len",
+        least(col("start") + col("n_tokens") - col("seq_id") * SeqLen, lit(SeqLen)) -
+          col("seg_start"))
+    val w = Window.partitionBy("seq_id").orderBy("seg_start")
+    segs.withColumn("seg_idx", row_number().over(w).cast("long"))
+      .select("seq_id", "seg_idx", "doc_id", "seg_start", "seg_len")
+      .orderBy("seq_id", "seg_idx")
+  }
+
+  private val corpusPackSegmentsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(${Docs.toksDuck}) AS BIGINT) AS n_tokens,
+       |         ${md5Long64Sql("CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |keyed AS (SELECT *, h % $PrefixBuckets AS b FROM d),
+       |pre AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |    ORDER BY b, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM keyed),
+       |segs AS (
+       |  SELECT doc_id,
+       |         u.seq_id,
+       |         greatest(start - u.seq_id * $SeqLen, 0) AS seg_start,
+       |         least(start + n_tokens - u.seq_id * $SeqLen, $SeqLen)
+       |           - greatest(start - u.seq_id * $SeqLen, 0) AS seg_len
+       |  FROM pre, LATERAL (SELECT unnest(generate_series(
+       |    start // $SeqLen, (start + n_tokens - 1) // $SeqLen)) AS seq_id) u
+       |  WHERE n_tokens > 0)
+       |SELECT seq_id,
+       |  CAST(row_number() OVER (PARTITION BY seq_id ORDER BY seg_start) AS BIGINT) AS seg_idx,
+       |  doc_id, CAST(seg_start AS BIGINT) AS seg_start, CAST(seg_len AS BIGINT) AS seg_len
+       |FROM segs ORDER BY seq_id, seg_idx""".stripMargin
 
   // ------------------------------------------------------ corpus_health
   // The pipeline-side twin of dv_health: one queryable health table for
@@ -1056,6 +1111,7 @@ FROM flags ORDER BY doc_id"""
     QueryDef("corpus_shards", corpusShards, Some(corpusShardsSql)),
     QueryDef("corpus_pack", corpusPack, Some(corpusPackSql)),
     QueryDef("corpus_pack_write", corpusPackWrite, Some(corpusPackWriteSql)),
+    QueryDef("corpus_pack_segments", corpusPackSegments, Some(corpusPackSegmentsSql)),
     QueryDef("corpus_health", corpusHealth, Some(corpusHealthSql))
   )
 }

@@ -864,6 +864,96 @@ object Streams {
     * NEW batch_id. The seen-batch_ids side is metadata-scale (one id per
     * micro-batch ever run) — AQE broadcasts the anti-join.
     */
+  /** #58: streaming packed-sequence writer — the continuous form of
+    * corpus_pack_write (§2.C 36i''''''), KEYED PER SOURCE: each source's
+    * token stream packs independently into fixed SeqLen-token windows
+    * (doc-contiguous, split-allowed), which is exactly how a production
+    * pipeline shards packing anyway — one packer per shard/source, no
+    * global token order across the cluster and so no single-task funnel.
+    * State per source = the TAIL: the < SeqLen (doc_id, token) slots that
+    * haven't filled a window yet, plus the next sequence id — bounded by
+    * construction, never corpus-scale. Within a (micro-batch, source)
+    * cell, docs sequence by the batch writer's deterministic hash order
+    * (h = md5Long64(doc_id), computed SCAN-LOCALLY in the input plan, not
+    * in the state lambda), so a hash-ordered replay reproduces the batch
+    * writer's windows row for row across ANY batch split — the spec pins
+    * full-window parity with corpus_pack_write under a split stream.
+    * Out-of-rank arrival degrades gracefully to arrival-order packing
+    * (the only semantics a stream can offer; same disclosure as #57).
+    * Emitted rows are COMPLETED windows only — (source, seq_id, n_docs,
+    * n_tokens, sha256 of the space-joined window), the writer's exact
+    * oracle-comparable reduction; the sha is computed per emitted window
+    * inside the state op (window-scale, SeqLen tokens), bit-identical to
+    * Spark's sha2(concat_ws(' ', tokens), 256). The exactly-once sink
+    * appends through the (source, seq_id) anti-join (packSinkPlan — the
+    * nearDupSinkPlan discipline), so checkpoint replay never double-lands
+    * a window.
+    */
+  final case class PackDoc(source: String, doc_id: Long, h: Long, toks: Seq[String])
+  final case class TokSlot(doc_id: Long, tok: String)
+  final case class PackState(nextSeq: Long, tail: Seq[TokSlot])
+  final case class PackedSeq(source: String, seq_id: Long, n_docs: Long,
+                             n_tokens: Long, seq_sha: String)
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  def packWriteStream(docs: DataFrame,
+                      seqLen: Int = graft.queries.Curate.SeqLen.toInt): Dataset[PackedSeq] = {
+    import docs.sparkSession.implicits._
+    val L = seqLen
+    docs.as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackedSeq](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, evs, state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, Nil))
+          val B = graft.queries.Curate.PrefixBuckets
+          // the batch writer's exact global order is BUCKET-major:
+          // (h % PrefixBuckets, h, doc_id) — tokenStarts' two-phase
+          // prefix-sum key — so the in-cell sort mirrors it for the
+          // replay-parity pin to hold
+          val incoming = evs.toSeq.sortBy(d => (d.h % B, d.h, d.doc_id))
+            .iterator.flatMap(d => d.toks.iterator.map(t => TokSlot(d.doc_id, t)))
+          val buf = (st.tail.iterator ++ incoming).toArray
+          val nWin = buf.length / L
+          val out = (0 until nWin).map { w =>
+            val win = java.util.Arrays.copyOfRange(buf, w * L, (w + 1) * L)
+            PackedSeq(src, st.nextSeq + w,
+              win.iterator.map(_.doc_id).toSet.size.toLong, L.toLong,
+              sha256Hex(win.iterator.map(_.tok).mkString(" ")))
+          }
+          state.update(PackState(st.nextSeq + nWin,
+            buf.drop(nWin * L).toSeq))
+          out.iterator
+      }
+  }
+
+  /** The sink-side micro-batch PLAN of #58 (see [[nearDupSinkPlan]]):
+    * distinct (source, seq_id) windows anti-joined against the packed
+    * parquet — a replayed micro-batch appends nothing twice.
+    */
+  def packSinkPlan(spark: SparkSession, batch: DataFrame, outPath: String): DataFrame = {
+    val rows = batch.dropDuplicates("source", "seq_id")
+    try {
+      val existing = spark.read.parquet(outPath).select("source", "seq_id")
+      rows.join(existing, Seq("source", "seq_id"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if graft.dv.DvLoader.isPathMissing(e) => rows
+    }
+  }
+
+  def packWriteSink(docs: DataFrame, outPath: String, checkpoint: String) =
+    packWriteStream(docs).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        packSinkPlan(b.sparkSession, b, outPath).write.mode("append").parquet(outPath)
+      }
+
   def ivfIncrSink(vecs: DataFrame, cents: Seq[(Long, Seq[Long])],
                   storedAgg: DataFrame, indexPath: String, driftPath: String,
                   checkpoint: String) =

@@ -372,6 +372,53 @@ class CurateSpec extends SparkSpec {
     assert(!buildPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("corpus_pack_segments: windows tile contiguously, per-doc fragments match the span map") {
+    val segs = run("corpus_pack_segments").collect()
+    assert(segs.nonEmpty)
+    val L = 2048L
+    // each window's fragments tile it: first at 0, each next exactly where
+    // the previous ended (this is also why ORDER BY seg_start is
+    // deterministic — starts are unique within a window)
+    val byWindow = segs.groupBy(_.getAs[Long]("seq_id"))
+    byWindow.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("seg_idx"))
+      assert(ordered.head.getAs[Long]("seg_start") == 0L)
+      assert(ordered.map(_.getAs[Long]("seg_idx")).toSeq == (1L to ordered.length))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("seg_start") ==
+            a.getAs[Long]("seg_start") + a.getAs[Long]("seg_len"))
+        case _ => ()
+      }
+    }
+    // window token mass reproduces the writer's reduction (2048 everywhere
+    // but possibly the final window)
+    val winTokens = run("corpus_pack_write").collect()
+      .map(r => r.getAs[Long]("seq_id") -> r.getAs[Long]("n_tokens")).toMap
+    byWindow.foreach { case (w, rs) =>
+      assert(rs.map(_.getAs[Long]("seg_len")).sum == winTokens(w))
+    }
+    assert(byWindow.keySet == winTokens.keySet)
+    // per-doc agreement with corpus_pack: fragment count == n_seqs, token
+    // mass conserved, first fragment enters seq_first at offset_in_seq
+    val pack = run("corpus_pack").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    segs.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val p = pack(d)
+      assert(rs.length.toLong == p.getAs[Long]("n_seqs"))
+      assert(rs.map(_.getAs[Long]("seg_len")).sum == p.getAs[Long]("n_tokens"))
+      val first = rs.minBy(_.getAs[Long]("seq_id"))
+      assert(first.getAs[Long]("seq_id") == p.getAs[Long]("seq_first"))
+      assert(first.getAs[Long]("seg_start") == p.getAs[Long]("offset_in_seq"))
+      // fragments occupy consecutive windows, all full-width except the ends
+      assert(rs.map(_.getAs[Long]("seq_id")).sorted.toSeq ==
+        (p.getAs[Long]("seq_first") to p.getAs[Long]("seq_last")))
+    }
+    // non-trivial: some window holds >1 doc and some doc crosses a boundary
+    assert(byWindow.exists(_._2.length > 1))
+    assert(segs.groupBy(_.getAs[Long]("doc_id")).exists(_._2.length > 1))
+  }
+
   test("corpus_mix: kept set is exactly the integer-threshold filter, binding lang survives whole") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),

@@ -127,6 +127,7 @@ class ScaleSpec extends SparkSpec {
       // the constant 64 bucket totals, never the data (local windows are
       // bucket-partitioned)
       "corpus_pack" -> "64 bucket-offset rows",
+      "corpus_pack_segments" -> "64 bucket-offset rows (tokenStarts; the seg_idx window is seq_id-partitioned)",
       "corpus_shards" -> "64 bucket-offset rows",
       "corpus_token_budget" -> "~100 quality-band-offset rows (score space / BandWidth; local windows band-partitioned)",
       // block-grid cumsum: axis is first_doc div 50 — n/50 rows, linear

@@ -52,6 +52,12 @@ class StreamPlanSweepSpec extends SparkSpec {
         s"$dir/pairs")
     }
     locally {
+      import spark.implicits._
+      Streams.packSinkPlan(spark,
+        Seq(("all", 0L, 1L, 2048L, "seed")).toDF("source", "seq_id", "n_docs", "n_tokens", "seq_sha"),
+        s"$dir/packed").write.mode("append").parquet(s"$dir/packed")
+    }
+    locally {
       val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
       val cents = graft.queries.Similarity.ivfStoredCentroids(spark, sfDir)
       Streams.ivfAssignPlan(spark, emb.limit(20), cents, s"$dir/ivf", "t0")
@@ -155,7 +161,17 @@ class StreamPlanSweepSpec extends SparkSpec {
       "stream_token_budget_gate" -> (() => Seq(plan(Streams.tokenBudgetGateStream(
         docs.select(col("source"), col("doc_id"),
           length(col("text")).cast("long").as("n_tokens"),
-          lit(500000L).as("q_int")), Map("src0" -> 1000000L), 300L).toDF())))
+          lit(500000L).as("q_int")), Map("src0" -> 1000000L), 300L).toDF()))),
+      // the pack writer = the source-keyed state op (hash key computed
+      // scan-locally in the input plan) PLUS its exactly-once sink plan
+      "stream_pack_write" -> { () =>
+        val in = docs.select(col("source"), col("doc_id"),
+          graft.functions.GraftFunctions.md5Long64(col("doc_id").cast("string")).as("h"),
+          expr(graft.queries.Docs.toksSpark).as("toks"))
+        Seq(plan(Streams.packWriteStream(in).toDF()),
+          plan(Streams.packSinkPlan(spark, Seq(("all", 0L, 1L, 2048L, "x"))
+            .toDF("source", "seq_id", "n_docs", "n_tokens", "seq_sha"), s"$tmp/packed")))
+      }
     )
   }
 

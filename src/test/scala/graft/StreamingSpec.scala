@@ -738,6 +738,87 @@ class StreamingSpec extends SparkSpec {
     assert(orphan.length == 1 && orphan(0).getLong(5) == 0L)
   }
 
+  test("streaming pack writer: hash-ordered replay reproduces corpus_pack_write's full windows across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val L = graft.queries.Curate.SeqLen
+    val docs = graft.queries.Docs.enriched(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5Long64(col("doc_id").cast("string")).as("h"),
+        col("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+      .sortBy(r => (r._2 % graft.queries.Curate.PrefixBuckets, r._2, r._1))
+    // one source, the batch writer's exact bucket-major hash order, split
+    // across two micro-batches at an arbitrary boundary: the tail carries
+    // the cut, so the emitted full windows must reproduce the batch
+    // writer's reduction exactly
+    val ranked = docs.map { case (id, h, toks) => Streams.PackDoc("all", id, h, toks) }
+    val (b1, b2) = ranked.splitAt(ranked.length / 3)
+    val mem = MemoryStream[Streams.PackDoc]
+    val q = Streams.packWriteStream(mem.toDF()).toDF()
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pack_out").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val batch = SparkEntry.queries("corpus_pack_write")(spark, sfDir).collect()
+    val full = batch.filter(_.getAs[Long]("n_tokens") == L)
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("seq_sha"))).toSet
+    assert(streamed == full,
+      "streamed full windows diverge from corpus_pack_write's reduction")
+    assert(streamed.nonEmpty)
+    // the tail never emits: windows stop exactly at floor(tokens / L)
+    val totalToks = docs.map(_._3.length.toLong).sum
+    assert(streamed.size.toLong == totalToks / L)
+  }
+
+  test("streaming pack writer: sources pack independently, each matching its own driver-side packing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a smaller window than the registered 2048 keeps every source
+    // non-vacuous at the spec SF (the window length is a production knob;
+    // the default-L parity with corpus_pack_write is the previous test)
+    val L = 256
+    val docs = graft.queries.Docs.enriched(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.md5Long64(col("doc_id").cast("string")).as("h"),
+        col("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getSeq[String](3)))
+    assert(docs.map(_._2).distinct.length > 1, "single-source corpus — the per-key sweep is vacuous")
+    // feed every source interleaved in global hash order, one batch
+    val ranked = docs.sortBy(r => (r._3, r._1))
+      .map { case (id, src, h, toks) => Streams.PackDoc(src, id, h, toks) }
+    val mem = MemoryStream[Streams.PackDoc]
+    val q = Streams.packWriteStream(mem.toDF(), seqLen = L).toDF()
+      .writeStream.format("memory").queryName("pack_src_out").outputMode("append").start()
+    mem.addData(ranked.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pack_src_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    // independent driver-side re-derivation: per source, concat tokens in
+    // (h, doc_id) order, chunk into L-token windows, sha the full ones
+    val sha = (toks: Seq[String]) => {
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(toks.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    }
+    val B = graft.queries.Curate.PrefixBuckets
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      val slots = rs.sortBy(r => (r._3 % B, r._3, r._1)).flatMap(r => r._4.map(t => (r._1, t)))
+      slots.grouped(L).zipWithIndex.collect {
+        case (win, i) if win.length == L =>
+          (src, i.toLong, win.map(_._1).distinct.length.toLong, L.toLong, sha(win.map(_._2)))
+      }
+    }.toSet
+    assert(streamed == expected,
+      "per-source streamed windows diverge from independent per-source packing")
+    assert(expected.map(_._1).size > 1)
+  }
+
   test("streaming token-budget gate: one-source degenerate call reproduces corpus_token_budget globally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
