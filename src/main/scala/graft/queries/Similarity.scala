@@ -604,10 +604,12 @@ object Similarity extends QueryModule {
   // exact integer arithmetic (a shift-compare scan over k, no libm log2
   // whose last-ulp rounding could differ across engines) and renders into
   // the oracle as the identical scan over generate_series — the derived
-  // constant exists in BOTH plans by construction. At the gate SFs
-  // (n ≤ 2^10·64 = 65536) it resolves to the old 10, so the banding there is
-  // bit-identical to r11; sf1 → 12, sf10 → 15, 100 TB (~4e11 vectors,
-  // cap 40) → 33.
+  // constant exists in BOTH plans by construction. Below the floor
+  // (n ≤ 2^10·64 = 65536 — the gate SFs at 0.5-2k vectors AND sf1 at
+  // 20k) it resolves to the old 10, so the banding there is bit-identical
+  // to r11 and the 320·n occupancy bound already holds (occ ≤ 64 by the
+  // same arithmetic); sf10 (200k) → 12 — the first SF that exercises the
+  // growth; 100 TB (~4e11 vectors, cap 40) → 33.
   //
   // Recall at production thresholds: a pair at cosine c agrees per plane
   // with p = 1-acos(c)/π, per band p^planes, and survives banding with

@@ -104,10 +104,14 @@ class SimilaritySpec extends SparkSpec {
     // fraction of C(n,2), i.e. Θ(n²) candidates on any data. The pinned
     // derivation: min k ≥ 10 with 2^k·64 ≥ n.
     assert(Similarity.prodPlanesFor(1L) == 10)
-    assert(Similarity.prodPlanesFor(65536L) == 10) // 2^10·64 — gate SFs live here
+    // 2^10·64 = 65,536 — the gate SFs (0.5-2k vectors) AND sf1 (20k)
+    // all live under the floor: their banding is bit-identical to r11's
+    assert(Similarity.prodPlanesFor(2000L) == 10)   // sf0.1
+    assert(Similarity.prodPlanesFor(20000L) == 10)  // sf1
+    assert(Similarity.prodPlanesFor(65536L) == 10)
     assert(Similarity.prodPlanesFor(65537L) == 11)
-    assert(Similarity.prodPlanesFor(200000L) == 12)     // sf1
-    assert(Similarity.prodPlanesFor(2000000L) == 15)    // sf10
+    assert(Similarity.prodPlanesFor(200000L) == 12)     // sf10 — first SF past the floor
+    assert(Similarity.prodPlanesFor(2000000L) == 15)    // a 100× step beyond sf10
     assert(Similarity.prodPlanesFor(400000000000L) == 33) // ~100 TB of 64-dim
   }
 
@@ -124,8 +128,11 @@ class SimilaritySpec extends SparkSpec {
     // ABSOLUTE per-n bound (r12): the derived planes cap expected per-band
     // bucket occupancy at ProdTargetBucket=64, so distinct candidate pairs
     // are ≤ Bands·n·occ/2 = 320·n expected — asserted with 2× clustering
-    // slack. A fixed signature space blows this bound at the first dry-run
-    // SF past the gate (sf1: 10 planes give ~n²/77 ≈ 2.6e8 ≫ 640·n = 1.3e8).
+    // slack. A fixed signature space blows this bound once n outgrows the
+    // 2^10·64 floor (at n=1M, 10 planes give ~n²/77 ≈ 6.5e9 ≫ 640·n =
+    // 6.4e8); below the floor (gate SFs, sf1) derived == fixed == 10 and
+    // candidates stay under the bound because occupancy ≤ 64 by the same
+    // arithmetic (sf1 measured: 2.58e6 ≤ 640·20k = 1.28e7).
     assert(nCand <= 640L * n,
       s"candidates $nCand exceed the linear bound ${640L * n} (n=$n)")
     // verified dups among candidates == the exact all-pairs answer at the
