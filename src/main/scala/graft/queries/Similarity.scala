@@ -605,11 +605,9 @@ object Similarity extends QueryModule {
   // whose last-ulp rounding could differ across engines) and renders into
   // the oracle as the identical scan over generate_series — the derived
   // constant exists in BOTH plans by construction. Below the floor
-  // (n ≤ 2^10·64 = 65536 — the gate SFs at 0.5-2k vectors AND sf1 at
-  // 20k) it resolves to the old 10, so the banding there is bit-identical
-  // to r11 and the 320·n occupancy bound already holds (occ ≤ 64 by the
-  // same arithmetic); sf10 (200k) → 12 — the first SF that exercises the
-  // growth; 100 TB (~4e11 vectors, cap 40) → 33.
+  // (n ≤ 2^10·16 = 16384 — the gate SFs at 0.5-2k vectors) it resolves
+  // to the old 10, so the gate banding is bit-identical to r11; sf1
+  // (20k) → 11, sf10 (200k) → 14, 100 TB (~4e11 vectors, cap 40) → 35.
   //
   // Recall at production thresholds: a pair at cosine c agrees per plane
   // with p = 1-acos(c)/π, per band p^planes, and survives banding with
@@ -630,8 +628,20 @@ object Similarity extends QueryModule {
   // corpus-tuned candidates are dense).
   private val ProdBands = 10
   private val ProdRowsMin = 10 // hyperplanes per band, floor (= r11's fixed count)
-  private val ProdRowsMax = 40 // sig stays far below 2^63; reached at ~7e13 vectors
-  private val ProdTargetBucket = 64L // expected per-band bucket occupancy
+  private val ProdRowsMax = 40 // sig stays far below 2^63; reached at ~1.8e13 vectors
+  // Expected per-band bucket occupancy cap. 16 (tightened from r12's
+  // first cut of 64 after MEASURING the cap fill): with 64 the per-n
+  // candidate budget climbed 12.8n → 128.8n → 357.6n across
+  // sf0.1/sf1/sf10 as occupancy filled toward the cap — all under the
+  // pin, but a 28× step per decade reads like the quadratic it locally
+  // is. At 16 the k-steps engage a decade earlier (sf1 → 11 planes,
+  // sf10 → 14), flattening the measured profile and cutting the sf10
+  // candidate volume ~4× for a recall cost the band count still covers
+  // (c=0.95 pair: 0.92 at 14 planes vs 0.96 at 12). The bound
+  // arithmetic: occ ∈ (TargetBucket/2, TargetBucket] by min-k, uniform
+  // pairs ≤ Bands·n·occ/2 = 80·n, measured bucket skew 1.47× → pin
+  // 160·n with the same 1.36× slack the 64-cap pin carried.
+  private val ProdTargetBucket = 16L
   private val ProdTau = 0.8
 
   /** min k in [ProdRowsMin, ProdRowsMax] with 2^k·ProdTargetBucket ≥ n —

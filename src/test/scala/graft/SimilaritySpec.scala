@@ -102,17 +102,18 @@ class SimilaritySpec extends SparkSpec {
     // r12 (r11 weak grade #2): the signature space must GROW with the
     // corpus — a fixed plane count makes random-pair collisions a constant
     // fraction of C(n,2), i.e. Θ(n²) candidates on any data. The pinned
-    // derivation: min k ≥ 10 with 2^k·64 ≥ n.
+    // derivation: min k ≥ 10 with 2^k·16 ≥ n (TargetBucket=16 — see the
+    // cap-fill measurement note at Similarity.ProdTargetBucket).
     assert(Similarity.prodPlanesFor(1L) == 10)
-    // 2^10·64 = 65,536 — the gate SFs (0.5-2k vectors) AND sf1 (20k)
-    // all live under the floor: their banding is bit-identical to r11's
+    // 2^10·16 = 16,384 — the gate SFs (0.5-2k vectors) live under the
+    // floor: their banding is bit-identical to r11's
     assert(Similarity.prodPlanesFor(2000L) == 10)   // sf0.1
-    assert(Similarity.prodPlanesFor(20000L) == 10)  // sf1
-    assert(Similarity.prodPlanesFor(65536L) == 10)
-    assert(Similarity.prodPlanesFor(65537L) == 11)
-    assert(Similarity.prodPlanesFor(200000L) == 12)     // sf10 — first SF past the floor
-    assert(Similarity.prodPlanesFor(2000000L) == 15)    // a 100× step beyond sf10
-    assert(Similarity.prodPlanesFor(400000000000L) == 33) // ~100 TB of 64-dim
+    assert(Similarity.prodPlanesFor(16384L) == 10)
+    assert(Similarity.prodPlanesFor(16385L) == 11)
+    assert(Similarity.prodPlanesFor(20000L) == 11)  // sf1 — first SF past the floor
+    assert(Similarity.prodPlanesFor(200000L) == 14)     // sf10
+    assert(Similarity.prodPlanesFor(2000000L) == 17)    // a 10× step beyond sf10
+    assert(Similarity.prodPlanesFor(400000000000L) == 35) // ~100 TB of 64-dim
   }
 
   test("dedup_embed_cosine_prod candidates are LINEAR in n and its dup count is exact") {
@@ -126,15 +127,15 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand.toDouble / allPairs < 0.05,
       s"candidates $nCand of $allPairs pairs = ${100.0 * nCand / allPairs}%")
     // ABSOLUTE per-n bound (r12): the derived planes cap expected per-band
-    // bucket occupancy at ProdTargetBucket=64, so distinct candidate pairs
-    // are ≤ Bands·n·occ/2 = 320·n expected — asserted with 2× clustering
-    // slack. A fixed signature space blows this bound once n outgrows the
-    // 2^10·64 floor (at n=1M, 10 planes give ~n²/77 ≈ 6.5e9 ≫ 640·n =
-    // 6.4e8); below the floor (gate SFs, sf1) derived == fixed == 10 and
-    // candidates stay under the bound because occupancy ≤ 64 by the same
-    // arithmetic (sf1 measured: 2.58e6 ≤ 640·20k = 1.28e7).
-    assert(nCand <= 640L * n,
-      s"candidates $nCand exceed the linear bound ${640L * n} (n=$n)")
+    // bucket occupancy at ProdTargetBucket=16, so distinct candidate pairs
+    // are ≤ Bands·n·occ/2 = 80·n expected — asserted with 2× slack over
+    // the measured 1.47× bucket skew. A fixed signature space blows this
+    // bound once n outgrows the 2^10·16 floor (at n=1M, 10 planes give
+    // ~n²/77 ≈ 6.5e9 ≫ 160·n = 1.6e8); below the floor (gate SFs)
+    // derived == fixed == 10 and candidates stay under the bound because
+    // occupancy ≤ 16 by the same arithmetic.
+    assert(nCand <= 160L * n,
+      s"candidates $nCand exceed the linear bound ${160L * n} (n=$n)")
     // verified dups among candidates == the exact all-pairs answer at the
     // production threshold (0 on this near-orthogonal corpus — the assert
     // becomes a probabilistic recall check if the corpus ever gains dups)
