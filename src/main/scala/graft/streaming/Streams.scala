@@ -869,7 +869,12 @@ object Streams {
     * token stream packs independently into fixed SeqLen-token windows
     * (doc-contiguous, split-allowed), which is exactly how a production
     * pipeline shards packing anyway — one packer per shard/source, no
-    * global token order across the cluster and so no single-task funnel.
+    * global token order across the cluster. The funnel is PER-SOURCE, not
+    * eliminated: each (micro-batch × source) cell still assembles in one
+    * task (evs.toSeq below), so a single hot source pushes its whole
+    * micro-batch through one task — bounded by micro-batch admission
+    * (maxOffsetsPerTrigger-style source rate limits are the operational
+    * bound), never by corpus size.
     * State per source = the TAIL: the < SeqLen (doc_id, token) slots that
     * haven't filled a window yet, plus the next sequence id — bounded by
     * construction, never corpus-scale. Within a (micro-batch, source)
@@ -878,8 +883,11 @@ object Streams {
     * in the state lambda), so a hash-ordered replay reproduces the batch
     * writer's windows row for row across ANY batch split — the spec pins
     * full-window parity with corpus_pack_write under a split stream.
-    * Out-of-rank arrival degrades gracefully to arrival-order packing
-    * (the only semantics a stream can offer; same disclosure as #57).
+    * Out-of-rank arrival degrades to PER-BATCH hash-order packing: each
+    * (batch, source) cell re-sorts into bucket-major hash order before
+    * packing, so a late doc packs in its own batch's hash order after
+    * already-emitted windows — neither global hash order nor raw arrival
+    * order (same disclosure class as #57).
     * Emitted rows are COMPLETED windows only — (source, seq_id, n_docs,
     * n_tokens, sha256 of the space-joined window), the writer's exact
     * oracle-comparable reduction; the sha is computed per emitted window
