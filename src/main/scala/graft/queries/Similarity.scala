@@ -626,7 +626,7 @@ object Similarity extends QueryModule {
   // affordable precisely because the derived constants make that set
   // linear (the τ=0.4 op needs its packed-word bit trick because its
   // corpus-tuned candidates are dense).
-  private val ProdBands = 10
+  private[graft] val ProdBands = 10
   private val ProdRowsMin = 10 // hyperplanes per band, floor (= r11's fixed count)
   private val ProdRowsMax = 40 // sig stays far below 2^63; reached at ~1.8e13 vectors
   // Expected per-band bucket occupancy cap. 16 (tightened from r12's
@@ -642,7 +642,7 @@ object Similarity extends QueryModule {
   // pairs ≤ Bands·n·occ/2 = 80·n, measured bucket skew 1.47× → pin
   // 160·n with the same 1.36× slack the 64-cap pin carried.
   private val ProdTargetBucket = 16L
-  private val ProdTau = 0.8
+  private[graft] val ProdTau = 0.8
 
   /** min k in [ProdRowsMin, ProdRowsMax] with 2^k·ProdTargetBucket ≥ n —
     * exact integer arithmetic, mirrored verbatim into the oracle's params
@@ -652,12 +652,12 @@ object Similarity extends QueryModule {
     (ProdRowsMin to ProdRowsMax)
       .find(k => (1L << k) * ProdTargetBucket >= n).getOrElse(ProdRowsMax)
 
-  private def prodPlanes(s: SparkSession, dir: String): Int =
+  private[graft] def prodPlanes(s: SparkSession, dir: String): Int =
     SessionCache.memoVal(s, "prod_planes", dir) {
       prodPlanesFor(emb(s, dir).count())
     }
 
-  private def prodCoefs(planes: Int): Seq[Seq[Double]] =
+  private[graft] def prodCoefs(planes: Int): Seq[Seq[Double]] =
     (0 until ProdBands * planes).map(p => (1 to Dim).map(d => prodCoef(p, d).toDouble))
 
   /** (vec_id, sigs array<long>) — all Bands·planes plane signs in one
@@ -678,6 +678,20 @@ object Similarity extends QueryModule {
           col("embedding"), prodCoefs(planes), planes).as("sigs"))
     }
   }
+
+  /** The corpus-side (band, sig) → vec_id index of the PRODUCTION banded
+    * near-dup discipline — [[prodSigs]] exploded to one row per band
+    * signature, the frame `stream_semantic_dedup_prod` equi-joins per
+    * micro-batch (the nearDupStream/bandIndex shape applied to the
+    * hyperplane space). At 100 TB this is a bucketed (band, sig)-keyed
+    * table maintained by the batch indexer; here it is memoized per
+    * session like embedBlocksTable.
+    */
+  private[graft] def prodBandIndex(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "embed_dedup_prod_band_index", dir) {
+      prodSigs(s, dir)
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+    }
 
   /** The interpreted HOF twin of prodSigs' native kernel — test-only, for
     * the bit-parity assertion in SimilaritySpec.

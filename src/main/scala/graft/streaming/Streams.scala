@@ -739,6 +739,84 @@ object Streams {
         explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
       .join(corpusBlocks, Seq("blk"))
 
+  /** #59: PRODUCTION-threshold streaming semantic gate (r12 verdict #3) —
+    * the streaming twin of `dedup_embed_cosine_prod`, giving users a
+    * SUB-CORPUS-SCAN admission path when their threshold allows honest
+    * pruning (τ = 0.8; the exact #52 gate stays the recall-1.0 option and
+    * pays Ω(n) per arrival by contract — at τ=0.4 no banding prunes
+    * honestly). Each arriving vector computes its ProdBands corpus-derived
+    * hyperplane band signatures SCAN-LOCALLY (the stream_near_dup
+    * discipline: the graftHyperplaneSigs codegen kernel, bit-identical
+    * constants to the batch index — same md5-derived coefficients at the
+    * same flat band·planes+plane index), equi-joins the corpus
+    * (band, sig) index built from prodSigs, and exact-verifies ONLY the
+    * banded candidates. Expected per-arrival candidates ≤ Bands·occupancy
+    * (the batch op's 160·n/n discipline applied per arrival: occupancy ≤
+    * ProdTargetBucket by min-k derivation, measured skew slack included in
+    * the spec's pin) — independent of corpus size at fixed occupancy,
+    * because `planes` GROWS with the corpus. STATELESS — corpus side is a
+    * static frame re-resolved per micro-batch, at 100 TB a bucketed
+    * (band, sig)-keyed table maintained by the batch indexer. Emits one
+    * row per (arrival, corpus, matching band) (at-least-once, like
+    * stream_near_dup's multi-band rows); the sink collapses to
+    * exactly-once pairs with the keyed anti-join append
+    * ([[semanticProdSinkPlan]]). `planes` is passed by the caller — it is
+    * a property of the INDEX (derived from corpus size at build time via
+    * prodPlanesFor), not of the stream.
+    */
+  def semanticDedupProdStream(vecs: DataFrame, corpusBands: DataFrame,
+                              corpusVecs: DataFrame, planes: Int,
+                              tau: Double = graft.queries.Similarity.ProdTau): DataFrame = {
+    import graft.queries.Similarity
+    semanticDedupProdJoined(vecs, corpusBands, planes)
+      .join(corpusVecs.select(col("vec_id").as("corpus_vec"),
+        col("embedding").as("corpus_emb")), Seq("corpus_vec"))
+      .withColumn("cosine", graft.functions.GraftColumns.graftCosine(
+        col("embedding"), col("corpus_emb")))
+      .filter(col("cosine") >= tau)
+      .select(col("in_vec"), col("corpus_vec"), col("cosine"))
+  }
+
+  /** The pre-verification candidate join of [[semanticDedupProdStream]] —
+    * exposed so StreamingSpec can pin the per-arrival candidate volume
+    * (≤ Bands·occupancy·skew per arriving vector, the batch 160·n pin's
+    * per-arrival form). One row per (arrival, corpus vector, matching
+    * band); self-matches dropped.
+    */
+  private[graft] def semanticDedupProdJoined(vecs: DataFrame, corpusBands: DataFrame,
+                                             planes: Int): DataFrame = {
+    import graft.queries.Similarity
+    vecs.select(col("vec_id").as("in_vec"), col("embedding"),
+        posexplode(graft.functions.GraftColumns.graftHyperplaneSigs(
+          col("embedding"), Similarity.prodCoefs(planes), planes)).as(Seq("band", "sig")))
+      .join(corpusBands.withColumnRenamed("vec_id", "corpus_vec"), Seq("band", "sig"))
+      .filter(col("in_vec") =!= col("corpus_vec"))
+  }
+
+  /** Exactly-once sink plan for #59 (the [[nearDupSinkPlan]] discipline on
+    * (in_vec, corpus_vec)): multi-band matches and redelivered batches
+    * collapse to one stored row per pair.
+    */
+  def semanticProdSinkPlan(spark: SparkSession, batch: DataFrame, outPath: String): DataFrame = {
+    val pairs = batch.dropDuplicates("in_vec", "corpus_vec")
+    try {
+      val existing = spark.read.parquet(outPath).select("in_vec", "corpus_vec")
+      pairs.join(existing, Seq("in_vec", "corpus_vec"), "left_anti")
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if graft.dv.DvLoader.isPathMissing(e) => pairs
+    }
+  }
+
+  def semanticProdSink(vecs: DataFrame, corpusBands: DataFrame, corpusVecs: DataFrame,
+                       planes: Int, outPath: String, checkpoint: String) =
+    semanticDedupProdStream(vecs, corpusBands, corpusVecs, planes)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        semanticProdSinkPlan(b.sparkSession, b, outPath).write.mode("append").parquet(outPath)
+      }
+
   /** #56: streaming INCREMENTAL IVF index maintenance — the streaming
     * form of `ann_ivf_incr` (§2.C 36b''), closing the loop between
     * continuous vector arrival (stream_semantic_dedup admits them) and

@@ -63,6 +63,12 @@ class StreamPlanSweepSpec extends SparkSpec {
       Streams.ivfAssignPlan(spark, emb.limit(20), cents, s"$dir/ivf", "t0")
         .write.mode("append").parquet(s"$dir/ivf")
     }
+    locally {
+      import spark.implicits._
+      Streams.semanticProdSinkPlan(spark,
+        Seq((1L, 2L, 1.0)).toDF("in_vec", "corpus_vec", "cosine"), s"$dir/prodpairs")
+        .write.mode("append").parquet(s"$dir/prodpairs")
+    }
     Files.createDirectories(Paths.get(s"$dir/repo"))
     Files.writeString(Paths.get(s"$dir/repo/dv_schema.json"),
       DvGo.planJson(DvPlanner.literalPlan, "sweep",
@@ -144,6 +150,16 @@ class StreamPlanSweepSpec extends SparkSpec {
         Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding"),
         graft.queries.Similarity.embedBlocksTable(spark, sfDir),
         graft.queries.Similarity.dedupBlockCount(spark, sfDir))))),
+      // the PROD semantic gate = scan-local sig explode → (band,sig)
+      // equi-join → candidate-only verify join, PLUS its exactly-once
+      // pair sink (seeded so the anti-join is in the swept plan)
+      "stream_semantic_dedup_prod" -> { () =>
+        val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+        val planes = graft.queries.Similarity.prodPlanes(spark, sfDir)
+        val bands = graft.queries.Similarity.prodBandIndex(spark, sfDir)
+        val gate = Streams.semanticDedupProdStream(emb, bands, emb, planes)
+        Seq(plan(gate), plan(Streams.semanticProdSinkPlan(spark, gate, s"$tmp/prodpairs")))
+      },
       "stream_computed_sat" -> (() =>
         Seq(plan(Streams.computedSatStream(orderEvs()).toDF()))),
       // the IVF maintenance op = the seeded exactly-once index append plan

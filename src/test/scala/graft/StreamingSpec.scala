@@ -629,6 +629,76 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).distinct.length == out.length)
   }
 
+  test("streaming PROD semantic gate: per-arrival candidates bounded, batch-prod parity, copy flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    val planes = Similarity.prodPlanes(spark, sfDir)
+    val bands = Similarity.prodBandIndex(spark, sfDir)
+    val vecs = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val n = vecs.count()
+    // PER-ARRIVAL CANDIDATE VOLUME (the r12 verdict #3 pin): replaying the
+    // whole corpus as arrivals, banded candidate rows stay ≤ 160 per
+    // arrival — the batch op's 160·n bound (Bands·occupancy·skew) in
+    // per-arrival form. This is the sub-corpus-scan property the exact
+    // τ=0.4 gate cannot offer (its per-arrival volume is exactly n).
+    val joined = Streams.semanticDedupProdJoined(vecs, bands, planes).cache()
+    val candRows = joined.count()
+    assert(candRows <= 160L * n,
+      s"candidate volume $candRows exceeds the 160·n pin (n=$n)")
+    // BATCH PARITY: the replayed candidate PAIR SET equals the batch banded
+    // candidate set recomputed from the SAME prodSigs index (bit-identical
+    // signatures by construction — one kernel builds both sides)…
+    val streamPairs = joined
+      .select(least(col("in_vec"), col("corpus_vec")).as("vec_a"),
+        greatest(col("in_vec"), col("corpus_vec")).as("vec_b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = bands.as("a")
+      .join(bands.withColumnRenamed("vec_id", "vb").as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vb"))
+      .select(col("a.vec_id"), col("b.vb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs,
+      "full replay's banded candidate pairs diverge from the batch index self-join")
+    // …and the registered batch op's totals agree with the replay's counts
+    // (candidates AND τ=0.8-verified dups — the op's two output columns).
+    val opTotals = SparkEntry.queries("dedup_embed_cosine_prod")(spark, sfDir)
+      .agg(coalesce(sum("n_candidates"), lit(0L)), coalesce(sum("n_dups"), lit(0L)))
+      .collect()(0)
+    assert(streamPairs.size.toLong == opTotals.getLong(0),
+      s"stream candidate pairs ${streamPairs.size} != batch op total ${opTotals.getLong(0)}")
+    val verifiedPairs = Streams.semanticDedupProdStream(vecs, bands, vecs, planes)
+      .filter(col("in_vec") < col("corpus_vec"))
+      .select("in_vec", "corpus_vec").distinct().count()
+    assert(verifiedPairs == opTotals.getLong(1),
+      s"stream verified dups $verifiedPairs != batch op total ${opTotals.getLong(1)}")
+    joined.unpersist()
+    // LIVE: a verbatim copy of a corpus vector matches its source in ALL
+    // ProdBands bands (identical sigs), passes exact verification at ~1.0
+    // ≥ τ=0.8, and the sink plan collapses the multi-band rows to ONE pair.
+    val srcRow = vecs.orderBy("vec_id").head()
+    val (srcId, srcEmb) =
+      (srcRow.getLong(0), srcRow.getAs[scala.collection.Seq[Float]](1).toSeq)
+    val mem = MemoryStream[SVec]
+    val q = Streams.semanticDedupProdStream(mem.toDF(), bands, vecs, planes).writeStream
+      .format("memory").queryName("semdedup_prod_out").outputMode("append").start()
+    mem.addData(SVec(900002L, srcEmb))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("semdedup_prod_out").collect()
+      .map(r => (r.getAs[Long]("in_vec"), r.getAs[Long]("corpus_vec"), r.getAs[Double]("cosine")))
+    assert(out.count(t => t._1 == 900002L && t._2 == srcId && t._3 >= 0.9999)
+      == Similarity.ProdBands,
+      s"copy should match its source once per band: ${out.take(12).toSeq}")
+    out.foreach(t => assert(t._3 >= Similarity.ProdTau))
+    val collapsed = Streams.semanticProdSinkPlan(spark,
+      spark.table("semdedup_prod_out"),
+      java.nio.file.Files.createTempDirectory("graft_semprod").toString + "/none")
+    assert(collapsed.count() == out.map(t => (t._1, t._2)).distinct.length.toLong)
+    assert(collapsed.count() == 1L)
+  }
+
   test("streaming IVF maintenance: exactly-once index appends, drift parity with ann_ivf_incr") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
