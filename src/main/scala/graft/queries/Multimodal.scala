@@ -4,13 +4,22 @@ import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2.C (#37) — multimodal column plumbing.
+/** SURVEY.md §2.C (#37) — multimodal columns with REAL image decode.
   *
-  * Media decode libraries aren't in this container, so the decoder is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing is real:
-  * an opaque binary payload column, a typed Dataset, a partition-wise decode
-  * (the shape a JNI/FFmpeg/PIL bridge would take: one decoder instance per
-  * partition, streaming rows through it), and a typed metadata schema out.
+  * Since r13 the decode path exercises real bytes (r12 verdict #4): the
+  * JDK ships PNG/JPEG/BMP codecs in `javax.imageio`, so no external decode
+  * library is needed. Each document's payload is a REAL PNG — encoded
+  * deterministically from the text bytes in the partition-wise kernel
+  * (one encoder/decoder per partition, rows streamed through: the exact
+  * shape a JNI/FFmpeg bridge takes) — and `mm_meta_extract`/`mm_resize`
+  * then DECODE those bytes with ImageIO: width/height/format come from
+  * the PNG reader, the pixel sha256 from the decoded raster, the magic
+  * from the real payload header (89504E47). Because the encode is a
+  * deterministic function of the text and the PNG round-trip is
+  * bit-exact for 8-bit grayscale (TextSpec pins encode→decode parity),
+  * the DuckDB oracle can rebuild the SAME raster bytes from the text and
+  * hash-check the decoded columns — the decode is real, the oracle stays
+  * exact.
   *
   * Oracle encoding assumption: the DuckDB twins index `text` by CHARACTER
   * while the Spark side works on the payload BYTES — identical only while
@@ -21,31 +30,97 @@ import org.apache.spark.sql.functions._
 object Multimodal extends QueryModule {
 
   /** An opaque media payload: at 100 TB these are real image/audio bytes;
-    * here the payload is the UTF-8 encoding of `text`.
+    * here the payload is a real PNG encoded from the text (mm_meta_extract,
+    * mm_resize) or the UTF-8 text bytes (frame sampling, which models
+    * video-stream chunking rather than image decode).
     */
   final case class DocBlob(doc_id: Long, payload: Array[Byte])
 
-  final case class BlobMeta(
-      doc_id: Long, n_bytes: Long, magic_hex: String,
-      width: Int, height: Int, format: String)
+  final case class PngMeta(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long,
+      magic_hex: String, format: String, pixel_sha: String)
 
-  /** STUB decoder — stands in for image decode (PIL/libjpeg not available).
-    * Deterministic function of the payload so the oracle can check the
-    * plumbing end-to-end. A real deployment swaps only this function.
+  // Deterministic image geometry: w ∈ [8,39], h ∈ [8,31] from the byte
+  // count — small enough that encode+decode is row-cheap, varied enough
+  // that the resize box below bites on some docs and not others. The
+  // raster is the text bytes cycled across w·h gray pixels. The oracle
+  // recomputes all of it from `text` with the same integer arithmetic.
+  val PngWMod = 32
+  val PngHMod = 24
+
+  private def sha256HexLower(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(b).map(x => f"$x%02x").mkString
+
+  /** Payload bytes for a doc: empty text maps to a single space (both
+    * engines — division-by-zero guard with an oracle-expressible twin).
     */
-  def decodeStub(b: DocBlob): BlobMeta = {
-    val n = b.payload.length.toLong
-    val magic = b.payload.take(4).map(x => f"${x & 0xff}%02X").mkString
-    BlobMeta(b.doc_id, n, magic, (n % 640).toInt, ((n * 7) % 480).toInt, "stub")
+  private[graft] def payloadBytes(text: String): Array[Byte] =
+    (if (text.isEmpty) " " else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** REAL PNG encode: 8-bit grayscale w×h, raster = text bytes cycled.
+    * Deterministic function of the text; the spec pins that decoding it
+    * returns exactly these dimensions and raster bytes.
+    */
+  private[graft] def pngEncode(text: String): Array[Byte] = {
+    val bytes = payloadBytes(text)
+    val n = bytes.length
+    val w = 8 + n % PngWMod
+    val h = 8 + ((n.toLong * 7) % PngHMod).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, bytes(i % n) & 0xff); i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL PNG decode via the JDK reader: (width, height, raster bytes,
+    * format name from the ImageReader — not assumed).
+    */
+  private[graft] def pngDecode(payload: Array[Byte]): (Int, Int, Array[Byte], String) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no JDK image reader recognizes the payload")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+      val img = reader.read(0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        out(i) = raster.getSample(i % w, i / w, 0).toByte; i += 1
+      }
+      (w, h, out, fmt)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  private def metaOf(docId: Long, payload: Array[Byte]): PngMeta = {
+    val (w, h, raster, fmt) = pngDecode(payload)
+    PngMeta(docId, w, h, w.toLong * h,
+      payload.take(4).map(x => f"${x & 0xff}%02X").mkString,
+      fmt, sha256HexLower(raster))
   }
 
   private def metaExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[DocBlob]
-    // Partition-wise decode: one decoder per partition, rows streamed through.
-    blobs.mapPartitions(_.map(decodeStub)).toDF()
+    // Partition-wise: one codec pair per partition, rows streamed through.
+    // Encode produces REAL PNG bytes; decode reads them back through the
+    // JDK reader — width/height/format/pixel-sha are DECODED evidence.
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, t) => metaOf(id, pngEncode(t)) }
+      }.toDF()
       .orderBy("doc_id")
   }
 
@@ -101,13 +176,40 @@ object Multimodal extends QueryModule {
     ORDER BY doc_id, frame_no"""
 
   // ---------------------------------------------------------------
-  // feature-extract: cheap per-payload features (the stub stand-in for a
-  // real embedding/feature model); resize: pure metadata transform.
-  def resizeStub(m: BlobMeta, maxW: Int, maxH: Int): BlobMeta = {
+  // feature-extract: cheap per-payload features (the stand-in for a
+  // real embedding/feature model); resize: real raster transform below.
+  /** Nearest-neighbor downscale of a gray raster — pure integer index
+    * arithmetic (sy = y2·h/h2, sx = x2·w/w2, both floor division), so the
+    * oracle reproduces the resized bytes exactly. Returns (w2, h2, bytes).
+    */
+  private[graft] def nearestResize(w: Int, h: Int, raster: Array[Byte],
+                                   maxW: Int, maxH: Int): (Int, Int, Array[Byte]) = {
     val scale = math.min(1.0, math.min(
-      maxW.toDouble / math.max(m.width, 1), maxH.toDouble / math.max(m.height, 1)))
-    m.copy(width = (m.width * scale).toInt, height = (m.height * scale).toInt,
-      format = s"${m.format}_resized")
+      maxW.toDouble / math.max(w, 1), maxH.toDouble / math.max(h, 1)))
+    val w2 = math.max(1, (w * scale).toInt)
+    val h2 = math.max(1, (h * scale).toInt)
+    val out = new Array[Byte](w2 * h2)
+    var i = 0
+    while (i < w2 * h2) {
+      val sy = (i / w2) * h / h2
+      val sx = (i % w2) * w / w2
+      out(i) = raster(sy * w + sx); i += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** Re-encode a gray raster as a REAL PNG (the resize pipeline's output
+    * payload — decode → transform → encode, like a thumbnailer).
+    */
+  private[graft] def pngEncodeRaster(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < w * h) { r.setSample(i % w, i / w, 0, raster(i) & 0xff); i += 1 }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
   }
 
   private def features(s: SparkSession, dir: String): DataFrame =
@@ -125,49 +227,87 @@ object Multimodal extends QueryModule {
       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
     FROM documents ORDER BY doc_id"""
 
-  private val metaExtractSql = """
-    SELECT doc_id,
-      CAST(strlen(text) AS BIGINT) AS n_bytes,
-      upper(hex(substr(text, 1, 4))) AS magic_hex,
-      CAST(strlen(text) % 640 AS INT) AS width,
-      CAST((strlen(text) * 7) % 480 AS INT) AS height,
-      'stub' AS format
-    FROM documents ORDER BY doc_id"""
+  /** The text-derived raster the PNG encode embeds, rebuilt in DuckDB:
+    * guarded text, derived dims, text bytes cycled across w·h pixels via
+    * repeat+substr (character = byte under the pinned ASCII assumption).
+    */
+  private val rasterCte = s"""
+    m AS (
+      SELECT doc_id, CASE WHEN text = '' THEN ' ' ELSE text END AS t
+      FROM documents),
+    dims AS (
+      SELECT doc_id, t,
+             8 + strlen(t) % $PngWMod AS w,
+             8 + CAST((CAST(strlen(t) AS BIGINT) * 7) % $PngHMod AS INT) AS h
+      FROM m),
+    raster AS (
+      SELECT doc_id, w, h,
+             substr(repeat(t, CAST(ceil(CAST(w * h AS DOUBLE) / strlen(t)) AS INT)),
+                    1, w * h) AS px
+      FROM dims)"""
 
-  // mm_resize: decode -> bounded-box resize -> typed metadata out, all
-  // partition-wise (the real pipeline would re-encode the payload; the
-  // stub transforms the metadata with the exact scale arithmetic a
-  // thumbnailer uses). Single IEEE ops, so the oracle reproduces the
-  // integer dimensions bit-for-bit.
-  val ResizeMaxW = 128
-  val ResizeMaxH = 96
+  private val metaExtractSql = s"""
+    WITH $rasterCte
+    SELECT doc_id,
+      CAST(w AS INT) AS width,
+      CAST(h AS INT) AS height,
+      CAST(w * h AS BIGINT) AS n_pixels,
+      '89504E47' AS magic_hex,
+      'png' AS format,
+      sha256(px) AS pixel_sha
+    FROM raster ORDER BY doc_id"""
+
+  // mm_resize: REAL decode → nearest-neighbor downscale of the decoded
+  // raster → REAL re-encode (a thumbnailer's exact pipeline) → the
+  // re-encoded PNG decoded again for the emitted metadata. The scale is
+  // single IEEE ops and the resample pure integer floor-division index
+  // arithmetic, so the oracle rebuilds the resized raster bit-for-bit.
+  val ResizeMaxW = 16
+  val ResizeMaxH = 12
 
   private def resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[DocBlob]
-      .mapPartitions(_.map(b => resizeStub(decodeStub(b), ResizeMaxW, ResizeMaxH)))
-      .toDF()
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, t) =>
+          val (w, h, raster, _) = pngDecode(pngEncode(t))
+          val (w2, h2, small) = nearestResize(w, h, raster, ResizeMaxW, ResizeMaxH)
+          metaOf(id, pngEncodeRaster(w2, h2, small))
+        }
+      }.toDF()
       .orderBy("doc_id")
   }
 
   private val resizeSql = s"""
-    WITH m AS (
-      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-             upper(hex(substr(text, 1, 4))) AS magic_hex,
-             CAST(strlen(text) % 640 AS INT) AS w,
-             CAST((strlen(text) * 7) % 480 AS INT) AS h
-      FROM documents),
+    WITH $rasterCte,
     scaled AS (
-      SELECT *, least(1.0, least(CAST($ResizeMaxW AS DOUBLE) / greatest(w, 1),
-                                 CAST($ResizeMaxH AS DOUBLE) / greatest(h, 1))) AS s
-      FROM m)
-    SELECT doc_id, n_bytes, magic_hex,
-           CAST(floor(w * s) AS INT) AS width,
-           CAST(floor(h * s) AS INT) AS height,
-           'stub_resized' AS format
-    FROM scaled ORDER BY doc_id"""
+      SELECT doc_id, w, h, px,
+             least(1.0::DOUBLE, least(CAST($ResizeMaxW AS DOUBLE) / greatest(w, 1),
+                                      CAST($ResizeMaxH AS DOUBLE) / greatest(h, 1))) AS s
+      FROM raster),
+    d2 AS (
+      SELECT doc_id, w, h, px,
+             greatest(1, CAST(floor(w * s) AS INT)) AS w2,
+             greatest(1, CAST(floor(h * s) AS INT)) AS h2
+      FROM scaled),
+    resized AS (
+      SELECT doc_id, w2, h2,
+             string_agg(substr(px, ((i // w2) * h // h2) * w + ((i % w2) * w // w2) + 1, 1),
+                        '' ORDER BY i) AS px2
+      FROM d2
+      CROSS JOIN (SELECT unnest(generate_series(0, ${ResizeMaxW * ResizeMaxH * 4 - 1})) AS i) g
+      WHERE i < w2 * h2
+      GROUP BY doc_id, w2, h2)
+    SELECT doc_id,
+      CAST(w2 AS INT) AS width,
+      CAST(h2 AS INT) AS height,
+      CAST(w2 * h2 AS BIGINT) AS n_pixels,
+      '89504E47' AS magic_hex,
+      'png' AS format,
+      sha256(px2) AS pixel_sha
+    FROM resized ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
   // mm_dedup: near-duplicate media via shared sampled-frame hashes — the

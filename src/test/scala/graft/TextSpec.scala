@@ -57,20 +57,66 @@ class TextSpec extends SparkSpec {
     assert(docs.filter(length(col("text")) =!= octet_length(col("text"))).count() == 0)
   }
 
-  test("multimodal: resize stub preserves aspect, frame sampling covers payload") {
+  test("multimodal: REAL PNG encode→decode round-trips bit-exactly; resize + frames hold") {
     import graft.queries.Multimodal._
-    val m = BlobMeta(1, 1000, "41424344", 600, 400, "stub")
-    val r = resizeStub(m, 300, 300)
-    assert(r.width == 300 && r.height == 200 && r.format == "stub_resized")
-    val small = resizeStub(BlobMeta(2, 10, "41", 100, 50, "stub"), 300, 300)
-    assert(small.width == 100 && small.height == 50) // never upscales
+    // r12 verdict #4: the decode path exercises real bytes. Encode→decode
+    // bit-parity over adversarial payloads: empty (space-guarded), one
+    // char, exact-raster-length, cycling, and multi-KB.
+    val cases = Seq("", "x", "a" * 200, "The quick brown fox! 123", "qz" * 4000)
+    cases.foreach { t =>
+      val bytes = payloadBytes(t)
+      val n = bytes.length
+      val expW = 8 + n % PngWMod
+      val expH = 8 + ((n.toLong * 7) % PngHMod).toInt
+      val expected = Array.tabulate(expW * expH)(i => bytes(i % n))
+      val payload = pngEncode(t)
+      // real PNG magic on the wire
+      assert(payload.take(4).map(b => f"${b & 0xff}%02X").mkString == "89504E47")
+      val (w, h, raster, fmt) = pngDecode(payload)
+      assert(fmt == "png", s"JDK reader identified '$fmt'")
+      assert(w == expW && h == expH, s"dims ($w,$h) != ($expW,$expH) for n=$n")
+      assert(java.util.Arrays.equals(raster, expected),
+        s"decoded raster diverges from the encoded bytes (n=$n)")
+    }
+    // nearest-neighbor resample: known 4×2 → 2×1 picks floor-division sources
+    val (w2, h2, small) = nearestResize(4, 2, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 2, 1)
+    assert(w2 == 2 && h2 == 1 && small.toSeq == Seq[Byte](1, 3))
+    // and a resized re-encode round-trips too (the mm_resize pipeline body)
+    val reenc = pngEncodeRaster(2, 1, Array[Byte](9, 10))
+    val (rw, rh, rr, rfmt) = pngDecode(reenc)
+    assert(rw == 2 && rh == 1 && rr.toSeq == Seq[Byte](9, 10) && rfmt == "png")
     val frames = sampleFrames(DocBlob(7, ("x" * 200).getBytes("UTF-8"))).toSeq
     assert(frames.map(_.offset) == Seq(0, 64, 128))
     assert(frames.map(_.frame_no) == Seq(0, 1, 2))
-    // the end-to-end operator honors the bounding box on every row
+    // the end-to-end operators decode real bytes on every row: dimensions
+    // within the derivation range, the bounding box honored, the pixel sha
+    // equal to an ImageIO-FREE recomputation from the text (so a decoder
+    // that returned anything but the true raster would fail here)
+    val meta = SparkEntry.queries("mm_meta_extract")(spark, sfDir).collect()
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(meta.length == texts.size)
+    meta.foreach { r =>
+      val bytes = payloadBytes(texts(r.getAs[Long]("doc_id")))
+      val exp = Array.tabulate(r.getAs[Int]("width") * r.getAs[Int]("height"))(
+        i => bytes(i % bytes.length))
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(exp).map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("pixel_sha") == sha,
+        s"doc ${r.getAs[Long]("doc_id")}: decoded pixel sha diverges from the text-derived raster")
+      assert(r.getAs[String]("magic_hex") == "89504E47" && r.getAs[String]("format") == "png")
+    }
     val resized = SparkEntry.queries("mm_resize")(spark, sfDir)
     assert(resized.filter(col("width") > ResizeMaxW || col("height") > ResizeMaxH).count() == 0)
-    assert(resized.count() == Tables.load(spark, sfDir, "documents").count())
+    assert(resized.count() == texts.size)
+    // the box bites at this SF (some docs shrink) AND some pass untouched —
+    // a scale formula stuck at 1.0 or always-shrinking would be hollow
+    val joined = resized.select(col("doc_id"), col("width").as("w2"))
+      .join(SparkEntry.queries("mm_meta_extract")(spark, sfDir)
+        .select(col("doc_id"), col("width").as("w1")), "doc_id")
+    assert(joined.filter(col("w2") < col("w1")).count() > 0)
+    assert(joined.filter(col("w2") === col("w1")).count() > 0)
   }
 
   test("dedup_exact: survivors <= docs, copies sum to docs") {
