@@ -92,13 +92,24 @@ object DvLoader {
   private def storedSide(s: SparkSession, repoDir: String, schema: DvSchemaRef,
                          obj: String): DataFrame =
     schema.bucketing match {
-      case Some(b) =>
-        val table = s"${b.tablePrefix}$obj"
-        if (!s.catalog.tableExists(table))
-          registerBucketed(s, repoDir, obj, schemaKeys(schema, obj), b)
-        s.table(table)
+      case Some(b) => storedObject(s, repoDir, obj, schemaKeys(schema, obj), b)
       case None => s.read.parquet(s"$repoDir/$obj")
     }
+
+  /** Generic bucketed-object READ — the storedSide discipline with
+    * explicit keys and bucket spec, for repo objects that are not vault
+    * schema objects (the IVF index repo): through the session catalog
+    * (re-registered if this session lacks the entry) so the table read
+    * carries the bucket spec and keyed anti-joins need no Exchange on
+    * this side.
+    */
+  private[graft] def storedObject(s: SparkSession, repoDir: String, obj: String,
+                                  keys: Seq[String], b: Bucketing): DataFrame = {
+    val table = s"${b.tablePrefix}$obj"
+    if (!s.catalog.tableExists(table))
+      registerBucketed(s, repoDir, obj, keys, b)
+    s.table(table)
+  }
 
   /** Bucketed-aware append: through the catalog under the same bucket spec
     * (creating the external table over the repo path on the first write)
@@ -109,16 +120,24 @@ object DvLoader {
   private def appendSide(s: SparkSession, repoDir: String, schema: DvSchemaRef,
                          obj: String, novel: DataFrame): Unit =
     schema.bucketing match {
-      case Some(b) =>
-        val table = s"${b.tablePrefix}$obj"
-        val keys = schemaKeys(schema, obj)
-        val w = novel.write.mode("append").format("parquet")
-          .bucketBy(b.buckets, keys.head, keys.tail: _*)
-          .sortBy(keys.head, keys.tail: _*)
-        (if (s.catalog.tableExists(table)) w
-         else w.option("path", s"$repoDir/$obj")).saveAsTable(table)
+      case Some(b) => appendObject(s, repoDir, obj, schemaKeys(schema, obj), b, novel)
       case None => novel.write.mode("append").parquet(s"$repoDir/$obj")
     }
+
+  /** Generic bucketed-object APPEND (see [[storedObject]]): through the
+    * catalog under the object's bucket spec, creating the external table
+    * over the repo path on the first write.
+    */
+  private[graft] def appendObject(s: SparkSession, repoDir: String, obj: String,
+                                  keys: Seq[String], b: Bucketing,
+                                  novel: DataFrame): Unit = {
+    val table = s"${b.tablePrefix}$obj"
+    val w = novel.write.mode("append").format("parquet")
+      .bucketBy(b.buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+    (if (s.catalog.tableExists(table)) w
+     else w.option("path", s"$repoDir/$obj")).saveAsTable(table)
+  }
 
   def incrementalLoad(s: SparkSession, dir: String, repoDir: String,
                       loadTs: String = DvDefaults.LoadTs,

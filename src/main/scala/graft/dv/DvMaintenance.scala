@@ -43,6 +43,15 @@ object DvMaintenance {
   def compactBucketed(s: SparkSession, repoDir: String, obj: String): (Long, Long) =
     rewriteBucketed(s, repoDir, obj, identity)
 
+  /** [[compactBucketed]] for a NON-schema bucketed repo object (the IVF
+    * index repo): same stage-and-swap rewrite and crash-safety ladder,
+    * with the keys and bucket spec supplied by the object's own metadata
+    * instead of dv_schema.json.
+    */
+  def compactBucketedObject(s: SparkSession, repoDir: String, obj: String,
+                            keys: Seq[String], b: DvLoader.Bucketing): (Long, Long) =
+    rewriteBucketedWith(s, repoDir, obj, keys, b, identity)
+
   /** Physical erasure for sensitive satellites (r11 verdict #8 — GDPR
     * right-to-erasure): rewrite `sat_*_sensitive` DROPPING every row whose
     * hash key appears in `victims` (one `hkCol` column, metadata-scale: one
@@ -88,7 +97,12 @@ object DvMaintenance {
     val schema = DvLoader.readSchema(s, repoDir)
     val b = schema.bucketing.getOrElse(
       sys.error(s"compactBucketed: repo at $repoDir is not bucketed"))
-    val keys = DvLoader.schemaKeys(schema, obj)
+    rewriteBucketedWith(s, repoDir, obj, DvLoader.schemaKeys(schema, obj), b, transform)
+  }
+
+  private def rewriteBucketedWith(s: SparkSession, repoDir: String, obj: String,
+      keys: Seq[String], b: DvLoader.Bucketing,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (Long, Long) = {
     val table = s"${b.tablePrefix}$obj"
     val objPath = java.nio.file.Paths.get(s"$repoDir/$obj")
     val stagePath = java.nio.file.Paths.get(s"$repoDir/${obj}__compact")

@@ -751,6 +751,61 @@ class StreamingSpec extends SparkSpec {
       "one-batch drift replay diverges from ann_ivf_incr")
   }
 
+  test("IVF index repo: batch and stream maintain ONE bucketed index through the catalog; compaction covers it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    import graft.dv.IvfIndexRepo
+    val vecs = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val stored = vecs.filter(col("vec_id") % Similarity.IncrMod =!= Similarity.IncrRes)
+    val arriving = vecs.filter(col("vec_id") % Similarity.IncrMod === Similarity.IncrRes)
+    val cents = Similarity.ivfStoredCentroids(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_repo").toString
+    val prefix = s"ivfrepo${System.nanoTime()}_"
+    IvfIndexRepo.init(spark, dir, cents, prefix, buckets = 4)
+    // the stored quantizer round-trips in the kernel's exact literal form
+    assert(IvfIndexRepo.centroids(spark, dir) == cents)
+    // BATCH face: load the first arrival slice, then re-deliver it —
+    // exactly-once through the catalog anti-join
+    val b1 = arriving.filter(col("vec_id") % 20 === Similarity.IncrRes)
+    val b2rows = arriving.filter(col("vec_id") % 20 =!= Similarity.IncrRes).collect()
+      .map(r => SVec(r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toSeq))
+    assert(b1.count() > 0 && b2rows.nonEmpty, "batch split degenerate")
+    assert(IvfIndexRepo.appendBatch(spark, dir, b1, "t0") == b1.count())
+    assert(IvfIndexRepo.appendBatch(spark, dir, b1, "t1") == 0L,
+      "re-delivered batch leaked into the index")
+    // STREAM face: the rest arrives through ivfIncrRepoSink, with an
+    // upstream re-delivery — the SAME index object absorbs both faces
+    val mem = MemoryStream[SVec]
+    val q = Streams.ivfIncrRepoSink(mem.toDF(), Streams.ivfStoredAgg(stored, cents),
+      dir, s"$dir/drift", s"$dir/ckpt").start()
+    mem.addData(b2rows.toSeq: _*); q.processAllAvailable()
+    mem.addData(b2rows.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val index = IvfIndexRepo.storedIndex(spark, dir)
+    val nArr = arriving.count()
+    assert(index.count() == nArr)
+    assert(index.select("vec_id").distinct().count() == nArr)
+    // assignments bit-identical to the batch kernel, across both faces
+    val expected = Similarity.assignCells(Similarity.withQuantized(arriving), cents)
+    assert(index.select("vec_id", "cell").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(index.select("vec_id", "cell")).count() == 0)
+    // reads go THROUGH the session catalog with the pinned bucket spec
+    assert(spark.catalog.tableExists(s"${prefix}${IvfIndexRepo.IndexObj}"))
+    // COMPACTION (the vault stage-and-swap on a non-schema object): the
+    // incremental appends left >buckets files; one file per bucket after,
+    // contents untouched, and the table still reads through the catalog
+    val pre = index.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (filesBefore, filesAfter) = IvfIndexRepo.compact(spark, dir)
+    assert(filesBefore > 4 && filesAfter == 4L, s"files $filesBefore -> $filesAfter")
+    val post = IvfIndexRepo.storedIndex(spark, dir).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(post == pre, "compaction changed the index contents")
+    // and post-compaction appends still land exactly-once
+    assert(IvfIndexRepo.appendBatch(spark, dir, b1, "t2") == 0L)
+  }
+
   test("streaming token-budget gate: per-source state, rank-ordered replay matches per-source batch runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
