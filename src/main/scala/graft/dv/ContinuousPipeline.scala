@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
 object ContinuousPipeline {
 
   final case class State(catalogDir: String, responsesDir: String, repoDir: String,
-                         classifier: Classifier = RulesClassifier)
+                         classifier: Classifier = RulesClassifier,
+                         erasureDir: Option[String] = None)
 
   /** Catalog snapshot of one batch's live schema. */
   def schemaSnapshot(s: SparkSession, table: String, batch: DataFrame): DataFrame = {
@@ -161,7 +162,54 @@ object ContinuousPipeline {
     //    vault's declared types (dv_loader.rs)
     DvLoader.streamTableLoadBatch(s, conformToRepo(s, batch, table, st.repoDir),
       table, st.repoDir, loadTs)
+    // 4. physical erasure between loads (r12 verdict #7)
+    processErasures(s, st, loadTs)
   }
+
+  /** Pending erasure requests → physical purge BETWEEN micro-batches (r12
+    * verdict #7 — the GDPR path working while loads run): the micro-batch
+    * hook IS the single-writer window `DvMaintenance.purgeSensitive`
+    * documents (no load runs concurrently with it by construction), so
+    * purging here needs no extra coordination. The feed is request-scale
+    * parquet: `<erasureDir>/requests` rows (obj, hk) — obj a
+    * `sat_*_sensitive` object, hk the victim's BINARY hash key. Processed
+    * requests land on `<erasureDir>/processed` stamped with the purging
+    * batch's loadTs, so a REPLAYED batch purges nothing twice (the same
+    * anti-join idempotency every other state this hook owns has). A
+    * request naming a non-sensitive object fails the batch LOUDLY
+    * (purgeSensitive's structural guard) — a malformed erasure request
+    * must never be silently dropped. Returns (obj, rows_before,
+    * rows_after) per purged object.
+    */
+  def processErasures(s: SparkSession, st: State, purgedTs: String): Seq[(String, Long, Long)] =
+    st.erasureDir.toSeq.flatMap { ed =>
+      if (!exists(s, s"$ed/requests")) Nil
+      else {
+        val reqs = s.read.parquet(s"$ed/requests")
+        val pending =
+          if (exists(s, s"$ed/processed"))
+            reqs.join(s.read.parquet(s"$ed/processed").select("obj", "hk"),
+              Seq("obj", "hk"), "left_anti")
+          else reqs
+        // object list is request-scale (one row per erasure request, never
+        // data-scale) — the driver-side distinct is bounded by the feed
+        val objs = pending.select("obj").distinct().collect()
+          .map(_.getString(0)).sorted.toSeq
+        if (objs.isEmpty) Nil
+        else {
+          val schema = DvLoader.readSchema(s, st.repoDir)
+          val results = objs.map { obj =>
+            val hkCol = DvLoader.schemaKeys(schema, obj).head
+            val victims = pending.filter(col("obj") === obj).select(col("hk").as(hkCol))
+            val (b, a) = DvMaintenance.purgeSensitive(s, st.repoDir, obj, victims, hkCol)
+            (obj, b, a)
+          }
+          pending.withColumn("purged_ts", lit(purgedTs))
+            .write.mode("append").parquet(s"$ed/processed")
+          results
+        }
+      }
+    }
 
   /** Wire the loop onto a live streaming source — the bgw_init analogue:
     * a continuously-running trigger that per micro-batch re-scans,

@@ -80,4 +80,70 @@ class PipelineSpec extends SparkSpec {
 
     DvLoader.deletePath(Paths.get(tmp))
   }
+
+  test("continuous pipeline: erasure requests purge sensitive rows between micro-batches") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_pipeline_purge").toString
+    val prefix = s"plpurge${System.nanoTime()}_"
+    val st = ContinuousPipeline.State(s"$tmp/catalog", s"$tmp/responses", s"$tmp/repo",
+      erasureDir = Some(s"$tmp/erasure"))
+    Files.createDirectories(Paths.get(st.repoDir))
+    val scope = Set("hub_customer", "sat_customer", "sat_customer_sensitive")
+    Files.writeString(Paths.get(s"${st.repoDir}/dv_schema.json"),
+      DvGo.planJson(DvPlanner.literalPlan, "pipeline_purge", scope, Some((prefix, 4))))
+    val obj = "sat_customer_sensitive"
+    val hk = "hub_customer_hk"
+    try {
+      val cust = Tables.load(spark, sfDir, "customer")
+      val evens = cust.filter(col("c_custkey") % 2 === 0)
+      // ---- batch 0: ordinary load, no erasure requests pending
+      ContinuousPipeline.onBatch(spark, st, "customer", evens, "2024-01-01 00:00:00", "b0")
+      val nEvens = evens.select("c_custkey").distinct().count()
+      assert(spark.read.parquet(s"${st.repoDir}/$obj").count() == nEvens)
+      // ---- erasure requests arrive: 5 customers exercise their right —
+      // victims named by their vault hash keys (resolved through the hub)
+      val victimKeys = evens.select("c_custkey").orderBy("c_custkey").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val victimHexes = spark.read.parquet(s"${st.repoDir}/hub_customer")
+        .filter(col("c_custkey_bk").isin(victimKeys: _*))
+        .select(lower(hex(col(hk))).as("hkx")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      assert(victimHexes.size == 5)
+      victimHexes.toDF("hkx").select(lit(obj).as("obj"), unhex(col("hkx")).as("hk"))
+        .write.mode("append").parquet(s"${st.erasureDir.get}/requests")
+      // ---- batch 1: the GDPR-compliant upstream (victims already erased
+      // at the source) delivers the rest — ONE hook turn runs the load AND
+      // the purge inside the same single-writer window
+      val feed1 = cust.filter(!col("c_custkey").isin(victimKeys: _*))
+      ContinuousPipeline.onBatch(spark, st, "customer", feed1, "2024-02-01 00:00:00", "b1")
+      val nAll = cust.select("c_custkey").distinct().count()
+      def isVictim = lower(hex(col(hk))).isin(victimHexes: _*)
+      val sat = spark.read.parquet(s"${st.repoDir}/$obj")
+      // victims physically gone; every other row still present
+      assert(sat.filter(isVictim).count() == 0, "victim rows survived the purge")
+      assert(sat.count() == nAll - 5)
+      // the hub skeleton is untouched (pseudonymous keys stay — only the
+      // sensitive descriptors are erased), incl. the victims' keys
+      val hub = spark.read.parquet(s"${st.repoDir}/hub_customer")
+      assert(hub.filter(col("record_source") =!= "SYSTEM").count() == nAll)
+      assert(hub.filter(isVictim).count() == 5)
+      // bucketed layout intact: the purge rewrite left one file per bucket
+      import scala.jdk.CollectionConverters._
+      val files = scala.util.Using.resource(Files.walk(Paths.get(s"${st.repoDir}/$obj"))) { w =>
+        w.iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+      }
+      assert(files == 4, s"expected one file per bucket post-purge, files=$files")
+      // ---- batch 2: replay of the same feed — anti-join appends nothing
+      // through the catalog, the processed log makes the purge idempotent
+      ContinuousPipeline.onBatch(spark, st, "customer", feed1, "2024-03-01 00:00:00", "b2")
+      val sat2 = spark.read.parquet(s"${st.repoDir}/$obj")
+      assert(sat2.count() == nAll - 5)
+      assert(sat2.filter(isVictim).count() == 0)
+      assert(ContinuousPipeline.processErasures(spark, st, "manual") == Nil)
+    } finally {
+      Seq(s"$prefix$obj", s"${prefix}hub_customer", s"${prefix}sat_customer")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      DvLoader.deletePath(Paths.get(tmp))
+    }
+  }
 }
