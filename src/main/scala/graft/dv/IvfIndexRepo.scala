@@ -68,20 +68,28 @@ object IvfIndexRepo {
   def storedIndex(s: SparkSession, repoDir: String): DataFrame =
     DvLoader.storedObject(s, repoDir, IndexObj, Keys, bucketing(s, repoDir))
 
+  /** The micro-batch append PLAN (see [[Streams.hubLoadPlan]]'s twin
+    * discipline): distinct arriving vec_ids anti-joined against the
+    * stored index read THROUGH the catalog — exposed so
+    * StreamPlanSweepSpec sweeps the exact frame [[appendAssigned]]
+    * writes (the stored side carries the bucket spec, so the LeftAnti
+    * needs no Exchange there).
+    */
+  def appendPlan(s: SparkSession, repoDir: String, assigned: DataFrame): DataFrame = {
+    val deduped = assigned.dropDuplicates("vec_id")
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$repoDir/$IndexObj")))
+      deduped.join(storedIndex(s, repoDir).select("vec_id"), Keys, "left_anti")
+    else deduped
+  }
+
   /** Append only never-seen vec_ids from an assigned frame
     * (vec_id, cell, load_ts) — the hubLoadPlan anti-join discipline with
     * the bucketed catalog on BOTH sides. Returns rows appended.
     */
   def appendAssigned(s: SparkSession, repoDir: String, assigned: DataFrame): Long = {
-    val b = bucketing(s, repoDir)
-    val novel =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$repoDir/$IndexObj")))
-        assigned.dropDuplicates("vec_id")
-          .join(storedIndex(s, repoDir).select("vec_id"), Keys, "left_anti")
-      else assigned.dropDuplicates("vec_id")
     val obs = org.apache.spark.sql.Observation(s"ivf_append_${System.nanoTime()}")
-    DvLoader.appendObject(s, repoDir, IndexObj, Keys, b,
-      novel.observe(obs, count(lit(1)).as("n")))
+    DvLoader.appendObject(s, repoDir, IndexObj, Keys, bucketing(s, repoDir),
+      appendPlan(s, repoDir, assigned).observe(obs, count(lit(1)).as("n")))
     obs.get("n").asInstanceOf[Long]
   }
 
