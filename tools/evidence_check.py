@@ -60,9 +60,14 @@ def main():
     if tests and src_ct:
         newest = tests[-1]
         committed_ct = git("log", "-1", "--format=%ct", "--", newest)
-        ts = int(committed_ct) if committed_ct else int(
-            os.path.getmtime(os.path.join(REPO, newest)))
-        kind = "commit time" if committed_ct else "mtime (uncommitted)"
+        dirty = bool(git("status", "--porcelain", "--", newest))
+        # a re-recorded-but-not-yet-committed log is newer than its last
+        # commit — judge it by mtime, not by the stale commit time
+        if committed_ct and not dirty:
+            ts, kind = int(committed_ct), "commit time"
+        else:
+            ts = int(os.path.getmtime(os.path.join(REPO, newest)))
+            kind = "mtime (uncommitted changes)" if committed_ct else "mtime (uncommitted)"
         if ts < int(src_ct):
             errs.append(
                 f"{newest} ({kind} {ts}) predates the last src/ commit ({src_ct}) — "
