@@ -159,9 +159,11 @@ object ContinuousPipeline {
       else fresh
     rewrite(s, responses, st.responsesDir)
     // 3. schema-driven incremental vault load, batch conformed to the
-    //    vault's declared types (dv_loader.rs)
+    //    vault's declared types (dv_loader.rs); the erasure processed log
+    //    rides along as the sensitive-satellite suppression list, so a
+    //    replayed feed still carrying purged victims resurrects nothing
     DvLoader.streamTableLoadBatch(s, conformToRepo(s, batch, table, st.repoDir),
-      table, st.repoDir, loadTs)
+      table, st.repoDir, loadTs, suppressDir = st.erasureDir)
     // 4. physical erasure between loads (r12 verdict #7)
     processErasures(s, st, loadTs)
   }
@@ -169,46 +171,74 @@ object ContinuousPipeline {
   /** Pending erasure requests → physical purge BETWEEN micro-batches (r12
     * verdict #7 — the GDPR path working while loads run): the micro-batch
     * hook IS the single-writer window `DvMaintenance.purgeSensitive`
-    * documents (no load runs concurrently with it by construction), so
-    * purging here needs no extra coordination. The feed is request-scale
-    * parquet: `<erasureDir>/requests` rows (obj, hk) — obj a
-    * `sat_*_sensitive` object, hk the victim's BINARY hash key. Processed
-    * requests land on `<erasureDir>/processed` stamped with the purging
-    * batch's loadTs, so a REPLAYED batch purges nothing twice (the same
-    * anti-join idempotency every other state this hook owns has). A
-    * request naming a non-sensitive object fails the batch LOUDLY
-    * (purgeSensitive's structural guard) — a malformed erasure request
-    * must never be silently dropped. Returns (obj, rows_before,
-    * rows_after) per purged object.
+    * documents (no load runs concurrently with it by construction; the
+    * repo lease in DvMaintenance makes a violating concurrent writer fail
+    * loudly instead of corrupting — see [[sink]]'s one-sink-per-repo
+    * note). The feed is request-scale parquet: `<erasureDir>/requests`
+    * rows (obj, hk) — obj a `sat_*_sensitive` object, hk the victim's
+    * BINARY hash key. Processed requests land on `<erasureDir>/processed`
+    * stamped with the purging batch's loadTs, so a REPLAYED batch purges
+    * nothing twice, and the processed log doubles as the STANDING
+    * SUPPRESSION LIST the loads anti-join sensitive novel rows against
+    * (r13 ADVICE: a redelivered batch still carrying a victim's source
+    * rows must not resurrect them after the purge). A request naming a
+    * non-sensitive object fails the batch LOUDLY (purgeSensitive's
+    * structural guard) — a malformed erasure request must never be
+    * silently dropped. Returns (obj, rows_before, rows_after) per purged
+    * object.
+    *
+    * TOCTOU (r13 ADVICE): the pending set is MATERIALIZED driver-side
+    * once ([[pendingErasures]] — request-scale by construction) BEFORE
+    * any purge runs, and exactly those materialized rows are appended to
+    * the processed log — a request appended concurrently during the
+    * purge window is neither purged nor stamped, so the next hook turn
+    * picks it up instead of silently dropping it forever.
     */
   def processErasures(s: SparkSession, st: State, purgedTs: String): Seq[(String, Long, Long)] =
-    st.erasureDir.toSeq.flatMap { ed =>
-      if (!exists(s, s"$ed/requests")) Nil
-      else {
-        val reqs = s.read.parquet(s"$ed/requests")
-        val pending =
-          if (exists(s, s"$ed/processed"))
-            reqs.join(s.read.parquet(s"$ed/processed").select("obj", "hk"),
-              Seq("obj", "hk"), "left_anti")
-          else reqs
-        // object list is request-scale (one row per erasure request, never
-        // data-scale) — the driver-side distinct is bounded by the feed
-        val objs = pending.select("obj").distinct().collect()
-          .map(_.getString(0)).sorted.toSeq
-        if (objs.isEmpty) Nil
-        else {
-          val schema = DvLoader.readSchema(s, st.repoDir)
-          val results = objs.map { obj =>
-            val hkCol = DvLoader.schemaKeys(schema, obj).head
-            val victims = pending.filter(col("obj") === obj).select(col("hk").as(hkCol))
-            val (b, a) = DvMaintenance.purgeSensitive(s, st.repoDir, obj, victims, hkCol)
-            (obj, b, a)
-          }
-          pending.withColumn("purged_ts", lit(purgedTs))
-            .write.mode("append").parquet(s"$ed/processed")
-          results
-        }
+    st.erasureDir.toSeq.flatMap(ed => purgeAndMark(s, st, pendingErasures(s, ed), purgedTs))
+
+  /** One materialized pending erasure request. */
+  final case class Erasure(obj: String, hk: Array[Byte])
+
+  /** The pending set, materialized driver-side in one snapshot (the
+    * request feed is metadata-scale: one row per erasure request).
+    * Deterministically ordered by (obj, hk hex).
+    */
+  private[graft] def pendingErasures(s: SparkSession, ed: String): Seq[Erasure] =
+    if (!exists(s, s"$ed/requests")) Nil
+    else {
+      val reqs = s.read.parquet(s"$ed/requests")
+      val pending =
+        if (exists(s, s"$ed/processed"))
+          reqs.join(s.read.parquet(s"$ed/processed").select("obj", "hk"),
+            Seq("obj", "hk"), "left_anti")
+        else reqs
+      pending.select("obj", "hk").distinct().collect()
+        .map(r => Erasure(r.getString(0), r.getAs[Array[Byte]](1)))
+        .sortBy(e => (e.obj, e.hk.map(b => f"$b%02x").mkString)).toSeq
+    }
+
+  /** Purge exactly `pending` and stamp exactly `pending` processed —
+    * the snapshot the caller took is the single source of truth for both
+    * halves (see [[processErasures]]'s TOCTOU note).
+    */
+  private[graft] def purgeAndMark(s: SparkSession, st: State, pending: Seq[Erasure],
+                               purgedTs: String): Seq[(String, Long, Long)] =
+    if (pending.isEmpty) Nil
+    else {
+      import s.implicits._
+      val ed = st.erasureDir.getOrElse(sys.error("purgeAndMark without an erasureDir"))
+      val schema = DvLoader.readSchema(s, st.repoDir)
+      val results = pending.groupBy(_.obj).toSeq.sortBy(_._1).map { case (obj, es) =>
+        val hkCol = DvLoader.schemaKeys(schema, obj).head
+        val victims = es.map(_.hk).toDF(hkCol)
+        val (b, a) = DvMaintenance.purgeSensitive(s, st.repoDir, obj, victims, hkCol)
+        (obj, b, a)
       }
+      pending.map(e => (e.obj, e.hk)).toDF("obj", "hk")
+        .withColumn("purged_ts", lit(purgedTs))
+        .write.mode("append").parquet(s"$ed/processed")
+      results
     }
 
   /** Wire the loop onto a live streaming source — the bgw_init analogue:
@@ -216,6 +246,17 @@ object ContinuousPipeline {
     * re-classifies and loads. Batch ids stamp the versions, so replays of
     * a failed batch are idempotent end to end (same scanTs → same merge;
     * the vault load anti-joins).
+    *
+    * ONE SINK PER REPO (r13 ADVICE): the "micro-batch hook IS the
+    * single-writer window" claim holds for a single attached sink. Two
+    * per-table sinks sharing one State are independent streaming queries
+    * whose hooks can overlap — attach at most one `sink` per `State`
+    * (fan multiple source tables in through one stream union, or run
+    * separate States over separate repos). The constraint is now ALSO
+    * enforced structurally: every stage-and-swap rewrite and bucketed
+    * append claims the per-object repo lease (DvMaintenance), so an
+    * overlapping second writer FAILS LOUDLY instead of corrupting the
+    * bucket layout or double-appending the processed log.
     */
   private val ScanFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 

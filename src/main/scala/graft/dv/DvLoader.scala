@@ -130,14 +130,19 @@ object DvLoader {
     */
   private[graft] def appendObject(s: SparkSession, repoDir: String, obj: String,
                                   keys: Seq[String], b: Bucketing,
-                                  novel: DataFrame): Unit = {
-    val table = s"${b.tablePrefix}$obj"
-    val w = novel.write.mode("append").format("parquet")
-      .bucketBy(b.buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-    (if (s.catalog.tableExists(table)) w
-     else w.option("path", s"$repoDir/$obj")).saveAsTable(table)
-  }
+                                  novel: DataFrame): Unit =
+    // Lease (r13 verdict #3): an append overlapping a stage-and-swap
+    // rewrite (or another append to the SAME object) fails loudly
+    // instead of racing the swap's file moves. Distinct objects append
+    // concurrently as before — the lease is per object.
+    DvMaintenance.withLease(repoDir, obj, "append") {
+      val table = s"${b.tablePrefix}$obj"
+      val w = novel.write.mode("append").format("parquet")
+        .bucketBy(b.buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+      (if (s.catalog.tableExists(table)) w
+       else w.option("path", s"$repoDir/$obj")).saveAsTable(table)
+    }
 
   def incrementalLoad(s: SparkSession, dir: String, repoDir: String,
                       loadTs: String = DvDefaults.LoadTs,
@@ -177,7 +182,8 @@ object DvLoader {
     * path.
     */
   def streamTableLoadBatch(s: SparkSession, batch: DataFrame, tableName: String,
-                           repoDir: String, loadTs: String): Unit = {
+                           repoDir: String, loadTs: String,
+                           suppressDir: Option[String] = None): Unit = {
     val schema = readSchema(s, repoDir)
     // The per-object loads are independent (distinct directories/catalog
     // tables, shared read-only batch) — submit them concurrently like
@@ -185,7 +191,7 @@ object DvLoader {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val loads = streamTableLoadPlans(s, batch, tableName, repoDir, loadTs).map {
+    val loads = streamTableLoadPlans(s, batch, tableName, repoDir, loadTs, suppressDir).map {
       case (obj, novel) => () => appendSide(s, repoDir, schema, obj, novel)
     }
     Await.result(Future.sequence(loads.map(f => Future(f()))), Duration.Inf)
@@ -197,8 +203,26 @@ object DvLoader {
     * micro-batch executes; [[streamTableLoadBatch]] appends them.
     */
   def streamTableLoadPlans(s: SparkSession, batch: DataFrame, tableName: String,
-                           repoDir: String, loadTs: String): Seq[(String, DataFrame)] = {
+                           repoDir: String, loadTs: String,
+                           suppressDir: Option[String] = None): Seq[(String, DataFrame)] = {
     val schema = readSchema(s, repoDir)
+    // Standing erasure suppression (r13 ADVICE — erased data must not be
+    // resurrectable): novel rows for a SENSITIVE satellite anti-join the
+    // erasure processed log (obj, hk) — a replayed/redelivered batch that
+    // still carries a purged victim's source rows appends nothing for
+    // that key, ever. Request-scale right side → broadcast; non-sensitive
+    // objects (hubs, links, ordinary sats) are untouched: erasure rewrites
+    // descriptors, never the pseudonymous skeleton.
+    def suppress(obj: String, hkName: String, novel: DataFrame): DataFrame =
+      suppressDir.filter(ed => obj.endsWith("_sensitive") && pathExists(s, s"$ed/processed"))
+        .map { ed =>
+          novel.join(
+            org.apache.spark.sql.functions.broadcast(
+              s.read.parquet(s"$ed/processed")
+                .filter(org.apache.spark.sql.functions.col("obj") === obj)
+                .select(org.apache.spark.sql.functions.col("hk").as(hkName)).distinct()),
+            Seq(hkName), "left_anti")
+        }.getOrElse(novel)
     // First micro-batch of a fresh repo: nothing stored yet -> full insert.
     // ONLY a missing path means "fresh" — any other analysis failure
     // (schema drift, renamed hash-key column) must fail the batch loudly,
@@ -219,7 +243,8 @@ object DvLoader {
     } ++
     schema.sats.filter(_.sourceTable == tableName).map { t =>
       s"sat_${t.name}" ->
-        novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs))
+        suppress(s"sat_${t.name}", t.hkName,
+          novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs)))
     } ++
     schema.links.filter(_.sourceTable == tableName).map { l =>
       s"link_${l.name}" ->
@@ -256,6 +281,14 @@ object DvLoader {
     val cond = Option(e.getCondition).getOrElse("")
     val m = Option(e.getMessage).getOrElse("")
     cond == "PATH_NOT_FOUND" || m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")
+  }
+
+  /** Existence probe through the session's Hadoop FS (works for any
+    * supported filesystem URI, unlike java.nio).
+    */
+  private[graft] def pathExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Wire the continuous load onto a streaming source of `tableName` rows. */

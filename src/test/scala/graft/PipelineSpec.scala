@@ -146,4 +146,112 @@ class PipelineSpec extends SparkSpec {
       DvLoader.deletePath(Paths.get(tmp))
     }
   }
+
+  // r13 ADVICE (high): a replayed/redelivered batch that STILL CONTAINS a
+  // purged victim's source rows must not resurrect them — the processed
+  // log is a standing suppression list at load time, not just purge-once
+  // idempotency. The r13 replay test fed a victim-free stream, which
+  // masked exactly this hole.
+  test("continuous pipeline: redelivered victim rows do not resurrect erased data") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_pipeline_resurrect").toString
+    val prefix = s"plres${System.nanoTime()}_"
+    val st = ContinuousPipeline.State(s"$tmp/catalog", s"$tmp/responses", s"$tmp/repo",
+      erasureDir = Some(s"$tmp/erasure"))
+    Files.createDirectories(Paths.get(st.repoDir))
+    val scope = Set("hub_customer", "sat_customer", "sat_customer_sensitive")
+    Files.writeString(Paths.get(s"${st.repoDir}/dv_schema.json"),
+      DvGo.planJson(DvPlanner.literalPlan, "pipeline_resurrect", scope, Some((prefix, 4))))
+    val obj = "sat_customer_sensitive"
+    val hk = "hub_customer_hk"
+    try {
+      val cust = Tables.load(spark, sfDir, "customer")
+      ContinuousPipeline.onBatch(spark, st, "customer", cust, "2024-01-01 00:00:00", "b0")
+      val nAll = cust.select("c_custkey").distinct().count()
+      val victimKeys = cust.select("c_custkey").orderBy("c_custkey").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val victimHexes = spark.read.parquet(s"${st.repoDir}/hub_customer")
+        .filter(col("c_custkey_bk").isin(victimKeys: _*))
+        .select(lower(hex(col(hk))).as("hkx")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      victimHexes.toDF("hkx").select(lit(obj).as("obj"), unhex(col("hkx")).as("hk"))
+        .write.mode("append").parquet(s"${st.erasureDir.get}/requests")
+      def isVictim = lower(hex(col(hk))).isin(victimHexes: _*)
+      // batch 1: the purge runs; the NON-compliant upstream replays the
+      // FULL feed — victims included — on this and every later batch
+      ContinuousPipeline.onBatch(spark, st, "customer", cust, "2024-02-01 00:00:00", "b1")
+      val sat1 = spark.read.parquet(s"${st.repoDir}/$obj")
+      assert(sat1.filter(isVictim).count() == 0, "victims survived the purge batch")
+      // batch 2: redelivery STILL carrying the victims' source rows — the
+      // suppression anti-join must drop them at load time (pre-fix they
+      // re-landed: gone from the stored side, they pass the (hk, hd)
+      // novelty anti-join)
+      ContinuousPipeline.onBatch(spark, st, "customer", cust, "2024-03-01 00:00:00", "b2")
+      val sat2 = spark.read.parquet(s"${st.repoDir}/$obj")
+      assert(sat2.filter(isVictim).count() == 0, "redelivered victim rows were resurrected")
+      assert(sat2.count() == nAll - 3)
+      // non-victim rows are untouched by the suppression (no over-reach),
+      // and the hub skeleton still carries the victims' pseudonymous keys
+      val hub = spark.read.parquet(s"${st.repoDir}/hub_customer")
+      assert(hub.filter(isVictim).count() == 3)
+      // and a FUTURE erasure request for the same key stays satisfiable:
+      // pending is empty (nothing to purge — the key never resurfaced)
+      assert(ContinuousPipeline.pendingErasures(spark, st.erasureDir.get).isEmpty)
+    } finally {
+      Seq(s"$prefix$obj", s"${prefix}hub_customer", s"${prefix}sat_customer")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      DvLoader.deletePath(Paths.get(tmp))
+    }
+  }
+
+  // r13 ADVICE (medium): processErasures' pending set is MATERIALIZED
+  // before any purge runs — a request arriving during the purge window is
+  // neither purged nor stamped processed, so the next turn picks it up
+  // (pre-fix the lazy plan re-evaluated at processed-append time stamped
+  // the late request processed WITHOUT purging it, dropping it forever).
+  test("continuous pipeline: an erasure request arriving mid-purge is not lost") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_pipeline_toctou").toString
+    val prefix = s"pltoc${System.nanoTime()}_"
+    val st = ContinuousPipeline.State(s"$tmp/catalog", s"$tmp/responses", s"$tmp/repo",
+      erasureDir = Some(s"$tmp/erasure"))
+    Files.createDirectories(Paths.get(st.repoDir))
+    val scope = Set("hub_customer", "sat_customer", "sat_customer_sensitive")
+    Files.writeString(Paths.get(s"${st.repoDir}/dv_schema.json"),
+      DvGo.planJson(DvPlanner.literalPlan, "pipeline_toctou", scope, Some((prefix, 4))))
+    val obj = "sat_customer_sensitive"
+    val hk = "hub_customer_hk"
+    try {
+      val cust = Tables.load(spark, sfDir, "customer")
+      ContinuousPipeline.onBatch(spark, st, "customer", cust, "2024-01-01 00:00:00", "b0")
+      val hexes = spark.read.parquet(s"${st.repoDir}/hub_customer")
+        .filter(col("record_source") =!= "SYSTEM")
+        .select(lower(hex(col(hk))).as("hkx")).orderBy("hkx").limit(2)
+        .collect().map(_.getString(0)).toSeq
+      def reqDf(hx: String) =
+        Seq(hx).toDF("hkx").select(lit(obj).as("obj"), unhex(col("hkx")).as("hk"))
+      reqDf(hexes(0)).write.mode("append").parquet(s"${st.erasureDir.get}/requests")
+      // the purge turn takes its snapshot…
+      val snapshot = ContinuousPipeline.pendingErasures(spark, st.erasureDir.get)
+      assert(snapshot.map(_.obj) == Seq(obj))
+      // …request B lands DURING the purge window…
+      reqDf(hexes(1)).write.mode("append").parquet(s"${st.erasureDir.get}/requests")
+      // …and the turn purges+stamps exactly the snapshot
+      val res = ContinuousPipeline.purgeAndMark(spark, st, snapshot, "t_purge")
+      assert(res.map(_._1) == Seq(obj) && res.head._2 - res.head._3 == 1)
+      val processed = spark.read.parquet(s"${st.erasureDir.get}/processed")
+        .select(lower(hex(col("hk")))).as[String].collect().toSeq
+      assert(processed == Seq(hexes(0)), "a mid-purge request was stamped processed unpurged")
+      // request B is still pending and the NEXT turn purges it
+      val late = ContinuousPipeline.pendingErasures(spark, st.erasureDir.get)
+      assert(late.map(e => e.hk.map(b => f"$b%02x").mkString) == Seq(hexes(1)))
+      val res2 = ContinuousPipeline.processErasures(spark, st, "t_next")
+      assert(res2.map(_._1) == Seq(obj) && res2.head._2 - res2.head._3 == 1)
+      assert(ContinuousPipeline.pendingErasures(spark, st.erasureDir.get).isEmpty)
+    } finally {
+      Seq(s"$prefix$obj", s"${prefix}hub_customer", s"${prefix}sat_customer")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      DvLoader.deletePath(Paths.get(tmp))
+    }
+  }
 }
