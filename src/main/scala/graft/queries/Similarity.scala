@@ -25,7 +25,7 @@ object Similarity extends QueryModule {
 
   private val Dim = 64
   private val QueryMod = 10 // vec_id % 10 == 0 -> query set (ANN ops)
-  private val KnnQueries = 50 // brute kNN: constant-size query set
+  private[graft] val KnnQueries = 50 // brute kNN: constant-size query set
   private val TopK = 5
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "embeddings")
@@ -826,7 +826,7 @@ object Similarity extends QueryModule {
   // plateau; more rounds would only deepen the unrolled oracle chain).
   private val IvfK = 16
   private[graft] val NProbe = 8
-  private val IvfTopK = 3
+  private[graft] val IvfTopK = 3
   private[queries] val IvfScale = 4096L
   private val IvfIters = 2
 
@@ -1116,6 +1116,104 @@ object Similarity extends QueryModule {
       vecs.filter(col("vec_id") % IncrMod =!= IncrRes),
       vecs.filter(col("vec_id") % IncrMod === IncrRes),
       ivfStoredCentroids(s, dir))
+  }
+
+  // ----------------------------------------------------- ann_ivf_retrain
+  // The RETRAIN half of the index lifecycle (r13 verdict #1): ann_ivf_incr
+  // measures drift and fires the trigger; THIS op is the action the
+  // trigger demands, driven end to end through the persistent repo —
+  // init with the STORED-trained quantizer (the stale, pre-drift state),
+  // append the full corpus to the bucketed assignment index through the
+  // session catalog (arrivals assigned to stale centroids — the drifted
+  // index a nightly pipeline accumulates), then IvfIndexRepo.retrainIvf:
+  // deterministic Lloyd over stored+arrived, crash-safe stage-and-swap of
+  // ivf_centroids, bucketed stage-and-swap re-derivation of every cell
+  // assignment — and read the final index back through the catalog.
+  //
+  // Oracle: the TRAIN-FROM-SCRATCH index (the shared ivf chain CTEs over
+  // the whole corpus). The Lloyd kernel is a deterministic function of
+  // (corpus, seed) with seed = the K lowest vec_ids, and retrain trains
+  // on exactly the union a from-scratch build sees — so assignment parity
+  // is bit-for-bit, which is the strongest possible retrain correctness
+  // statement and the r13 verdict's prescribed done-bar.
+  //
+  // Scale shape: training = IvfIters scan-local argmax passes + K×Dim
+  // integer partials to the driver; the index rewrite is ONE bucketed
+  // stage-and-swap (the compaction exchange); the result is read lazily
+  // through the catalog and localCheckpoint-ed so the temp repo can be
+  // dropped without a corpus-scale driver collect.
+  private def annIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_retrain_").toString
+    val prefix = s"graft_ivfrt_${java.lang.Long.toHexString(System.nanoTime())}_"
+    try {
+      val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+      graft.dv.IvfIndexRepo.init(s, out, ivfStoredCentroids(s, dir), prefix, buckets = 8)
+      graft.dv.IvfIndexRepo.appendBatch(s, out, vecs, "t0")
+      graft.dv.IvfIndexRepo.retrainIvf(s, out, vecs)
+      graft.dv.IvfIndexRepo.storedIndex(s, out)
+        .select(col("vec_id"), col("cell")).orderBy("vec_id")
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}ivf_index")
+      graft.dv.DvLoader.deletePathQuietly(
+        java.nio.file.Paths.get(out), "ann_ivf_retrain temp index repo")
+    }
+  }
+
+  private val annIvfRetrainSql =
+    s"""WITH ${ivfChainCtes("")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+       |FROM assigned ORDER BY vec_id""".stripMargin
+
+  /** r13 verdict #7 — recall evidence for index-maintenance decisions:
+    * the knn_recall_report discipline probed against the PERSISTENT repo
+    * index (stored centroids + stored bucketed assignments, not an
+    * in-plan rebuild). Constant [[KnnQueries]] probe set through the
+    * repo quantizer's [[NProbe]] best cells, candidates from the stored
+    * assignment table, scored against the exact brute-force top-[[IvfTopK]]
+    * over the same corpus frame. One output row
+    * (tier, hits, total, recall_micro) — all integers, the report shape.
+    */
+  private[graft] def repoIvfRecall(s: SparkSession, repoDir: String,
+                                   corpus: DataFrame): DataFrame = {
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val tier = repoIvfProbePairs(s, repoDir, corpus)
+    val queries = vecs.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exactPairs = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+    val exact = graft.dv.Scale.saltedTopK(exactPairs, Seq("query_id"),
+      Seq(col("cosine").desc, col("neighbor_id")), col("neighbor_id"), IvfTopK)
+    exact
+      .join(tier.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(coalesce(sum("hit"), lit(0L)).as("hits"), count(lit(1)).as("total"))
+      .select(lit("repo_ivf").as("tier"), col("hits"), col("total"),
+        expr("hits * 1000000 div total").as("recall_micro"))
+  }
+
+  /** The repo-probe pair set alone (query_id, neighbor_id, rank, cosine) —
+    * package-visible so the spec pins pair-set parity with the batch
+    * ann_cosine_ivf_probe on a static full-corpus-trained repo.
+    */
+  private[graft] def repoIvfProbePairs(s: SparkSession, repoDir: String,
+                                       corpus: DataFrame): DataFrame = {
+    val cents = graft.dv.IvfIndexRepo.centroids(s, repoDir)
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val probes = withQuantized(vecs).filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(expr(topCellsExpr(cents, "q", NProbe))).as("cell"))
+    val assigned = graft.dv.IvfIndexRepo.storedIndex(s, repoDir)
+      .select("vec_id", "cell")
+      .join(vecs, Seq("vec_id"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graftCosine(col("qe"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= IvfTopK)
+      .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
   // SQL twin: the stored-trained chain (shared training CTEs under the
@@ -1761,6 +1859,7 @@ object Similarity extends QueryModule {
     QueryDef("ann_cosine_ivf", annIvf, Some(annIvfSql)),
     QueryDef("ann_cosine_ivf_probe", annIvfProbe, Some(annIvfProbeSql)),
     QueryDef("ann_ivf_incr", annIvfIncr, Some(annIvfIncrSql)),
+    QueryDef("ann_ivf_retrain", annIvfRetrain, Some(annIvfRetrainSql)),
     QueryDef("ann_cosine_int8", annInt8, Some(annInt8Sql)),
     QueryDef("dedup_embed_cosine", embedDedup, Some(embedDedupSql)),
     QueryDef("dedup_embed_cosine_prod", embedDedupProd, Some(embedDedupProdSql)),

@@ -1065,7 +1065,11 @@ object Streams {
             Similarity.withQuantized(batch.select(col("vec_id"), col("embedding"))), cents)
           .select(col("vec_id"), col("cell"), lit(s"batch_$batchId").as("load_ts"))
         graft.dv.IvfIndexRepo.appendAssigned(s, repoDir, assigned)
-        val drift = ivfDriftPlan(batch, cents, storedAgg)
+        // drift baseline: prefer the repo's own (retrainIvf refreshes it to
+        // the live quantizer generation); the caller's frame is the
+        // pre-first-retrain fallback
+        val agg = graft.dv.IvfIndexRepo.storedAgg(s, repoDir).getOrElse(storedAgg)
+        val drift = ivfDriftPlan(batch, cents, agg)
           .withColumn("batch_id", lit(batchId))
         val fresh = try {
           val seen = s.read.parquet(driftPath).select("batch_id").distinct()

@@ -81,7 +81,12 @@ class ScaleSpec extends SparkSpec {
     // full-plan audit is worth. RankSpec additionally audits the
     // un-checkpointed edge-build joins that stay hidden here.
     val eagerSummary = Set("dv_go_build", "dv_go_build_bucketed", "dv_go_derived",
-      "dv_build_history", "dv_load_from_repo", "bpe_train")
+      "dv_build_history", "dv_load_from_repo", "bpe_train",
+      // eager repo lifecycle like the dv_go family: surfaces a
+      // localCheckpoint scan; its joins (catalog-read anti-join append,
+      // equi-join assignment rewrite) are plan-audited in StreamingSpec's
+      // retrain-loop test and StreamPlanSweepSpec's repo append sweep
+      "ann_ivf_retrain")
     val failures = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -136,7 +141,12 @@ class ScaleSpec extends SparkSpec {
       "vocab_growth" -> "doc-block grid (n/50 axis; VocabBlock is the scale lever)"
     )
     val eagerSummary = Set("dv_go_build", "dv_go_build_bucketed", "dv_go_derived",
-      "dv_build_history", "dv_load_from_repo", "bpe_train")
+      "dv_build_history", "dv_load_from_repo", "bpe_train",
+      // eager repo lifecycle like the dv_go family: surfaces a
+      // localCheckpoint scan; its joins (catalog-read anti-join append,
+      // equi-join assignment rewrite) are plan-audited in StreamingSpec's
+      // retrain-loop test and StreamPlanSweepSpec's repo append sweep
+      "ann_ivf_retrain")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val unpartitioned = (SparkEntry.queries.keys.toSet -- eagerSummary).toSeq.sorted.flatMap { name =>
       val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan

@@ -586,4 +586,41 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("retrain_flag") == 1L)
     }
   }
+
+  // r13 verdict #7: the repo recall probe is the SAME measurement as the
+  // batch probe tier — on a repo whose quantizer and index equal the
+  // full-corpus-trained build, the probe pair set matches
+  // ann_cosine_ivf_probe row for row, and the recall row is internally
+  // consistent integers.
+  test("repo recall probe: pair-set parity with ann_cosine_ivf_probe on a full-corpus repo") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_recall").toString
+    val prefix = s"ivfrc${System.nanoTime()}_"
+    try {
+      val vecs = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      graft.dv.IvfIndexRepo.init(spark, dir,
+        Similarity.ivfCentroids(spark, sfDir), prefix, buckets = 4)
+      graft.dv.IvfIndexRepo.appendBatch(spark, dir, vecs, "t0")
+      val repoPairs = Similarity.repoIvfProbePairs(spark, dir, vecs)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+      val batchPairs = Similarity.annIvfWith(spark, sfDir, Similarity.NProbe,
+          col("vec_id") < Similarity.KnnQueries)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+      assert(repoPairs.exceptAll(batchPairs).count() == 0 &&
+        batchPairs.exceptAll(repoPairs).count() == 0,
+        "repo probe diverges from the batch ann_cosine_ivf_probe pair set")
+      // the recall row: exact integer bookkeeping against the brute-force
+      // ground truth (total = queries × IvfTopK; hits counted on the pair
+      // set just proven equal to the batch tier's)
+      val row = Similarity.repoIvfRecall(spark, dir, vecs).collect()(0)
+      val total = row.getAs[Long]("total")
+      val hits = row.getAs[Long]("hits")
+      assert(total == Similarity.KnnQueries.toLong * Similarity.IvfTopK)
+      assert(hits >= 0 && hits <= total)
+      assert(row.getAs[Long]("recall_micro") == hits * 1000000L / total)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}${graft.dv.IvfIndexRepo.IndexObj}")
+      graft.dv.DvLoader.deletePath(java.nio.file.Paths.get(dir))
+    }
+  }
 }

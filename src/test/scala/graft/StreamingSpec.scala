@@ -806,6 +806,103 @@ class StreamingSpec extends SparkSpec {
     assert(IvfIndexRepo.appendBatch(spark, dir, b1, "t2") == 0L)
   }
 
+  // r13 verdict #1: the RETRAIN half of the index lifecycle, driven end to
+  // end — drift evidence fires the trigger, maintenance retrains
+  // (deterministic Lloyd over stored+arrived, crash-safe centroid swap,
+  // bucketed assignment rewrite), and a maintainer that was RUNNING before
+  // the retrain assigns its next micro-batch with the NEW quantizer
+  // without restart (the per-batch centroid-read seam).
+  test("IVF retrain loop: drift trigger → retrain → running stream continues on the new quantizer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Similarity
+    import graft.dv.IvfIndexRepo
+    val vecs = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val stored = vecs.filter(col("vec_id") % Similarity.IncrMod =!= Similarity.IncrRes)
+    val cents = Similarity.ivfStoredCentroids(spark, sfDir) // the stale, pre-drift quantizer
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_retrain_loop").toString
+    val prefix = s"ivfrt${System.nanoTime()}_"
+    try {
+      IvfIndexRepo.init(spark, dir, cents, prefix, buckets = 4)
+      assert(IvfIndexRepo.appendBatch(spark, dir, stored, "t0") == stored.count())
+      val storedAgg = Streams.ivfStoredAgg(stored, cents)
+      // a calm re-delivery-shaped batch (== stored): drift is EXACTLY zero
+      // per cell, so maintenance must NOT retrain
+      val calm = Streams.ivfDriftPlan(stored, cents, storedAgg)
+      assert(calm.filter(col("retrain_flag") === 1).count() == 0, "calm batch fired the trigger")
+      assert(!IvfIndexRepo.maintainIfDrifted(spark, dir, calm, stored, "e0"))
+      assert(IvfIndexRepo.centroids(spark, dir) == cents, "no-drift maintenance retrained")
+      // a genuinely DRIFTED arrival slice (+0.5 embedding units — the
+      // ann_ivf_incr spec's shifted-batch precedent) fires the trigger
+      val drifted = vecs.filter(col("vec_id") % Similarity.IncrMod === Similarity.IncrRes)
+        .withColumn("embedding", expr("transform(embedding, e -> cast(e + 0.5 as float))"))
+      val drift = Streams.ivfDriftPlan(drifted, cents, storedAgg)
+      assert(drift.filter(col("retrain_flag") === 1).count() > 0, "drifted batch failed to fire")
+      assert(IvfIndexRepo.appendBatch(spark, dir, drifted, "t1") == drifted.count())
+      val corpus = stored.unionByName(drifted)
+      assert(IvfIndexRepo.maintainIfDrifted(spark, dir, drift, corpus, "e1"))
+      // retrained quantizer AND index are BIT-IDENTICAL to a
+      // train-from-scratch build over the same stored+arrived corpus —
+      // the ann_ivf_retrain oracle's claim, pinned here on the drifted path
+      val fromScratch = Similarity.trainCentroidsFrom(Similarity.withQuantized(corpus))
+      val newCents = IvfIndexRepo.centroids(spark, dir)
+      assert(newCents == fromScratch, "retrain diverged from the from-scratch quantizer")
+      assert(newCents != cents, "retrain left the stale quantizer in place")
+      val expected = Similarity.assignCells(Similarity.withQuantized(corpus), fromScratch)
+      val idx = IvfIndexRepo.storedIndex(spark, dir).select("vec_id", "cell")
+      assert(idx.exceptAll(expected).count() == 0 && expected.exceptAll(idx).count() == 0,
+        "retrained index diverges from the from-scratch assignment")
+      // the rewrite's frame is scan-local argmax + ONE vec_id equi-join —
+      // never cartesian/BNLJ (the ScaleSpec discipline for the plan the
+      // eager lifecycle op hides behind its localCheckpoint surface)
+      val reassignPlan = IvfIndexRepo.reassignFrame(
+        IvfIndexRepo.storedIndex(spark, dir), Similarity.withQuantized(corpus), newCents)
+        .queryExecution.executedPlan.toString
+      assert(!reassignPlan.contains("CartesianProduct") &&
+        !reassignPlan.contains("BroadcastNestedLoopJoin"),
+        "retrain reassignment frame degraded to a non-equi join")
+      // recall evidence: one row per maintenance event, labeled (r13 #7)
+      val log = spark.read.parquet(s"$dir/recall_log")
+      assert(log.count() == 2)
+      assert(log.filter(col("event") === "retrain").count() == 1 &&
+        log.filter(col("event") === "append").count() == 1)
+      assert(log.filter(col("recall_micro") < 0 || col("recall_micro") > 1000000L).count() == 0)
+      // STREAM CONTINUATION: a maintainer started BEFORE a retrain picks
+      // up the next quantizer generation on its next micro-batch. Start
+      // the stream, land a batch under the CURRENT centroids, retrain
+      // (new generation), then land a second batch — its index rows must
+      // carry the NEW generation's assignments, without a restart.
+      val b1rows = vecs.filter(col("vec_id") < 20).collect().map(r =>
+        SVec(r.getLong(0) + 1000000L, r.getAs[scala.collection.Seq[Float]](1).toSeq))
+      val b2rows = vecs.filter(col("vec_id") >= 20 && col("vec_id") < 40).collect().map(r =>
+        SVec(r.getLong(0) + 2000000L, r.getAs[scala.collection.Seq[Float]](1).toSeq))
+      val mem = MemoryStream[SVec]
+      val q = Streams.ivfIncrRepoSink(mem.toDF(), storedAgg, dir, s"$dir/drift",
+        s"$dir/ckpt").start()
+      try {
+        mem.addData(b1rows.toSeq: _*); q.processAllAvailable()
+        // second retrain generation while the stream RUNS (between batches
+        // — the micro-batch hook is the single-writer window)
+        IvfIndexRepo.retrainIvf(spark, dir, corpus.unionByName(
+          b1rows.toSeq.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding")))
+        val gen2 = IvfIndexRepo.centroids(spark, dir)
+        assert(gen2 != newCents, "second retrain produced the same quantizer")
+        mem.addData(b2rows.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val b2df = b2rows.toSeq.map(v => (v.vec_id, v.embedding)).toDF("vec_id", "embedding")
+      val wantB2 = Similarity.assignCells(Similarity.withQuantized(b2df),
+        IvfIndexRepo.centroids(spark, dir))
+      val gotB2 = IvfIndexRepo.storedIndex(spark, dir)
+        .filter(col("vec_id") >= 2000000L).select("vec_id", "cell")
+      assert(gotB2.count() == b2rows.length)
+      assert(gotB2.exceptAll(wantB2).count() == 0 && wantB2.exceptAll(gotB2).count() == 0,
+        "the running maintainer did not pick up the retrained quantizer")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}${IvfIndexRepo.IndexObj}")
+      graft.dv.DvLoader.deletePath(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("streaming token-budget gate: per-source state, rank-ordered replay matches per-source batch runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
