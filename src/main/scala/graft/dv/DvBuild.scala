@@ -36,20 +36,32 @@ object DvBuild {
           spec.bkParts.map(p => col("ghost").as(s"${p.name}_bk"))): _*)
   }
 
-  /** Hub load: distinct canonical business keys, hash key, ghosts. */
-  def hub(s: SparkSession, dir: String, spec: HubSpec, loadTs: String = LoadTs): DataFrame =
-    hubFrom(s, Tables.load(s, dir, spec.sourceTable), spec, loadTs)
+  /** Hub load: distinct canonical business keys, hash key, ghosts.
+    *
+    * `ordered = false` (r14, guide §2.4 "an orderBy used only to make
+    * output deterministic"): the trailing global sort exists for the
+    * DECLARED query faces; a write/aggregate/join consumer gets the same
+    * rows without the range-exchange+sort pass. Sorts below joins and
+    * aggregates are optimizer-eliminated anyway — the flag matters for
+    * frames written straight to parquet (go(), loadFromRepo seeds), where
+    * the sort would otherwise execute.
+    */
+  def hub(s: SparkSession, dir: String, spec: HubSpec, loadTs: String = LoadTs,
+          ordered: Boolean = true): DataFrame =
+    hubFrom(s, Tables.load(s, dir, spec.sourceTable), spec, loadTs, ordered)
 
   /** Hub frame from an arbitrary source slice (a streaming micro-batch or
     * a filtered subset) — the dir-based form delegates here.
     */
-  def hubFrom(s: SparkSession, src: DataFrame, spec: HubSpec, loadTs: String = LoadTs): DataFrame = {
+  def hubFrom(s: SparkSession, src: DataFrame, spec: HubSpec, loadTs: String = LoadTs,
+              ordered: Boolean = true): DataFrame = {
     val keys = src.select(spec.bkParts.map(p => canonAs(p, s"${p.name}_bk")): _*).distinct()
     val hk = dvHash(spec.bkParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)
     val main = keys.select(
       (hk +: lit(loadTs).as("load_ts") +: lit(recordSource(spec.sourceTable)).as("record_source") +:
         spec.bkParts.map(p => col(s"${p.name}_bk"))): _*)
-    ghostRows(s, spec).unionByName(main).orderBy(spec.hkName)
+    val all = ghostRows(s, spec).unionByName(main)
+    if (ordered) all.orderBy(spec.hkName) else all
   }
 
   /** Multi-source (consolidated) hub load: every carrying table inserts the
@@ -63,7 +75,7 @@ object DvBuild {
     */
   def hubMultiFrom(s: SparkSession, spec: HubSpec,
                    sources: Seq[(String, DataFrame, Seq[Col])],
-                   loadTs: String = LoadTs): DataFrame = {
+                   loadTs: String = LoadTs, ordered: Boolean = true): DataFrame = {
     require(sources.nonEmpty, s"hub ${spec.name} has no load sources")
     val perSource = sources.map { case (table, src, parts) =>
       require(parts.size == spec.bkParts.size,
@@ -79,53 +91,60 @@ object DvBuild {
     val folded = perSource.reduceLeft { (acc, next) =>
       acc.unionByName(next.join(acc.select(spec.hkName), Seq(spec.hkName), "left_anti"))
     }
-    ghostRows(s, spec).unionByName(folded).orderBy(spec.hkName)
+    val all = ghostRows(s, spec).unionByName(folded)
+    if (ordered) all.orderBy(spec.hkName) else all
   }
 
   /** Consolidated hub from a DerivedHub's cataloged sources. */
-  def hubMulti(s: SparkSession, dir: String, hub: DerivedHub, loadTs: String = LoadTs): DataFrame =
+  def hubMulti(s: SparkSession, dir: String, hub: DerivedHub, loadTs: String = LoadTs,
+               ordered: Boolean = true): DataFrame =
     hubMultiFrom(s, hub.spec,
-      hub.sources.map(src => (src.table, Tables.load(s, dir, src.table), src.parts)), loadTs)
+      hub.sources.map(src => (src.table, Tables.load(s, dir, src.table), src.parts)),
+      loadTs, ordered)
 
   /** Satellite load: hash key + hash-diff over canonical descriptors, with
     * raw descriptor columns carried (dv_loader.rs:325-357). Insert-only
     * SCD2: one row per distinct (hk, hd).
     */
-  def sat(s: SparkSession, dir: String, spec: SatSpec, loadTs: String = LoadTs): DataFrame =
-    satFrom(Tables.load(s, dir, spec.sourceTable), spec, loadTs)
+  def sat(s: SparkSession, dir: String, spec: SatSpec, loadTs: String = LoadTs,
+          ordered: Boolean = true): DataFrame =
+    satFrom(Tables.load(s, dir, spec.sourceTable), spec, loadTs, ordered)
 
   /** Satellite frame from an arbitrary source slice. */
-  def satFrom(src: DataFrame, spec: SatSpec, loadTs: String = LoadTs): DataFrame = {
+  def satFrom(src: DataFrame, spec: SatSpec, loadTs: String = LoadTs,
+              ordered: Boolean = true): DataFrame = {
     val hk = dvHash(spec.bkParts.map(p => canon(col(p.name), p.typeName))).as(spec.hkName)
     val hd = dvHash(spec.descriptors.map(d => canon(col(d.name), d.typeName))).as(spec.hdName)
-    src.select((hk +: hd +: spec.descriptors.map(d => col(d.name))): _*)
+    val rows = src.select((hk +: hd +: spec.descriptors.map(d => col(d.name))): _*)
       .distinct()
       .select(
         (col(spec.hkName) +: lit(loadTs).as("load_ts") +:
           lit(recordSource(spec.sourceTable)).as("record_source") +: col(spec.hdName) +:
           spec.descriptors.map(d => col(d.name))): _*)
-      .orderBy(spec.hkName, spec.hdName)
+    if (ordered) rows.orderBy(spec.hkName, spec.hdName) else rows
   }
 
   /** Link load: distinct combinations of member hub keys (+ degenerate
     * columns), with the link hash over all parts and per-member hub hashes.
     */
-  def link(s: SparkSession, dir: String, spec: LinkSpec, loadTs: String = LoadTs): DataFrame =
-    linkFrom(Tables.load(s, dir, spec.sourceTable), spec, loadTs)
+  def link(s: SparkSession, dir: String, spec: LinkSpec, loadTs: String = LoadTs,
+           ordered: Boolean = true): DataFrame =
+    linkFrom(Tables.load(s, dir, spec.sourceTable), spec, loadTs, ordered)
 
   /** Link rows from an arbitrary source slice (streaming micro-batches use
     * this; `link` is the whole-table form).
     */
-  def linkFrom(src: DataFrame, spec: LinkSpec, loadTs: String = LoadTs): DataFrame = {
+  def linkFrom(src: DataFrame, spec: LinkSpec, loadTs: String = LoadTs,
+               ordered: Boolean = true): DataFrame = {
     val allParts = spec.members.flatMap(_.parts) ++ spec.degenerate
     val distinctKeys = src.select(allParts.map(p => canonAs(p, s"${p.name}_bk")): _*).distinct()
     val linkHk = dvHash(allParts.map(p => col(s"${p.name}_bk"))).as(spec.hkName)
     val memberHks = spec.members.map(m =>
       dvHash(m.parts.map(p => col(s"${p.name}_bk"))).as(s"hub_${m.hubName}_hk"))
-    distinctKeys.select(
+    val rows = distinctKeys.select(
       (linkHk +: lit(loadTs).as("load_ts") +: lit(recordSource(spec.sourceTable)).as("record_source") +:
         (memberHks ++ allParts.map(p => col(s"${p.name}_bk")))): _*)
-      .orderBy(spec.hkName)
+    if (ordered) rows.orderBy(spec.hkName) else rows
   }
 
   /** Incremental hub load: rows of `batch` whose hash key is absent from

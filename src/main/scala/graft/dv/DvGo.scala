@@ -106,11 +106,19 @@ object DvGo {
       t -> Tables.load(s, dir, t).select(cs.map(col): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // ordered = false (r14): these frames go straight to parquet/bucketed
+    // writes — the builders' trailing global sort would otherwise execute
+    // as a range-exchange + sort per object before every write (guide
+    // §2.4); row order in the stored vault is meaningless (bucketed reads
+    // carry their own sortBy, and every query face re-orders its output)
     val builds: Seq[(String, DataFrame)] =
       wantHub.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMultiFrom(s, h.spec,
-        h.sources.map(src => (src.table, shared(src.table), src.parts)), loadTs)) ++
-        wantSat.map(t => s"sat_${t.name}" -> DvBuild.satFrom(shared(t.sourceTable), t, loadTs)) ++
-        wantLink.map(l => s"link_${l.name}" -> DvBuild.linkFrom(shared(l.sourceTable), l, loadTs))
+        h.sources.map(src => (src.table, shared(src.table), src.parts)), loadTs,
+        ordered = false)) ++
+        wantSat.map(t => s"sat_${t.name}" ->
+          DvBuild.satFrom(shared(t.sourceTable), t, loadTs, ordered = false)) ++
+        wantLink.map(l => s"link_${l.name}" ->
+          DvBuild.linkFrom(shared(l.sourceTable), l, loadTs, ordered = false))
     // The eight objects are independent — submit their jobs concurrently
     // (Spark's scheduler interleaves them; order of the summary is
     // preserved). Row counts ride on the write pass itself via observe()
@@ -385,10 +393,13 @@ object DvGo {
   def goDerivedParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val derived = derivedPlan(s, dir)
+    // ordered = false: each frame feeds ONE 1-row signature aggregate —
+    // the optimizer eliminates sorts below aggregates anyway; the flag
+    // keeps the logical plans honest about not needing order
     def frames(p: DvPlan): Map[String, DataFrame] =
-      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMulti(s, dir, h)) ++
-        p.sats.map(t => s"sat_${t.name}" -> DvBuild.sat(s, dir, t)) ++
-        p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l))).toMap
+      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMulti(s, dir, h, ordered = false)) ++
+        p.sats.map(t => s"sat_${t.name}" -> DvBuild.sat(s, dir, t, ordered = false)) ++
+        p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l, ordered = false))).toMap
     val derivedFrames = frames(derived)
     val literalFrames = frames(DvPlanner.literalPlan)
     // Content equality via an order-independent signature: (row count,

@@ -156,18 +156,20 @@ object DvLoader {
       obj -> obs.get("n").asInstanceOf[Long]
     }
     def stored(obj: String): DataFrame = storedSide(s, repoDir, schema, obj)
+    // ordered = false throughout: the batch frames feed anti-joins and
+    // appends, never an ordered consumer (r14, guide §2.4)
     val hubLoads = schema.hubs.filter(h => scope(s"hub_${h.name}")).map { h =>
-      val batch = DvBuild.hub(s, dir, h, loadTs)
+      val batch = DvBuild.hub(s, dir, h, loadTs, ordered = false)
       append(DvBuild.hubIncrement(stored(s"hub_${h.name}").select(h.hkName), batch, h.hkName),
         s"hub_${h.name}")
     }
     val satLoads = schema.sats.filter(t => scope(s"sat_${t.name}")).map { t =>
-      val batch = DvBuild.sat(s, dir, t, loadTs)
+      val batch = DvBuild.sat(s, dir, t, loadTs, ordered = false)
       append(DvBuild.satIncrement(stored(s"sat_${t.name}").select(t.hkName, t.hdName),
         batch, t.hkName, t.hdName), s"sat_${t.name}")
     }
     val linkLoads = schema.links.filter(l => scope(s"link_${l.name}")).map { l =>
-      val batch = DvBuild.link(s, dir, l, loadTs)
+      val batch = DvBuild.link(s, dir, l, loadTs, ordered = false)
       append(DvBuild.hubIncrement(stored(s"link_${l.name}").select(l.hkName), batch, l.hkName),
         s"link_${l.name}")
     }
@@ -237,18 +239,24 @@ object DvLoader {
       } catch {
         case e: org.apache.spark.sql.AnalysisException if isPathMissing(e) => b
       }
+    // ordered = false: micro-batch frames feed anti-joins and appends; on
+    // the FIRST batch of a fresh repo the frame is appended raw, where the
+    // builders' trailing sort would actually execute (r14, guide §2.4)
     schema.hubs.filter(_.sourceTable == tableName).map { h =>
       s"hub_${h.name}" ->
-        novelAgainst(s"hub_${h.name}", Seq(h.hkName), DvBuild.hubFrom(s, batch, h, loadTs))
+        novelAgainst(s"hub_${h.name}", Seq(h.hkName),
+          DvBuild.hubFrom(s, batch, h, loadTs, ordered = false))
     } ++
     schema.sats.filter(_.sourceTable == tableName).map { t =>
       s"sat_${t.name}" ->
         suppress(s"sat_${t.name}", t.hkName,
-          novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName), DvBuild.satFrom(batch, t, loadTs)))
+          novelAgainst(s"sat_${t.name}", Seq(t.hkName, t.hdName),
+            DvBuild.satFrom(batch, t, loadTs, ordered = false)))
     } ++
     schema.links.filter(_.sourceTable == tableName).map { l =>
       s"link_${l.name}" ->
-        novelAgainst(s"link_${l.name}", Seq(l.hkName), DvBuild.linkFrom(batch, l, loadTs))
+        novelAgainst(s"link_${l.name}", Seq(l.hkName),
+          DvBuild.linkFrom(batch, l, loadTs, ordered = false))
     }
   }
 
@@ -310,9 +318,10 @@ object DvLoader {
     import DvPlanner.{hubCustomer, satCustomer}
     val repo = java.nio.file.Files.createTempDirectory("graft_dv_repo_").toString
     val keep = expr("cast(c_custkey_bk as bigint) % 5 != 0") // ghosts (-1,-2) stay
-    val hub0 = DvBuild.hub(s, dir, hubCustomer).filter(keep)
+    // ordered = false: seed frames are written, never read ordered (r14)
+    val hub0 = DvBuild.hub(s, dir, hubCustomer, ordered = false).filter(keep)
     hub0.write.mode("overwrite").parquet(s"$repo/hub_customer")
-    DvBuild.sat(s, dir, satCustomer)
+    DvBuild.sat(s, dir, satCustomer, ordered = false)
       .join(hub0.select(satCustomer.hkName), Seq(satCustomer.hkName), "left_semi")
       .write.mode("overwrite").parquet(s"$repo/sat_customer")
     java.nio.file.Files.writeString(

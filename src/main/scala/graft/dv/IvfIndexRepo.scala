@@ -52,8 +52,17 @@ object IvfIndexRepo {
   }
 
   def bucketing(s: SparkSession, repoDir: String): DvLoader.Bucketing = {
-    val row = s.read.option("multiLine", true).json(s"$repoDir/ivf_meta.json").collect()(0)
-    DvLoader.Bucketing(row.getAs[String]("table_prefix"), row.getAs[Long]("buckets").toInt)
+    // driver-side parse (r14): the meta file is two fields of graft-authored
+    // JSON ([[init]] writes it) — reading it through spark.read.json cost a
+    // schema-inference Spark job on EVERY repo call (append, stored read,
+    // rewrite, compaction: ~4 jobs per retrain lifecycle, one per streaming
+    // micro-batch). Metadata must never cost a cluster job.
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$repoDir/ivf_meta.json"))
+    def field(k: String): String =
+      s""""$k"\\s*:\\s*"?([^",}]+)"?""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(sys.error(s"ivf_meta.json at $repoDir lacks $k"))
+    DvLoader.Bucketing(field("table_prefix"), field("buckets").trim.toInt)
   }
 
   /** The stored-trained quantizer, read back in the exact literal form the
@@ -116,20 +125,38 @@ object IvfIndexRepo {
     */
   def retrainIvf(s: SparkSession, repoDir: String, vecs: DataFrame): Int = {
     import graft.queries.Similarity
-    val q = Similarity.withQuantized(vecs.select(col("vec_id"), col("embedding")))
-    val newCents = Similarity.trainCentroidsFrom(q)
-    swapCentroids(s, repoDir, newCents)
-    DvMaintenance.rewriteBucketedObject(s, repoDir, IndexObj, Keys, bucketing(s, repoDir),
-      stored => reassignFrame(stored, q, newCents))
-    // refresh the stored-side drift baseline to the NEW quantizer
-    // (index-scale: cells × Dim rows) so a running maintainer's drift
-    // evidence tracks the retrained generation (Streams.ivfIncrRepoSink
-    // prefers this over its caller-supplied fallback). A crash here
-    // leaves the baseline missing/stale; re-running the retrain repairs
-    // it like every other step of the ladder.
-    Similarity.ivfDimAgg(q, newCents, "s_d", "n_s")
-      .write.mode("overwrite").parquet(s"$repoDir/$StoredAggObj")
-    newCents.size
+    // The lifecycle makes IvfIters + 2 full passes over the quantized
+    // corpus (training rounds, the reassignment rewrite, the drift
+    // baseline). Reuse a caller-supplied `q` column when present (the
+    // registered op passes the session-memoized qVecs cache — guide §1.2:
+    // don't recompute what a sibling pass materialized); otherwise
+    // quantize once and persist the NARROW (vec_id, q) projection for the
+    // duration (guide §5: cache exactly the reused frame), dropping it
+    // before returning. Quantization is the shared qExpr either way, so
+    // assignments stay bit-identical.
+    val (q, ephemeral) =
+      if (vecs.columns.contains("q")) (vecs.select(col("vec_id"), col("q")), None)
+      else {
+        val p = Similarity.withQuantized(vecs.select(col("vec_id"), col("embedding")))
+          .select(col("vec_id"), col("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, Some(p))
+      }
+    try {
+      val newCents = Similarity.trainCentroidsFrom(q)
+      swapCentroids(s, repoDir, newCents)
+      DvMaintenance.rewriteBucketedObject(s, repoDir, IndexObj, Keys, bucketing(s, repoDir),
+        stored => reassignFrame(stored, q, newCents))
+      // refresh the stored-side drift baseline to the NEW quantizer
+      // (index-scale: cells × Dim rows) so a running maintainer's drift
+      // evidence tracks the retrained generation (Streams.ivfIncrRepoSink
+      // prefers this over its caller-supplied fallback). A crash here
+      // leaves the baseline missing/stale; re-running the retrain repairs
+      // it like every other step of the ladder.
+      Similarity.ivfDimAgg(q, newCents, "s_d", "n_s")
+        .write.mode("overwrite").parquet(s"$repoDir/$StoredAggObj")
+      newCents.size
+    } finally ephemeral.foreach(_.unpersist())
   }
 
   /** The retrain assignment-rewrite frame (every indexed vec_id
@@ -220,9 +247,13 @@ object IvfIndexRepo {
   def appendBatch(s: SparkSession, repoDir: String, vecs: DataFrame,
                   loadTs: String): Long = {
     import graft.queries.Similarity
-    val assigned = Similarity.assignCells(
-        Similarity.withQuantized(vecs.select(col("vec_id"), col("embedding"))),
-        centroids(s, repoDir))
+    // reuse a pre-quantized `q` column when the caller has one (the
+    // registered retrain op passes the session-memoized qVecs cache);
+    // the quantization expression is identical either way
+    val qf =
+      if (vecs.columns.contains("q")) vecs.select(col("vec_id"), col("q"))
+      else Similarity.withQuantized(vecs.select(col("vec_id"), col("embedding")))
+    val assigned = Similarity.assignCells(qf, centroids(s, repoDir))
       .select(col("vec_id"), col("cell"), lit(loadTs).as("load_ts"))
     appendAssigned(s, repoDir, assigned)
   }

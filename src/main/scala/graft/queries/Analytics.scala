@@ -371,11 +371,18 @@ object Analytics extends QueryModule with MoneyArithmetic {
     val o = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("oms"))
-    val w = Window.partitionBy("event_id").orderBy(col("oms").desc, col("o_orderkey").desc)
+    // max(struct(oms, o_orderkey)) replaces the row_number window (r14,
+    // guide §2.3 "aggregate before you shuffle"): the window shipped every
+    // (event × earlier-order) candidate row through the event_id exchange
+    // and sorted it; the aggregate collapses each event's candidates to
+    // one row MAP-SIDE before the exchange and needs no sort. The struct
+    // max is exactly the (oms DESC, o_orderkey DESC) rk=1 row. event_id is
+    // unique, so grouping by (event_id, user_id) only carries user_id.
     e.join(o, e("user_id") === o("o_custkey") && o("oms") <= e("tms"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"), col("oms").as("last_order_ms"))
+      .groupBy("event_id", "user_id")
+      .agg(max(struct(col("oms"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("user_id"),
+        col("m.o_orderkey").as("last_orderkey"), col("m.oms").as("last_order_ms"))
       .orderBy("event_id")
   }
 

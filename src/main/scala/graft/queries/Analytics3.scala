@@ -31,14 +31,27 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
   private val Q2TopK = 100
 
   private def q2(s: SparkSession, dir: String): DataFrame = {
-    val cost = Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(dec2(col("l_extendedprice"))).as("cost"))
     val supp = Tables.load(s, dir, "supplier")
       .join(Tables.load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === Q2Region)
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val partKeys = Tables.load(s, dir, "part")
+      .filter(col("p_type") === Q2Type && col("p_size") <= Q2MaxSize)
+      .select("p_partkey")
+    // Pre-filter the big side BEFORE the (part, supp) aggregation (r14,
+    // guide §3.2): only filtered-part × region-supplier lines can reach
+    // the output — the min-cost subquery groups by (partkey, suppkey), so
+    // dropping non-qualifying groups before the aggregate leaves every
+    // surviving group's min unchanged. Two broadcast semi-joins cut the
+    // rows entering the only corpus-scale exchange by ~the dimension
+    // selectivities instead of aggregating all of lineitem.
+    val cost = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(partKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(dec2(col("l_extendedprice"))).as("cost"))
     val sc = cost.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
     val minc = sc.groupBy(col("l_partkey").as("pk")).agg(min("cost").as("min_cost"))
     val parts = Tables.load(s, dir, "part")

@@ -226,10 +226,19 @@ object Rank extends QueryModule {
   }
 
   /** One PageRank round: rank flows src→dst over the degree-annotated
-    * edges, one equi-join + one dst-keyed aggregation.
+    * edges, one equi-join + one dst-keyed aggregation. `broadcastRank`
+    * makes the intended small-n broadcast EXPLICIT (r14, guide §3.1): the
+    * localCheckpoint'd frames are LogicalRDDs with no size statistics, so
+    * the planner defaulted every round to SortMergeJoin — both sides
+    * exchanged + sorted per round, relying on AQE to notice at runtime.
+    * With the hint the rounds plan broadcast statically and the edge side
+    * never exchanges (the choice stays gated on the measured node count —
+    * pagerank() passes it only below PrBroadcastableNodes).
     */
-  private[graft] def prIteration(edgesD: DataFrame, rank: DataFrame, tele: Long): DataFrame =
-    edgesD.join(rank, edgesD("src") === rank("node_id"))
+  private[graft] def prIteration(edgesD: DataFrame, rank: DataFrame, tele: Long,
+                                 broadcastRank: Boolean = false): DataFrame =
+    edgesD.join(if (broadcastRank) broadcast(rank) else rank,
+        edgesD("src") === rank("node_id"))
       .select(col("dst"), expr("r div deg").as("contrib"))
       .groupBy("dst").agg(sum("contrib").as("csum"))
       .select(col("dst").as("node_id"),
@@ -273,7 +282,7 @@ object Rank extends QueryModule {
     // steps that re-reference the iterated frame. edgesD IS materialized
     // above: it is re-joined every round.
     for (_ <- 1 to PrIters)
-      rank = prIteration(edgesD, rank, tele)
+      rank = prIteration(edgesD, rank, tele, broadcastRank = n <= PrBroadcastableNodes)
     rank.select(col("node_id"),
         when(col("node_id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
         col("r").as("rank_pico"))

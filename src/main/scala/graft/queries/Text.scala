@@ -492,22 +492,38 @@ object Text extends QueryModule {
     // length > 0 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
     // DuckDB's generate_series(1, 0) is empty — filter empty docs out
     // explicitly so both engines drop them the same way.
-    val chars = Tables.load(s, dir, "documents")
+    //
+    // SCAN-LOCAL histogram (r14, guide §2.4 "remove shuffles outright"):
+    // the old shape exploded every character into a (doc_id, ch) row and
+    // paid TWO corpus-chars-scale exchanges (hist keyed (doc, ch), then a
+    // doc-keyed rollup). Every statistic is per-document, so the whole
+    // histogram folds inside the row: sort the same per-char array the
+    // explode produced, then one run-length aggregate pass threads
+    // (prev char, run, distinct, max-run, Σrun²) — no shuffle anywhere
+    // but the final ORDER BY. Counts are the same integers grouped the
+    // same way, so both engines' values are unchanged; the DECIMAL(38,0)
+    // overflow routing on Σc²·1e6 is kept verbatim.
+    Tables.load(s, dir, "documents")
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_chars_t"), count(lit(1)).as("distinct_chars"),
-        max("c").as("top_c"), sum(expr("c * c")).as("sumsq"))
-      .select(col("doc_id"), col("n_chars_t"), col("distinct_chars"),
-        // DECIMAL(38,0) routing (r12 ADVICE): sumsq*1e6 wraps BIGINT once a
-        // doc's Σc² exceeds ~9.2e12 (~3M chars concentrated on few chars)
-        // while the oracle's sum(c*c) is HUGEINT-exact — the corpus_zipf_check
-        // discipline applied here; div on decimals returns BIGINT.
-        expr("cast(sumsq as decimal(38,0)) * 1000000 div (cast(n_chars_t as decimal(38,0)) * n_chars_t)")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"),
+        expr(
+          """aggregate(
+            |  array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1))),
+            |  named_struct('prev', cast(null as string), 'run', 0L,
+            |               'dc', 0L, 'mx', 0L, 'ss', 0L),
+            |  (st, ch) -> if(st.prev is null or st.prev != ch,
+            |    named_struct('prev', ch, 'run', 1L, 'dc', st.dc + 1L,
+            |                 'mx', greatest(st.mx, st.run),
+            |                 'ss', st.ss + st.run * st.run),
+            |    named_struct('prev', ch, 'run', st.run + 1L, 'dc', st.dc,
+            |                 'mx', st.mx, 'ss', st.ss)),
+            |  st -> named_struct('dc', st.dc, 'mx', greatest(st.mx, st.run),
+            |                     'ss', st.ss + st.run * st.run))""".stripMargin).as("h"))
+      .select(col("doc_id"), col("n_chars_t"),
+        col("h.dc").as("distinct_chars"),
+        expr("cast(h.ss as decimal(38,0)) * 1000000 div (cast(n_chars_t as decimal(38,0)) * n_chars_t)")
           .as("collision_micro"),
-        expr("top_c * 100L div n_chars_t").as("top_char_pct"))
+        expr("h.mx * 100L div n_chars_t").as("top_char_pct"))
       .withColumn("flagged",
         when(col("top_char_pct") >= DiversityTopPct ||
             col("distinct_chars") < DiversityMinDistinct, 1L).otherwise(0L))
