@@ -17,31 +17,32 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Scale-adaptive scan balancing (r14, optimization guide §2.5 "input
-    * skew" / §1.2 step 1). The driver's gate tables are single-file,
-    * SINGLE-ROW-GROUP parquet (sf0.1: lineitem = 600k rows, one 10.8 MB
-    * row group), so every scan collapses to ONE partition no matter what
+  /** Scale-adaptive scan balancing — EXPLICIT call sites only (r14 second
+    * measurement pass). The gate tables are single-file, SINGLE-ROW-GROUP
+    * parquet, so a scan is ONE partition no matter what
     * `spark.sql.files.maxPartitionBytes` says (byte-range splits can't cut
-    * inside a row group) — and every per-row map BEFORE the first exchange
-    * (dv_hash sha256 canon, tokenization regexes, the IVF argmax, PNG
-    * codecs) ran single-threaded on a 32-core session. A round-robin
-    * repartition up to the session's parallelism unlocks the map side for
-    * the price of shuffling the (few-MB) raw table once.
+    * inside a row group) and any per-row map before the first exchange
+    * runs single-threaded. Batch 1 balanced EVERY load; the full-registry
+    * re-measure showed that regresses the tail: the extra exchange costs
+    * +0.3..1.6 s per op across ~100 light ops (A/B at sf0.1:
+    * dedup_cluster +1.37, asof_join +1.47, dv_link_lineitem +1.63,
+    * q10 +1.00 …) because the expensive derived frames (Docs.enriched
+    * tokens, qVecs quantization) are session-CACHED — their serialized map
+    * cost is paid once per session, while a blanket balance taxes every
+    * scan of every op. Balancing now happens only where a caller declares
+    * heavy UNCACHED scan-local per-row work (text_char_diversity's
+    * run-length kernel: 5.53 s raw vs 0.86 s balanced — the one measured
+    * case where the win is real and recurring).
     *
-    * Scale-adaptive, not constant-tuned: it fires only when the scan's own
-    * partition count is BELOW the session default parallelism — at cluster
-    * scale a real table's splits already exceed it and this is a no-op, so
-    * nothing here shuffles a 100 TB corpus. Broadcast-scale dimension
-    * tables (region/nation/part/supplier, < [[BalanceMinBytes]] on disk)
-    * are exempt: their map work is trivial and the extra stage would be
-    * pure scheduling overhead. `GRAFT_BALANCE_SCANS=off` restores raw
-    * scans both ways.
-    *
-    * Correctness: every operator is already row-order-insensitive by
-    * construction — the DuckDB oracle evaluates in a completely different
-    * physical order, SURVEY §5 bans hashing computed doubles, and every
-    * collect_list in the tree is array_sort-ed — so partitioning is free
-    * to change (the r14 full gate re-proves it at every SF).
+    * Scale-adaptive as before: fires only when the scan's partition count
+    * is below the session parallelism (a no-op at cluster scale — nothing
+    * here shuffles a 100 TB corpus), skips sub-[[BalanceMinBytes]]
+    * broadcast-scale dims, hash-distributes on ONE key-named column (NOT
+    * round-robin — keyless repartition(n) locally sorts its single input
+    * partition first, guide §2.5; NOT a whole-row hash — that would defeat
+    * column pruning). `GRAFT_BALANCE_SCANS=off` restores raw scans.
+    * Row order is free to change: every operator is order-insensitive by
+    * construction (SURVEY §5; the full gate re-proves it at every SF).
     */
   val BalanceMinBytes: Long = 256L * 1024
   private val balanceCache =
@@ -58,15 +59,6 @@ object Tables {
     })
     (want, balanceKey(df)) match {
       case (false, _) | (_, None) => df
-      // hash-distribute on ONE key-named column, NOT round-robin and NOT
-      // a whole-row hash: keyless repartition(n) first LOCALLY SORTS its
-      // input for retry determinism (spark.sql.execution.
-      // sortBeforeRepartition, guide §2.5) — and that sort runs inside the
-      // single scan partition this exists to break up (measured +0.6 s on
-      // q2) — while a whole-row hash would reference every column and
-      // defeat column pruning at the scan. xxhash64(key) is deterministic
-      // under retries; every gate table's id/key column is unique or
-      // near-unique, so 32-way spread is even.
       case (true, Some(k)) =>
         df.repartition(spark.sparkContext.defaultParallelism, xxhash64(col(k)))
     }
@@ -81,7 +73,15 @@ object Tables {
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
     }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** [[load]] + the scale-adaptive balance — for callers whose plan runs
+    * heavy per-row work scan-locally (before any exchange) on a frame that
+    * is NOT session-cached. See the balancing note above for why this is
+    * opt-in per call site rather than blanket.
+    */
+  def loadBalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
     val p = path(dir, name)
     balanced(spark, spark.read.parquet(p), p)
   }

@@ -105,21 +105,54 @@ object Classify {
       val sigs = sigByTable(t)
       val atomic = cols.filterNot(SourceSchemas.isComplex)
       def needsUniq(c: Col) = sigs.find(_.column.name == c.name).exists(_.needsUniq)
-      val aggs = atomic.flatMap { c =>
-        val nd =
-          if (needsUniq(c)) countDistinct(col(c.name)).as(s"nd_${c.name}")
-          else lit(0L).as(s"nd_${c.name}")
-        Seq(nd, count(col(c.name)).as(s"nn_${c.name}"))
-      } :+ count(lit(1)).as("n_rows")
+      // r14 (guide §2.3 "aggregate before you shuffle" — the dv_source_
+      // profile discipline applied to the classifier's own profiling pass):
+      // k exact countDistincts in ONE Aggregate plan an Expand that
+      // replicates the input (k+1)-fold through a single exchange —
+      // measured ~13 s for the 10-table profile at sf0.1, the dominant
+      // one-time cost of every classification session. Now: one plain
+      // no-distinct aggregate per table (row count + per-column non-null
+      // counts — scan-local partials, no Expand), plus one stack-unpivot
+      // (column, value) two-phase agg for ONLY the uniq-consulted columns
+      // — partial aggregation collapses repeated values map-side, and the
+      // shuffle is keyed by VALUE so a high-cardinality column spreads
+      // instead of concentrating (the same measured 2.5s→1.2s shape as
+      // dv_source_profile). The distinct counts stay EXACT and identical:
+      // CAST(x AS STRING) is injective for every uniq-consulted type
+      // (guarded below — a drifted column type fails loudly, never counts
+      // differently from the oracle's count(DISTINCT)).
+      val uniqSafeTypes = Set("int", "bigint", "varchar", "date")
+      val aggs = atomic.map(c => count(col(c.name)).as(s"nn_${c.name}")) :+
+        count(lit(1)).as("n_rows")
       val one = src.agg(aggs.head, aggs.tail: _*)
       val stackExpr = s"stack(${atomic.size}, " +
-        atomic.map(c => s"'${c.name}', nd_${c.name}, nn_${c.name}").mkString(", ") +
-        ") as (column_name, n_distinct, n_nonnull)"
-      val stacked = one.select(lit(t).as("table_name"), col("n_rows"), expr(stackExpr))
+        atomic.map(c => s"'${c.name}', nn_${c.name}").mkString(", ") +
+        ") as (column_name, n_nonnull)"
+      val plain = one.select(lit(t).as("table_name"), col("n_rows"), expr(stackExpr))
+      val uniqCols = atomic.filter(needsUniq)
+      val withNd =
+        if (uniqCols.isEmpty) plain.withColumn("n_distinct", lit(0L))
+        else {
+          uniqCols.filterNot(c => uniqSafeTypes.contains(c.typeName)).foreach(c =>
+            throw new IllegalStateException(
+              s"$t.${c.name} (${c.typeName}) is uniq-consulted but not injectively " +
+                "string-castable — extend Classify.statsDfUncached's canon"))
+          val uStack = s"stack(${uniqCols.size}, " +
+            uniqCols.map(c => s"'${c.name}', CAST(${c.name} AS STRING)").mkString(", ") +
+            ") as (column_name, v)"
+          val nd = src.select(expr(uStack))
+            .groupBy(col("column_name"), col("v")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("column_name"))
+            .agg(sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("nd"))
+          plain.join(broadcast(nd), Seq("column_name"), "left")
+            .withColumn("n_distinct", coalesce(col("nd"), lit(0L))).drop("nd")
+        }
+      val base = withNd.select(col("table_name"), col("n_rows"), col("column_name"),
+        col("n_distinct"), col("n_nonnull"))
       val complexRows = cols.filter(SourceSchemas.isComplex).map(c =>
         one.select(lit(t).as("table_name"), col("n_rows"),
           lit(c.name).as("column_name"), lit(0L).as("n_distinct"), lit(0L).as("n_nonnull")))
-      complexRows.foldLeft(stacked)(_ unionByName _)
+      complexRows.foldLeft(base)(_ unionByName _)
     }
     perTable.reduce(_ unionByName _)
   }

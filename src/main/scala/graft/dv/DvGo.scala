@@ -73,6 +73,30 @@ object DvGo {
       .replace("-", "").take(12) + "_"
   }
 
+  /** One column-pruned persist per source table, shared by every object
+    * built from that table (the r9 share-the-scan fix, factored out so
+    * goDerivedParity's 22 frames share it too). Deliberately NOT
+    * repartitioned before the persist: an interleaved A/B at sf0.1 showed
+    * balancing the cached projection — a win when objects write
+    * SEQUENTIALLY (sat_lineitem 3.36→2.05 s) — consistently LOSES under
+    * go()'s real concurrent writes (dv_go_build 4.6/5.7 s raw vs
+    * 6.3/7.2 s balanced; bucketed likewise), because the in-flight objects
+    * already saturate the cores and the extra exchanges are pure added
+    * work. Callers unpersist the values when done.
+    */
+  private def sharedSources(s: SparkSession, dir: String, wantHub: Seq[DerivedHub],
+                            wantSat: Seq[SatSpec], wantLink: Seq[LinkSpec]): Map[String, DataFrame] = {
+    val neededCols: Map[String, Seq[String]] =
+      (wantHub.flatMap(h => h.sources.map(src => src.table -> src.parts.map(_.name))) ++
+        wantSat.map(t => t.sourceTable -> (t.bkParts ++ t.descriptors).map(_.name)) ++
+        wantLink.map(l => l.sourceTable -> (l.members.flatMap(_.parts) ++ l.degenerate).map(_.name)))
+        .groupBy(_._1).map { case (t, cs) => t -> cs.flatMap(_._2).distinct.toSeq }
+    neededCols.map { case (t, cs) =>
+      t -> Tables.load(s, dir, t).select(cs.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
   /** One-click build. With `bucketed = true` every vault object is written
     * bucketed+sorted by its anti-join keys (Scale.writeBucketed's layout,
     * registered as external tables over `outDir`) — the layout that makes
@@ -97,15 +121,7 @@ object DvGo {
     val wantHub = p.hubs.filter(h => include(s"hub_${h.spec.name}"))
     val wantSat = p.sats.filter(t => include(s"sat_${t.name}"))
     val wantLink = p.links.filter(l => include(s"link_${l.name}"))
-    val neededCols: Map[String, Seq[String]] =
-      (wantHub.flatMap(h => h.sources.map(src => src.table -> src.parts.map(_.name))) ++
-        wantSat.map(t => t.sourceTable -> (t.bkParts ++ t.descriptors).map(_.name)) ++
-        wantLink.map(l => l.sourceTable -> (l.members.flatMap(_.parts) ++ l.degenerate).map(_.name)))
-        .groupBy(_._1).map { case (t, cs) => t -> cs.flatMap(_._2).distinct.toSeq }
-    val shared: Map[String, DataFrame] = neededCols.map { case (t, cs) =>
-      t -> Tables.load(s, dir, t).select(cs.map(col): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val shared: Map[String, DataFrame] = sharedSources(s, dir, wantHub, wantSat, wantLink)
     // ordered = false (r14): these frames go straight to parquet/bucketed
     // writes — the builders' trailing global sort would otherwise execute
     // as a range-exchange + sort per object before every write (guide
@@ -164,7 +180,7 @@ object DvGo {
         // at 52 GB peak). Below the threshold the original fully-
         // concurrent shape stands — a cluster deployment sizes the
         // threshold by executor-local disk instead.
-        val srcBytes = neededCols.keys.map(t => dirBytes(s, Tables.path(dir, t))).sum
+        val srcBytes = shared.keys.map(t => dirBytes(s, Tables.path(dir, t))).sum
         if (srcBytes <= SeqThresholdBytes) {
           // small sources: transient disk is nowhere near the node budget —
           // keep the fully-concurrent shape (staging + GC nudges measured
@@ -393,15 +409,27 @@ object DvGo {
   def goDerivedParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val derived = derivedPlan(s, dir)
+    val literal = DvPlanner.literalPlan
+    // ONE balanced, column-pruned persist per source table feeds BOTH
+    // plans' 22 frames (r14 — previously every frame re-scanned and
+    // re-hashed its source: 22 scans, each with its canon+sha on a single
+    // partition; now the canon+sha runs over the shared balanced cache)
+    val shared = sharedSources(s, dir,
+      derived.hubs ++ literal.hubs, derived.sats ++ literal.sats,
+      derived.links ++ literal.links)
     // ordered = false: each frame feeds ONE 1-row signature aggregate —
     // the optimizer eliminates sorts below aggregates anyway; the flag
     // keeps the logical plans honest about not needing order
     def frames(p: DvPlan): Map[String, DataFrame] =
-      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMulti(s, dir, h, ordered = false)) ++
-        p.sats.map(t => s"sat_${t.name}" -> DvBuild.sat(s, dir, t, ordered = false)) ++
-        p.links.map(l => s"link_${l.name}" -> DvBuild.link(s, dir, l, ordered = false))).toMap
+      (p.hubs.map(h => s"hub_${h.spec.name}" -> DvBuild.hubMultiFrom(s, h.spec,
+        h.sources.map(src => (src.table, shared(src.table), src.parts)),
+        ordered = false)) ++
+        p.sats.map(t => s"sat_${t.name}" ->
+          DvBuild.satFrom(shared(t.sourceTable), t, ordered = false)) ++
+        p.links.map(l => s"link_${l.name}" ->
+          DvBuild.linkFrom(shared(l.sourceTable), l, ordered = false))).toMap
     val derivedFrames = frames(derived)
-    val literalFrames = frames(DvPlanner.literalPlan)
+    val literalFrames = frames(literal)
     // Content equality via an order-independent signature: (row count,
     // XOR of per-row xxhash64) in ONE 1-row aggregate per frame — both
     // builder outputs are duplicate-free by construction (distinct /
@@ -417,15 +445,17 @@ object DvGo {
         coalesce(expr(s"bit_xor(xxhash64(struct(${df.columns.mkString(", ")})))"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
-    val rows = Await.result(Future.sequence(
-      literalFrames.toSeq.sortBy(_._1).map { case (name, litDf) =>
-        Future {
-          val drv = derivedFrames(name)
-          val (drvN, drvSig) = sig(drv)
-          val parity = drv.schema == litDf.schema && (drvN, drvSig) == sig(litDf)
-          (name, drvN, parity)
-        }
-      }), Duration.Inf)
+    val rows = try {
+      Await.result(Future.sequence(
+        literalFrames.toSeq.sortBy(_._1).map { case (name, litDf) =>
+          Future {
+            val drv = derivedFrames(name)
+            val (drvN, drvSig) = sig(drv)
+            val parity = drv.schema == litDf.schema && (drvN, drvSig) == sig(litDf)
+            (name, drvN, parity)
+          }
+        }), Duration.Inf)
+    } finally shared.values.foreach(_.unpersist())
     rows.toDF("object", "row_count", "matches_literal").orderBy("object")
   }
 

@@ -1,6 +1,6 @@
 package graft.dv
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Schema-driven incremental loading — the reference's continuous-load path:
@@ -33,39 +33,49 @@ object DvLoader {
   final case class DvSchemaRef(hubs: Seq[HubSpec], sats: Seq[SatSpec], links: Seq[LinkSpec],
                                bucketing: Option[Bucketing] = None)
 
-  private def cols(rows: scala.collection.Seq[Row]): Seq[Col] =
-    rows.map(r => Col(r.getAs[String]("name"), r.getAs[String]("type"))).toSeq
-
-  /** Parse the repo's dv_schema.json back into typed specs. */
+  /** Parse the repo's dv_schema.json back into typed specs.
+    *
+    * DRIVER-SIDE parse (r14, guide §5 "the driver should do almost no data
+    * work" read the other way round: metadata must never cost a CLUSTER
+    * job). The previous `spark.read.json(multiLine)` ran a schema-inference
+    * Spark job + collect per call — and this is called once per incremental
+    * load, TWICE per streaming micro-batch (streamTableLoadBatch +
+    * streamTableLoadPlans) and once per compaction/purge rewrite, so the
+    * bucketed E2E paid ~7 pure-overhead jobs per run and every streaming
+    * micro-batch paid two. The repo schema is a few-KB JSON document;
+    * Jackson (on Spark's own classpath) parses it in microseconds. Same
+    * fix shape as IvfIndexRepo.bucketing's meta parse. The SparkSession
+    * parameter stays: the schema file is read through the session's Hadoop
+    * FS so non-local repo URIs keep working.
+    */
   def readSchema(s: SparkSession, repoDir: String): DvSchemaRef = {
-    val row = s.read.option("multiLine", true).json(s"$repoDir/dv_schema.json").collect()(0)
-    def arr(r: Row, field: String): scala.collection.Seq[Row] =
-      r.getAs[scala.collection.Seq[Row]](field)
-    val bucketing =
-      if (!row.schema.fieldNames.contains("bucketing") || row.isNullAt(row.fieldIndex("bucketing"))) None
-      else {
-        val b = row.getAs[Row]("bucketing")
-        Some(Bucketing(b.getAs[String]("table_prefix"), b.getAs[Long]("buckets").toInt))
-      }
-    val hubs = arr(row, "hubs").map { h =>
-      HubSpec(h.getAs[String]("name"), h.getAs[String]("source"), cols(arr(h, "bk_parts")))
-    }.toSeq
-    val sats = arr(row, "satellites").map { t =>
-      // hk_column is optional in the repo (only link-orbiting satellites
-      // carry it); absent from every row → absent from the inferred schema
-      val hkColumn =
-        if (!t.schema.fieldNames.contains("hk_column") || t.isNullAt(t.fieldIndex("hk_column"))) None
-        else Some(t.getAs[String]("hk_column"))
-      SatSpec(t.getAs[String]("name"), t.getAs[String]("source"), t.getAs[String]("hub"),
-        cols(arr(t, "bk_parts")), cols(arr(t, "descriptors")), t.getAs[Boolean]("sensitive"),
-        hkColumn)
-    }.toSeq
-    val links = arr(row, "links").map { l =>
-      LinkSpec(l.getAs[String]("name"), l.getAs[String]("source"),
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(s"$repoDir/dv_schema.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val txt = scala.util.Using.resource(fs.open(p)) { in =>
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    def arr(n: com.fasterxml.jackson.databind.JsonNode, field: String) =
+      Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    def cols(n: com.fasterxml.jackson.databind.JsonNode, field: String): Seq[Col] =
+      arr(n, field).map(c => Col(c.get("name").asText(), c.get("type").asText()))
+    def optText(n: com.fasterxml.jackson.databind.JsonNode, field: String): Option[String] =
+      Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+    val bucketing = Option(root.get("bucketing")).filterNot(_.isNull).map(b =>
+      Bucketing(b.get("table_prefix").asText(), b.get("buckets").asInt()))
+    val hubs = arr(root, "hubs").map(h =>
+      HubSpec(h.get("name").asText(), h.get("source").asText(), cols(h, "bk_parts")))
+    val sats = arr(root, "satellites").map(t =>
+      SatSpec(t.get("name").asText(), t.get("source").asText(), t.get("hub").asText(),
+        cols(t, "bk_parts"), cols(t, "descriptors"), t.get("sensitive").asBoolean(),
+        // hk_column is optional in the repo (only link-orbiting satellites carry it)
+        optText(t, "hk_column")))
+    val links = arr(root, "links").map(l =>
+      LinkSpec(l.get("name").asText(), l.get("source").asText(),
         arr(l, "members").map(m =>
-          LinkMember(m.getAs[String]("hub"), cols(arr(m, "parts")))).toSeq,
-        cols(arr(l, "degenerate")))
-    }.toSeq
+          LinkMember(m.get("hub").asText(), cols(m, "parts"))),
+        cols(l, "degenerate")))
     DvSchemaRef(hubs, sats, links, bucketing)
   }
 

@@ -160,18 +160,30 @@ object DvMaintenance {
   def purgeSensitive(s: SparkSession, repoDir: String, obj: String,
                      victims: org.apache.spark.sql.DataFrame,
                      hkCol: String): (Long, Long) = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(obj.endsWith("_sensitive"),
       s"purgeSensitive: $obj is not a sensitive satellite — logical deletes (dv_sat_status) cover it")
-    val objPath = s"$repoDir/$obj"
-    val before = s.read.parquet(objPath).count()
+    // the (before, after) counts ride the rewrite's own write pass as
+    // observed metrics (r14, guide §1.2 step 1 "don't compute things you
+    // throw away"): the previous shape re-read the whole object twice —
+    // two extra passes that at 100 TB are real scans. Each branch is
+    // observed exactly once: before = ghosts + purgeable, after =
+    // survivors + ghosts (ghosts survive unconditionally).
+    val obsG = org.apache.spark.sql.Observation(s"purge_g_${System.nanoTime()}")
+    val obsP = org.apache.spark.sql.Observation(s"purge_p_${System.nanoTime()}")
+    val obsS = org.apache.spark.sql.Observation(s"purge_s_${System.nanoTime()}")
     rewriteBucketed(s, repoDir, obj, df => {
-      val (ghosts, purgeable) = (df.filter(col("record_source") === lit(DvDefaults.GhostSource)),
-        df.filter(col("record_source") =!= lit(DvDefaults.GhostSource)))
+      val ghosts = df.filter(col("record_source") === lit(DvDefaults.GhostSource))
+        .observe(obsG, count(lit(1)).as("n"))
+      val purgeable = df.filter(col("record_source") =!= lit(DvDefaults.GhostSource))
+        .observe(obsP, count(lit(1)).as("n"))
       purgeable.join(broadcast(victims.select(col(hkCol)).distinct()), Seq(hkCol), "left_anti")
+        .observe(obsS, count(lit(1)).as("n"))
         .unionByName(ghosts)
     })
-    (before, s.read.parquet(objPath).count())
+    val (g, p, surv) = (obsG.get("n").asInstanceOf[Long],
+      obsP.get("n").asInstanceOf[Long], obsS.get("n").asInstanceOf[Long])
+    (g + p, surv + g)
   }
 
   private def rewriteBucketed(s: SparkSession, repoDir: String, obj: String,

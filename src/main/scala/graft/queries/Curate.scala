@@ -521,13 +521,20 @@ object Curate extends QueryModule {
     def row(area: String, metric: String, df: DataFrame): DataFrame =
       df.select(lit(area).as("area"), lit(metric).as("metric"), col("value"))
     val docs = Docs.enriched(s, dir)
-    row("corpus", "n_docs", docs.agg(count(lit(1)).as("value")))
-      .unionByName(row("corpus", "n_tokens",
-        docs.agg(sum(size(col("toks")).cast("long")).as("value"))))
-      .unionByName(row("corpus", "n_langs",
-        docs.agg(countDistinct(col("lang")).as("value"))))
-      .unionByName(row("dedup", "exact_dup_docs",
-        docs.agg((count(lit(1)) - countDistinct(expr("sha2(norm, 256)"))).as("value"))))
+    // the four corpus-level metrics ride ONE aggregate pass over the cached
+    // docs (r14, guide §1.2: they were four separate passes — at 100 TB
+    // four corpus scans where one suffices; the two distincts group on
+    // narrow projections)
+    val corpusRows = docs.agg(
+        count(lit(1)).as("v_docs"),
+        sum(size(col("toks")).cast("long")).as("v_tokens"),
+        countDistinct(col("lang")).as("v_langs"),
+        (count(lit(1)) - countDistinct(expr("sha2(norm, 256)"))).as("v_dups"))
+      .select(expr(
+        "stack(4, 'corpus', 'n_docs', v_docs, 'corpus', 'n_tokens', v_tokens, " +
+          "'corpus', 'n_langs', v_langs, 'dedup', 'exact_dup_docs', v_dups)")
+        .as(Seq("area", "metric", "value")))
+    corpusRows
       .unionByName(row("dedup", "near_dup_pairs",
         Dedup.minhashLsh(s, dir).agg(count(lit(1)).as("value"))))
       .unionByName(row("quality", "low_quality_docs",

@@ -602,24 +602,38 @@ object DataVault extends QueryModule {
     val lineitem = Tables.load(s, dir, "lineitem")
     def check(table: String, rule: String, nRows: Long, nViol: Long) =
       (table, rule, nRows, nViol, if (nViol == 0L) 1L else 0L)
-    val nOrders = orders.count(); val nCust = customer.count(); val nLi = lineitem.count()
+    // ONE aggregate pass per table serves every scalar rule on that table,
+    // and the five remaining jobs run concurrently (r14, guide §1.2 step 1:
+    // the previous shape was NINE sequential jobs — three bare counts plus
+    // one filtered count per rule — i.e. nine scans of the sources where
+    // three multi-aggregate scans and two FK anti-join probes suffice).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def viol(pred: org.apache.spark.sql.Column) =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+    val ordersAggF = Future(orders.agg(
+      count(lit(1)), viol(col("o_totalprice") <= 0)).head)
+    val custAggF = Future(customer.agg(
+      count(lit(1)), countDistinct(col("c_custkey")), viol(col("c_acctbal").isNull)).head)
+    val liAggF = Future(lineitem.agg(
+      count(lit(1)), viol(col("l_quantity") < 1 || col("l_quantity") > 50)).head)
+    val fkOrdersF = Future(orders.select("o_custkey")
+      .join(customer.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .count())
+    val fkLiF = Future(lineitem.select("l_orderkey")
+      .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .count())
+    val (oAgg, cAgg, lAgg) = (Await.result(ordersAggF, Duration.Inf),
+      Await.result(custAggF, Duration.Inf), Await.result(liAggF, Duration.Inf))
+    val (nOrders, nCust, nLi) = (oAgg.getLong(0), cAgg.getLong(0), lAgg.getLong(0))
     val rows = Seq(
-      check("orders", "o_totalprice_positive", nOrders,
-        orders.filter(col("o_totalprice") <= 0).count()),
-      check("orders", "o_custkey_fk_customer", nOrders,
-        orders.select("o_custkey")
-          .join(customer.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
-          .count()),
-      check("lineitem", "l_orderkey_fk_orders", nLi,
-        lineitem.select("l_orderkey")
-          .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
-          .count()),
-      check("lineitem", "l_quantity_range_1_50", nLi,
-        lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count()),
-      check("customer", "c_custkey_unique", nCust,
-        nCust - customer.select("c_custkey").distinct().count()),
-      check("customer", "c_acctbal_not_null", nCust,
-        customer.filter(col("c_acctbal").isNull).count()))
+      check("orders", "o_totalprice_positive", nOrders, oAgg.getLong(1)),
+      check("orders", "o_custkey_fk_customer", nOrders, Await.result(fkOrdersF, Duration.Inf)),
+      check("lineitem", "l_orderkey_fk_orders", nLi, Await.result(fkLiF, Duration.Inf)),
+      check("lineitem", "l_quantity_range_1_50", nLi, lAgg.getLong(1)),
+      check("customer", "c_custkey_unique", nCust, nCust - cAgg.getLong(1)),
+      check("customer", "c_acctbal_not_null", nCust, cAgg.getLong(2)))
     rows.toDF("table_name", "rule", "n_rows", "n_violations", "pass")
       .orderBy("table_name", "rule")
   }

@@ -170,7 +170,17 @@ object Dedup extends QueryModule {
   /** All LSH-candidate pairs with their exact Jaccard — the pre-threshold
     * frame minhashLsh filters and the threshold-calibration curve bins.
     */
-  private[graft] def scoredCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    // memoized (r14, guide §1.2): SIX consumers re-ran the identical
+    // banded candidate join + shingle-intersect verification per call
+    // (dedup_minhash_lsh, dedup_threshold_curve, corpus_health,
+    // curate_prune_quality, dv_same_as_link, the cc-label base) — the
+    // scored pair set is pair-scale (LSH-pruned), so one cached
+    // materialization serves them all, like the shingle/band sets it
+    // derives from.
+    SessionCache.memo(s, "scored_cand_pairs", dir)(scoredCandidatePairsUncached(s, dir))
+
+  private def scoredCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val bands = minhashBands(s, dir)
     val cand = bands.as("a")

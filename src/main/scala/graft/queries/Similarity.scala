@@ -301,9 +301,18 @@ object Similarity extends QueryModule {
     val forSize = (n * bytesPerVec + TargetBlockBytes - 1) / TargetBlockBytes
     math.max(MinDedupBlocks.toLong, forSize).toInt
   }
+  /** Corpus row count, memoized per (session, dir): three sizing seams
+    * (blocked-dedup block count, prod plane count, the IVF query modulus)
+    * each re-ran this metadata count per invocation (r14, guide §1.2 —
+    * one tiny job each, but they add a scheduling round-trip to every
+    * IVF/dedup op that consults them).
+    */
+  private[queries] def embCount(s: SparkSession, dir: String): Long =
+    SessionCache.memoVal(s, "emb_count", dir)(emb(s, dir).count())
+
   private def dedupBlocks(s: SparkSession, dir: String): Int =
     SessionCache.memoVal(s, "dedup_blocks", dir) {
-      dedupBlocksFor(emb(s, dir).count())
+      dedupBlocksFor(embCount(s, dir))
     }
   // The STREAMING semantic-dedup gate shares this blocked corpus layout
   // (r12, closing the r11 weak grade #1): an arriving vector probes every
@@ -654,7 +663,7 @@ object Similarity extends QueryModule {
 
   private[graft] def prodPlanes(s: SparkSession, dir: String): Int =
     SessionCache.memoVal(s, "prod_planes", dir) {
-      prodPlanesFor(emb(s, dir).count())
+      prodPlanesFor(embCount(s, dir))
     }
 
   private[graft] def prodCoefs(planes: Int): Seq[Seq[Double]] =
@@ -851,7 +860,7 @@ object Similarity extends QueryModule {
     * bit-for-bit by [[ivfQueryModDuck]] on the oracle side.
     */
   private[graft] def ivfQueryMod(s: SparkSession, dir: String): Long = {
-    val n = emb(s, dir).count()
+    val n = embCount(s, dir)
     math.max(QueryMod.toLong, math.ceil(n.toDouble / IvfQueryCap).toLong)
   }
 

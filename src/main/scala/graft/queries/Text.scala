@@ -503,7 +503,11 @@ object Text extends QueryModule {
     // but the final ORDER BY. Counts are the same integers grouped the
     // same way, so both engines' values are unchanged; the DECIMAL(38,0)
     // overflow routing on Σc²·1e6 is kept verbatim.
-    Tables.load(s, dir, "documents")
+    // loadBalanced: the run-length kernel (array_sort over one row per
+    // character) is heavy per-row work running scan-locally with no cached
+    // intermediate — the one measured case where balancing the single-row-
+    // group gate scan wins big (0.86 s vs 5.53 s raw at sf0.1)
+    Tables.loadBalanced(s, dir, "documents")
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_t"),
         expr(
