@@ -68,6 +68,50 @@ object ProbeDv {
       DvLoader.deletePathQuietly(java.nio.file.Paths.get(outp), "probe seq")
       DvLoader.deletePathQuietly(java.nio.file.Paths.get(outb), "probe seqb")
     }
+    // single-exchange bucketed sat write: repartition on (hk, hd) BEFORE a
+    // groupBy(hk, hd) dedup — the agg preserves the partitioning, so the
+    // bucketed writer needs no second exchange. vs the current
+    // distinct-then-repartition two-exchange shape.
+    locally {
+      import graft.functions.GraftFunctions.{canon, dvHash}
+      val p = DvGo.derivedPlan(spark, sfDir)
+      val spec = p.sats.find(_.name == "lineitem").get
+      val src = Tables.load(spark, sfDir, spec.sourceTable)
+        .select((spec.bkParts ++ spec.descriptors).map(_.name).distinct.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      src.count()
+      val hk = dvHash(spec.bkParts.map(pp => canon(col(pp.name), pp.typeName))).as(spec.hkName)
+      val hd = dvHash(spec.descriptors.map(d => canon(col(d.name), d.typeName))).as(spec.hdName)
+      def projected = src.select((hk +: hd +: spec.descriptors.map(d => col(d.name))): _*)
+      def twoEx = DvBuild.satFrom(src, spec, ordered = false)
+        .repartition(16, col(spec.hkName), col(spec.hdName))
+      def oneEx = projected
+        .repartition(16, col(spec.hkName), col(spec.hdName))
+        .groupBy(col(spec.hkName), col(spec.hdName))
+        .agg(spec.descriptors.map(d => first(col(d.name)).as(d.name)).head,
+          spec.descriptors.map(d => first(col(d.name)).as(d.name)).tail: _*)
+        .select((col(spec.hkName) +: lit(DvDefaults.LoadTs).as("load_ts") +:
+          lit(DvDefaults.recordSource(spec.sourceTable)).as("record_source") +:
+          col(spec.hdName) +: spec.descriptors.map(d => col(d.name))): _*)
+      println("[probe] oneEx exchanges: " + oneEx.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange")))
+      println("[probe] twoEx exchanges: " + twoEx.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange")))
+      (1 to 3).foreach { i =>
+        def w(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          val o = java.nio.file.Files.createTempDirectory(s"probe_${tag}_").toString
+          val pr = s"probe_${tag}_${java.lang.Long.toHexString(System.nanoTime())}"
+          t(s"$tag write $i")(
+            df.write.mode("overwrite").format("parquet")
+              .bucketBy(16, spec.hkName, spec.hdName).sortBy(spec.hkName, spec.hdName)
+              .option("path", s"$o/sat").saveAsTable(pr))
+          spark.sql(s"DROP TABLE IF EXISTS $pr")
+          DvLoader.deletePathQuietly(java.nio.file.Paths.get(o), "probe")
+        }
+        w("twoEx", twoEx); w("oneEx", oneEx)
+      }
+      src.unpersist()
+    }
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass ---")
       // goBucketedE2E phase by phase

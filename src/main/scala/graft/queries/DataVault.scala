@@ -146,13 +146,31 @@ object DataVault extends QueryModule {
     * (bucketed vault repos make it shuffle-free on the stored side —
     * GoSpec pins that layout).
     */
+  /** The order-star vault objects both marts project from, built ONCE per
+    * session (r14, guide §1.2): dv_mart_star and dv_mart_auto each rebuilt
+    * link_orders + sat_orders + sat_customer — six builder passes (scan +
+    * canon + sha256 + distinct each) where three serve, exactly like a
+    * production mart layer reading ONE vault. Unordered: every mart
+    * consumer re-aggregates or re-orders its own output.
+    */
+  // keyed by the STRUCTURAL spec (case-class hash): dv_mart_auto builds
+  // from the DERIVED plan — parity-proven equal to the literal specs, in
+  // which case the frames share; a drifted derivation gets its own entry
+  // instead of silently serving the literal build
+  private def martLink(s: SparkSession, dir: String, spec: LinkSpec = linkOrders): DataFrame =
+    SessionCache.memo(s, s"mart_link_${spec.name}_${spec.hashCode}", dir)(
+      DvBuild.link(s, dir, spec, ordered = false))
+  private def martSat(s: SparkSession, dir: String, spec: SatSpec): DataFrame =
+    SessionCache.memo(s, s"mart_sat_${spec.name}_${spec.hashCode}", dir)(
+      DvBuild.sat(s, dir, spec, ordered = false))
+
   private def martStar(s: SparkSession, dir: String): DataFrame = {
-    val fact = DvBuild.link(s, dir, linkOrders)
+    val fact = martLink(s, dir)
       .select("hub_order_hk", "hub_customer_hk", "o_orderkey_bk", "o_custkey_bk")
-    val orderAttrs = DvBuild.sat(s, dir, satOrders)
+    val orderAttrs = martSat(s, dir, satOrders)
       .select(col("hub_order_hk"), col("o_orderstatus"), col("o_totalprice"),
         to_date(col("o_orderdate")).cast("string").as("order_date"))
-    val dim = DvBuild.sat(s, dir, satCustomer)
+    val dim = martSat(s, dir, satCustomer)
       .join(Tables.load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
       .select(col("hub_customer_hk"), col("c_mktsegment"),
@@ -421,11 +439,11 @@ object DataVault extends QueryModule {
       .getOrElse(sys.error(s"derived plan lacks sat_$n"))
     def linkSpec(n: String) = plan.links.find(_.name == n)
       .getOrElse(sys.error(s"derived plan lacks link_$n"))
-    val fact = DvBuild.link(s, dir, linkSpec("orders"))
+    val fact = martLink(s, dir, linkSpec("orders"))
       .select("hub_order_hk", "hub_customer_hk")
-    val oAttrs = DvBuild.sat(s, dir, satSpec("orders"))
+    val oAttrs = martSat(s, dir, satSpec("orders"))
       .select(col("hub_order_hk"), col("o_orderstatus"), col("o_totalprice"))
-    val cAttrs = DvBuild.sat(s, dir, satSpec("customer"))
+    val cAttrs = martSat(s, dir, satSpec("customer"))
       .select(col("hub_customer_hk"), col("c_nationkey"))
     val ref = Tables.load(s, dir, "nation")
       .join(Tables.load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))

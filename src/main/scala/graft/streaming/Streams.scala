@@ -316,20 +316,30 @@ object Streams {
 
   /** Exactly-once sink for [[nearDupStream]]: per micro-batch, distinct
     * (in_doc, corpus_doc) pairs anti-joined against the flagged-pairs
-    * parquet — redelivered or multi-band-matched pairs never double-land.
+    * store — redelivered or multi-band-matched pairs never double-land.
+    * The stored side is a BUCKETED catalog object keyed by the anti-join
+    * keys (r14, the IvfIndexRepo discipline via [[graft.dv.SinkRepo]]):
+    * the plain-parquet store reshuffled the full stored pair set on EVERY
+    * micro-batch at corpus-pair scale; bucketed-through-the-catalog, the
+    * anti-join's stored side needs no Exchange (swept in
+    * StreamPlanSweepSpec) and compaction covers the append debris.
     */
-  def nearDupBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit =
-    nearDupSinkPlan(spark, batch, outPath).write.mode("append").parquet(outPath)
+  private[graft] val NearDupKeys = Seq("in_doc", "corpus_doc")
+
+  def nearDupBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit = {
+    graft.dv.SinkRepo.ensure(spark, outPath)
+    graft.dv.SinkRepo.append(spark, outPath, NearDupKeys,
+      nearDupSinkPlan(spark, batch, outPath))
+  }
 
   /** The sink-side micro-batch PLAN of #49 (see [[hubLoadPlan]]). */
   def nearDupSinkPlan(spark: SparkSession, batch: DataFrame, outPath: String): DataFrame = {
     val pairs = batch.dropDuplicates("in_doc", "corpus_doc")
-    try {
-      val existing = spark.read.parquet(outPath).select("in_doc", "corpus_doc")
-      pairs.join(existing, Seq("in_doc", "corpus_doc"), "left_anti")
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException if graft.dv.DvLoader.isPathMissing(e) => pairs
-    }
+    if (graft.dv.SinkRepo.bucketing(spark, outPath).isDefined &&
+      graft.dv.SinkRepo.objExists(spark, outPath))
+      pairs.join(graft.dv.SinkRepo.stored(spark, outPath, NearDupKeys)
+        .select("in_doc", "corpus_doc"), NearDupKeys, "left_anti")
+    else pairs // fresh sink: full insert (the streamTableLoadPlans contract)
   }
 
   def nearDupSink(docs: DataFrame, corpusBands: DataFrame, corpusShingles: DataFrame,
@@ -795,17 +805,24 @@ object Streams {
 
   /** Exactly-once sink plan for #59 (the [[nearDupSinkPlan]] discipline on
     * (in_vec, corpus_vec)): multi-band matches and redelivered batches
-    * collapse to one stored row per pair.
+    * collapse to one stored row per pair. Stored side bucketed through the
+    * catalog (r14 — see [[nearDupSinkPlan]]).
     */
+  private[graft] val SemanticProdKeys = Seq("in_vec", "corpus_vec")
+
   def semanticProdSinkPlan(spark: SparkSession, batch: DataFrame, outPath: String): DataFrame = {
     val pairs = batch.dropDuplicates("in_vec", "corpus_vec")
-    try {
-      val existing = spark.read.parquet(outPath).select("in_vec", "corpus_vec")
-      pairs.join(existing, Seq("in_vec", "corpus_vec"), "left_anti")
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if graft.dv.DvLoader.isPathMissing(e) => pairs
-    }
+    if (graft.dv.SinkRepo.bucketing(spark, outPath).isDefined &&
+      graft.dv.SinkRepo.objExists(spark, outPath))
+      pairs.join(graft.dv.SinkRepo.stored(spark, outPath, SemanticProdKeys)
+        .select("in_vec", "corpus_vec"), SemanticProdKeys, "left_anti")
+    else pairs
+  }
+
+  def semanticProdBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit = {
+    graft.dv.SinkRepo.ensure(spark, outPath)
+    graft.dv.SinkRepo.append(spark, outPath, SemanticProdKeys,
+      semanticProdSinkPlan(spark, batch, outPath))
   }
 
   def semanticProdSink(vecs: DataFrame, corpusBands: DataFrame, corpusVecs: DataFrame,
@@ -814,7 +831,7 @@ object Streams {
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        semanticProdSinkPlan(b.sparkSession, b, outPath).write.mode("append").parquet(outPath)
+        semanticProdBatch(b.sparkSession, b, outPath)
       }
 
   /** #56: streaming INCREMENTAL IVF index maintenance — the streaming
@@ -1019,17 +1036,24 @@ object Streams {
 
   /** The sink-side micro-batch PLAN of #58 (see [[nearDupSinkPlan]]):
     * distinct (source, seq_id) windows anti-joined against the packed
-    * parquet — a replayed micro-batch appends nothing twice.
+    * store — a replayed micro-batch appends nothing twice. Stored side
+    * bucketed through the catalog (r14 — see [[nearDupSinkPlan]]).
     */
+  private[graft] val PackKeys = Seq("source", "seq_id")
+
   def packSinkPlan(spark: SparkSession, batch: DataFrame, outPath: String): DataFrame = {
     val rows = batch.dropDuplicates("source", "seq_id")
-    try {
-      val existing = spark.read.parquet(outPath).select("source", "seq_id")
-      rows.join(existing, Seq("source", "seq_id"), "left_anti")
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if graft.dv.DvLoader.isPathMissing(e) => rows
-    }
+    if (graft.dv.SinkRepo.bucketing(spark, outPath).isDefined &&
+      graft.dv.SinkRepo.objExists(spark, outPath))
+      rows.join(graft.dv.SinkRepo.stored(spark, outPath, PackKeys)
+        .select("source", "seq_id"), PackKeys, "left_anti")
+    else rows
+  }
+
+  def packSinkBatch(spark: SparkSession, batch: DataFrame, outPath: String): Unit = {
+    graft.dv.SinkRepo.ensure(spark, outPath)
+    graft.dv.SinkRepo.append(spark, outPath, PackKeys,
+      packSinkPlan(spark, batch, outPath))
   }
 
   def packWriteSink(docs: DataFrame, outPath: String, checkpoint: String) =
@@ -1037,7 +1061,7 @@ object Streams {
       .writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        packSinkPlan(b.sparkSession, b, outPath).write.mode("append").parquet(outPath)
+        packSinkBatch(b.sparkSession, b, outPath)
       }
 
   /** [[ivfIncrSink]] against the VAULT-DISCIPLINED index repo (r12 verdict

@@ -53,9 +53,9 @@ class StreamPlanSweepSpec extends SparkSpec {
     }
     locally {
       import spark.implicits._
-      Streams.packSinkPlan(spark,
+      Streams.packSinkBatch(spark,
         Seq(("all", 0L, 1L, 2048L, "seed")).toDF("source", "seq_id", "n_docs", "n_tokens", "seq_sha"),
-        s"$dir/packed").write.mode("append").parquet(s"$dir/packed")
+        s"$dir/packed")
     }
     locally {
       val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
@@ -70,9 +70,8 @@ class StreamPlanSweepSpec extends SparkSpec {
     }
     locally {
       import spark.implicits._
-      Streams.semanticProdSinkPlan(spark,
+      Streams.semanticProdBatch(spark,
         Seq((1L, 2L, 1.0)).toDF("in_vec", "corpus_vec", "cosine"), s"$dir/prodpairs")
-        .write.mode("append").parquet(s"$dir/prodpairs")
     }
     Files.createDirectories(Paths.get(s"$dir/repo"))
     Files.writeString(Paths.get(s"$dir/repo/dv_schema.json"),
@@ -230,10 +229,46 @@ class StreamPlanSweepSpec extends SparkSpec {
     assert(joining >= 8, s"only $joining swept ops contain joins — seeding broke?")
     // and the anti-join sinks really swept their stored side (seeded paths)
     Seq("stream_dv_hub_load", "stream_dv_sat_load", "stream_dv_link_load",
-        "stream_mart_refresh", "stream_dv_schema_load", "stream_ivf_incr").foreach { n =>
+        "stream_mart_refresh", "stream_dv_schema_load", "stream_ivf_incr",
+        "stream_near_dup", "stream_semantic_dedup_prod", "stream_pack_write").foreach { n =>
       assert(byName(n).exists(_.contains("LeftAnti")),
         s"$n plan lost its stored-side anti-join — the sweep is auditing a first-batch projection")
     }
+  }
+
+  test("pair/window sinks' exactly-once anti-join is Exchange-free on the bucketed stored side") {
+    import spark.implicits._
+    // r14 (VERDICT r13 #2): the three sinks' stored sides moved from plain
+    // parquet to SinkRepo's bucketed catalog objects. Force the shuffle
+    // join path (no auto-broadcast) and pin that ONLY the batch side
+    // exchanges — the stored side's bucket spec satisfies the anti-join's
+    // required distribution, so at corpus-pair scale nothing reshuffles
+    // the store per micro-batch (the GoSpec loader pin, sink edition).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(
+        ("near_dup", Streams.nearDupSinkPlan(spark,
+          Seq((3L, 4L, 0.9)).toDF("in_doc", "corpus_doc", "jaccard"), s"$tmp/pairs")),
+        ("semantic_prod", Streams.semanticProdSinkPlan(spark,
+          Seq((3L, 4L, 0.9)).toDF("in_vec", "corpus_vec", "cosine"), s"$tmp/prodpairs")),
+        ("pack", Streams.packSinkPlan(spark,
+          Seq(("all", 9L, 1L, 2048L, "y")).toDF("source", "seq_id", "n_docs", "n_tokens", "seq_sha"),
+          s"$tmp/packed"))
+      ).foreach { case (name, df) =>
+        val p = plan(df)
+        assert(p.contains("LeftAnti"), s"$name sink plan lost its anti-join:\n$p")
+        // the stored side must read through the bucketed catalog table …
+        assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"),
+          s"$name sink stored side is not a bucketed scan:\n$p")
+        // … and both remaining exchanges are BATCH-side (the dropDuplicates
+        // agg + its alignment to the bucket count). The plain-parquet
+        // predecessor planned a THIRD exchange — on the stored side — which
+        // at corpus-pair scale reshuffled the whole store per micro-batch.
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+        assert(exchanges <= 2, s"$name sink stored side shuffled ($exchanges exchanges):\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("sweep registry covers exactly the SURVEY §2.D streaming surface") {

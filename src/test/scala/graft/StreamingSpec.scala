@@ -328,7 +328,9 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Doc(900001L, srcText),
       Doc(900002L, "zq wv xk jn qp zr fz kv bn mq lx wz qy vt pk jx"))
     q.processAllAvailable()
-    val flagged = spark.read.parquet(s"$dir/pairs")
+    // content face of the bucketed sink repo (r14): rows live under
+    // <outPath>/rows, appended through the session catalog
+    val flagged = graft.dv.SinkRepo.read(spark, s"$dir/pairs")
     val first = flagged.collect()
     // the copy matches its source at jaccard 1.0; the clean doc never lands
     assert(first.exists(r => r.getAs[Long]("in_doc") == 900001L &&
@@ -341,7 +343,7 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Doc(900001L, srcText))
     q.processAllAvailable()
     q.stop()
-    assert(spark.read.parquet(s"$dir/pairs").count() == first.length)
+    assert(graft.dv.SinkRepo.read(spark, s"$dir/pairs").count() == first.length)
   }
 
   test("streaming curation gate: planted verdicts correct, batch parity on quality/lang") {
