@@ -312,16 +312,23 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   // counts per part attribute group; the exclusion is a broadcast
   // anti-join (the excluded set is supplier-cardinality, tiny vs lineitem).
   private def q16(s: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.load(s, dir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    // r14 (guide §2.3/§3.2): the (l_partkey, l_suppkey) pre-DISTINCT was a
+    // redundant corpus-scale exchange — countDistinct(l_suppkey) per
+    // (brand, type, size) group is unchanged by duplicate pairs (p_partkey
+    // is unique, so the part join never multiplies suppliers). Dropping it
+    // and joining the SELECTIVE filtered part side (broadcast) before the
+    // aggregate leaves ONE exchange, over part-filtered rows only, instead
+    // of two over the full pair set. Oracle unchanged — same distinct
+    // supplier count per group.
+    val pairs = Tables.load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
     val excl = Tables.load(s, dir, "supplier")
       .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
     val p = Tables.load(s, dir, "part")
       .filter(col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("MEDIUM") &&
         col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    ps.join(broadcast(excl), ps("l_suppkey") === excl("s_suppkey"), "left_anti")
-      .join(p, col("l_partkey") === col("p_partkey"))
+    pairs.join(broadcast(excl), pairs("l_suppkey") === excl("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -404,7 +411,19 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), to_date(col("l_shipdate")).as("sdate"))
+    // ONE order-keyed exchange serves the whole decorrelation (r14, guide
+    // §2.4 "two operations keyed the same way share one exchange"): the
+    // (order, supplier) aggregate, the per-order rollup AND the
+    // waiting⋈perOrder join all cluster by l_orderkey, but the planner's
+    // ENSURE_REQUIREMENTS shape paid three separate order-scale exchanges
+    // (the (okey, skey) partial barely shrinks — ~1 line per pair — so the
+    // pre-agg shuffles saved nothing). Repartitioning the joined rows by
+    // l_orderkey once satisfies every downstream distribution
+    // (HashPartitioning(okey) clusters (okey, skey) too), and the
+    // duplicated perSupp subtree dedupes through runtime exchange reuse.
     val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("sdate"), col("odate"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("sdate") > date_add(col("odate"), Q21LateDays), 1L).otherwise(0L)).as("late"))
     val perOrder = perSupp.groupBy("l_orderkey")

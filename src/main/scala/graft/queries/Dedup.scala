@@ -479,6 +479,13 @@ object Dedup extends QueryModule {
        |FROM (SELECT doc_id, $toksDuck AS toks FROM documents)
        |WHERE len(toks) >= 2""".stripMargin
 
+  /** Per-doc bigram-set sizes — memoized (r14): sim_ngram_jaccard and
+    * search_hybrid's sparse ranker both aggregate the identical frame.
+    */
+  private[queries] def bigramSizes(s: SparkSession, dir: String): DataFrame =
+    SessionCache.memo(s, "bigram_sizes", dir)(
+      bigrams(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n")))
+
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val bgr = bigrams(s, dir)
     val df = bgr.groupBy("bg").agg(count(lit(1)).as("d"))
@@ -486,7 +493,7 @@ object Dedup extends QueryModule {
     val cand = rare.as("a")
       .join(rare.as("b"), col("a.bg") === col("b.bg") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val sizes = bgr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = bigramSizes(s, dir)
     val inter = cand
       .join(bgr.as("ta"), col("ta.doc_id") === col("doc_a"))
       .join(bgr.as("tb"), col("tb.doc_id") === col("doc_b") && col("tb.bg") === col("ta.bg"))

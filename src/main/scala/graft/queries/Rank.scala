@@ -358,7 +358,7 @@ object Rank extends QueryModule {
       .select("query_id", "doc_id", "rank_dense")
     // sparse ranking: bigram-set Jaccard against the probe docs
     val bg = Dedup.bigrams(s, dir)
-    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = Dedup.bigramSizes(s, dir) // shared with sim_ngram_jaccard (r14)
     val pbg = broadcast(bg.filter(col("doc_id") < HybridProbes)
       .select(col("doc_id").as("query_id"), col("bg")))
     val psz = broadcast(sizes.filter(col("doc_id") < HybridProbes)
