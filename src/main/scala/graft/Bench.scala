@@ -83,6 +83,24 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"top20","unit":"sec","queries":$top20,"sf":"$sfDir"}""")
+    // ADDITIVE accounting line (r14 verdict #2): one-time session-cache
+    // builds (shared corpus passes like the tokenized docs / shingle /
+    // band frames) execute inside whichever query triggers them first —
+    // this line names each build and its wall-clock so per-query values
+    // are interpretable (first-consumer value minus its builds = the
+    // operator). Only builds at the BENCH sf are listed (warm-dir builds
+    // happen outside the timed region). The methodology, the timed loop
+    // and every pre-existing output line are unchanged.
+    val memoBuilds = graft.queries.SessionCache.buildLog(spark)
+      .filter(_._1.endsWith(s"@$sfDir")).sortBy(-_._2)
+      .map { case (k, v) =>
+        "\"" + k.stripSuffix(s"@$sfDir") + "\":" +
+          "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
+    val memoTotal = "%.3f".formatLocal(java.util.Locale.ROOT,
+      graft.queries.SessionCache.buildLog(spark)
+        .filter(_._1.endsWith(s"@$sfDir")).map(_._2).sum)
+    println(s"""{"metric":"memo_builds","unit":"sec","total":$memoTotal,"builds":$memoBuilds,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","single_pass_total":$singlePassTotal,"best_of_total":$total,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -76,6 +76,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** Size-gated forced-broadcast hint for SF-SCALING dimension sides
+    * (r14 verdict #5): part/supplier/customer-derived frames were hinted
+    * `broadcast(...)` unconditionally — correct at the gate SFs (the
+    * filtered side is KBs) but a forced driver/executor OOM at 100 TB,
+    * where those tables scale with SF (the pagerank PrBroadcastableNodes
+    * discipline, applied to the TPC-H dimension hints). The gate is the
+    * SOURCE table's on-disk bytes — a conservative upper bound on any
+    * frame derived from it, measured driver-side with zero Spark jobs.
+    * Above the threshold (or when the size is unknowable: remote URI,
+    * missing path → dirBytes 0) the hint is DROPPED, leaving the join
+    * strategy to the planner/AQE, which still picks broadcast when the
+    * runtime stats justify it. `graft.bcast.max.bytes` (sys prop, for the
+    * ScaleSpec fallback pin) / `GRAFT_BCAST_MAX_BYTES` (env, deployment)
+    * override the default, which matches the session's
+    * autoBroadcastJoinThreshold.
+    */
+  val ForcedBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
+  private def bcastMaxBytes: Long =
+    sys.props.get("graft.bcast.max.bytes").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_BCAST_MAX_BYTES").map(_.toLong))
+      .getOrElse(ForcedBroadcastMaxBytes)
+
+  def broadcastDim(spark: SparkSession, dir: String, table: String, df: DataFrame): DataFrame = {
+    val bytes = dirBytes(path(dir, table))
+    if (bytes > 0 && bytes <= bcastMaxBytes) broadcast(df) else df
+  }
+
   /** [[load]] + the scale-adaptive balance — for callers whose plan runs
     * heavy per-row work scan-locally (before any exchange) on a frame that
     * is NOT session-cached. See the balancing note above for why this is

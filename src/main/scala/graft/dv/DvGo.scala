@@ -410,10 +410,11 @@ object DvGo {
     import s.implicits._
     val derived = derivedPlan(s, dir)
     val literal = DvPlanner.literalPlan
-    // ONE balanced, column-pruned persist per source table feeds BOTH
-    // plans' 22 frames (r14 — previously every frame re-scanned and
-    // re-hashed its source: 22 scans, each with its canon+sha on a single
-    // partition; now the canon+sha runs over the shared balanced cache)
+    // ONE column-pruned persist per source table feeds BOTH plans' 22
+    // frames (r14 — previously every frame re-scanned and re-hashed its
+    // source: 22 scans each with its own canon+sha pass; now the canon+sha
+    // runs once over each shared cache; sharedSources deliberately does
+    // NOT balance/repartition — see its doc)
     val shared = sharedSources(s, dir,
       derived.hubs ++ literal.hubs, derived.sats ++ literal.sats,
       derived.links ++ literal.links)

@@ -43,10 +43,16 @@ object IvfIndexRepo {
   def init(s: SparkSession, repoDir: String, cents: Seq[(Long, Seq[Long])],
            tablePrefix: String, buckets: Int = 8): Unit = {
     import s.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(repoDir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$repoDir/ivf_meta.json"),
-      s"""{"table_prefix": "$tablePrefix", "buckets": $buckets}""")
+    // meta IO through the session's Hadoop FS (r15 ADVICE — the SinkRepo
+    // fix applied to the pre-existing pattern here): java.nio only worked
+    // for local repo URIs while the data layer handles any filesystem
+    val mp = new org.apache.hadoop.fs.Path(s"$repoDir/ivf_meta.json")
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(repoDir))
+    scala.util.Using.resource(fs.create(mp, true)) { out =>
+      out.write(s"""{"table_prefix": "$tablePrefix", "buckets": $buckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     cents.toDF("cell", "q").coalesce(1)
       .write.mode("overwrite").parquet(s"$repoDir/$CentObj")
   }
@@ -57,8 +63,11 @@ object IvfIndexRepo {
     // schema-inference Spark job on EVERY repo call (append, stored read,
     // rewrite, compaction: ~4 jobs per retrain lifecycle, one per streaming
     // micro-batch). Metadata must never cost a cluster job.
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$repoDir/ivf_meta.json"))
+    val mp = new org.apache.hadoop.fs.Path(s"$repoDir/ivf_meta.json")
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val txt = scala.util.Using.resource(fs.open(mp)) { in =>
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    }
     def field(k: String): String =
       s""""$k"\\s*:\\s*"?([^",}]+)"?""".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse(sys.error(s"ivf_meta.json at $repoDir lacks $k"))

@@ -28,7 +28,14 @@ object SinkRepo {
   /** The one stored object per sink repo. */
   val Obj = "rows"
 
-  private def metaPath(dir: String) = java.nio.file.Paths.get(s"$dir/sink_meta.json")
+  // Meta IO through the session's Hadoop FS (r15 ADVICE: java.nio worked
+  // for local paths only, while the data layer underneath already handles
+  // any supported filesystem URI — a sink on hdfs://s3 would have failed
+  // at the META read, the confusing place).
+  private def metaHPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/sink_meta.json")
+
+  private def hfs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Unique, rebuild-stable catalog prefix per sink dir (the
     * DvGo.tablePrefix derivation): normalized-path hash, so two sinks in
@@ -43,26 +50,59 @@ object SinkRepo {
   /** The sink's bucket spec, creating the meta on first call. Idempotent;
     * `buckets` only applies to the creating call (later calls read the
     * pinned spec — the dv_schema.json discipline).
+    *
+    * Guards (r15 ADVICE): a dir that already holds top-level part-* files
+    * but no sink_meta.json is a PRE-SinkRepo plain-parquet sink — its rows
+    * live outside `rows/`, so adopting it silently would make every stored
+    * row invisible to the anti-join (a resumed checkpoint would re-append
+    * previously flagged pairs). Fail loudly instead of violating
+    * exactly-once. Meta creation is write-temp + rename: rename does not
+    * overwrite, so two sessions racing a fresh sink both end up reading
+    * ONE winner's spec instead of interleaving a partial write.
     */
   def ensure(s: SparkSession, dir: String, buckets: Int = 8): DvLoader.Bucketing = {
-    if (!java.nio.file.Files.exists(metaPath(dir))) {
-      java.nio.file.Files.createDirectories(metaPath(dir).getParent)
-      java.nio.file.Files.writeString(metaPath(dir),
-        s"""{"table_prefix": "${tablePrefix(dir)}", "buckets": $buckets}""")
+    val mp = metaHPath(dir)
+    val fs = hfs(s, mp)
+    if (!fs.exists(mp)) {
+      val dirP = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(dirP)) {
+        val legacy = fs.listStatus(dirP).exists(st =>
+          st.isFile && st.getPath.getName.startsWith("part-"))
+        require(!legacy,
+          s"$dir holds top-level parquet files but no sink_meta.json — this is a " +
+            "pre-SinkRepo plain-parquet sink; migrate its files into " +
+            s"$dir/$Obj (and write a sink_meta.json) before reopening, or the " +
+            "stored rows would be invisible to the exactly-once anti-join")
+      }
+      fs.mkdirs(dirP)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".sink_meta.json.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      scala.util.Using.resource(fs.create(tmp, false)) { out =>
+        out.write(s"""{"table_prefix": "${tablePrefix(dir)}", "buckets": $buckets}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      // rename refuses an existing destination: the loser of a creation
+      // race cleans up its temp and reads the winner's pinned spec
+      if (!fs.rename(tmp, mp)) fs.delete(tmp, false)
     }
     bucketing(s, dir).get
   }
 
   /** Driver-side meta parse (metadata never costs a cluster job). */
-  def bucketing(s: SparkSession, dir: String): Option[DvLoader.Bucketing] =
-    if (!java.nio.file.Files.exists(metaPath(dir))) None
+  def bucketing(s: SparkSession, dir: String): Option[DvLoader.Bucketing] = {
+    val mp = metaHPath(dir)
+    val fs = hfs(s, mp)
+    if (!fs.exists(mp)) None
     else {
-      val txt = java.nio.file.Files.readString(metaPath(dir))
+      val txt = scala.util.Using.resource(fs.open(mp)) { in =>
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      }
       def field(k: String): String =
         s""""$k"\\s*:\\s*"?([^",}]+)"?""".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse(sys.error(s"sink_meta.json at $dir lacks $k"))
       Some(DvLoader.Bucketing(field("table_prefix"), field("buckets").trim.toInt))
     }
+  }
 
   /** True once the stored object has rows on disk (a fresh sink's first
     * micro-batch is a full insert — no stored side to anti-join).

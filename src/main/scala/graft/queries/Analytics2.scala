@@ -54,9 +54,9 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
       .select(col("c_custkey"), col("n_name").as("cust_nation"), col("c_nationkey").as("cnk"))
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
     li(s, dir)
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastDim(s, dir, "supplier", sup), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Tables.broadcastDim(s, dir, "customer", cust), col("o_custkey") === col("c_custkey"))
       .filter(col("snk").isin(1, 2, 3) && col("cnk").isin(1, 2, 3) && col("snk") =!= col("cnk"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(to_date(col("l_shipdate"))).as("l_year"))
@@ -147,7 +147,7 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     li(s, dir)
       .filter(to_date(col("l_shipdate")) >= lit("1996-03-01").cast("date") &&
         to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.broadcastDim(s, dir, "part", p), col("l_partkey") === col("p_partkey"))
       .agg((sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(new java.math.BigDecimal("0.00"))))
           .cast("double") * 100.0 /
         sum(discPrice).cast("double")).as("promo_revenue_pct"))
@@ -180,7 +180,7 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     val maxRev = rev.agg(max(col("rev_dec"))).head().getDecimal(0)
     val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
     rev.filter(col("rev_dec") === lit(maxRev))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastDim(s, dir, "supplier", sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("rev_dec").cast("double").as("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -203,7 +203,7 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
   // — the OR-of-ANDs pushdown form, adapted to the columns that exist.
   private def q19(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
-    val joined = li(s, dir).join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val joined = li(s, dir).join(Tables.broadcastDim(s, dir, "part", p), col("l_partkey") === col("p_partkey"))
     val bands =
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
@@ -327,8 +327,8 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
       .filter(col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("MEDIUM") &&
         col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    pairs.join(broadcast(excl), pairs("l_suppkey") === excl("s_suppkey"), "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    pairs.join(Tables.broadcastDim(s, dir, "supplier", excl), pairs("l_suppkey") === excl("s_suppkey"), "left_anti")
+      .join(Tables.broadcastDim(s, dir, "part", p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -366,7 +366,8 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     val byPart = shipped.groupBy(col("l_partkey").as("pk")).agg(sum("qty").as("part_qty"))
     bySupp.join(byPart, col("l_partkey") === col("pk"))
       .filter(col("supp_qty") * 2 > col("part_qty"))
-      .join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastDim(s, dir, "supplier", Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("l_partkey").as("p_partkey"),
         col("supp_qty").cast("double").as("supp_qty"),
         col("part_qty").cast("double").as("part_qty"))
@@ -435,7 +436,8 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     // group by the supplier KEY (names are not unique by schema) and keep
     // s_suppkey in the output so the top-k cut is fully deterministic even
     // under (numwait, s_name) ties
-    waiting.join(broadcast(Tables.load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    waiting.join(Tables.broadcastDim(s, dir, "supplier", Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("s_suppkey"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
       .limit(Q21TopK)
@@ -594,10 +596,10 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     val sup = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li(s, dir)
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.broadcastDim(s, dir, "part", promo), col("l_partkey") === col("p_partkey"), "left_semi")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastDim(s, dir, "customer", cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(Tables.broadcastDim(s, dir, "supplier", sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(to_date(col("o_orderdate"))).as("o_year"))
       .agg((sum(when(col("s_nationkey") === 1, discPrice)
           .otherwise(lit(new java.math.BigDecimal("0.00")))).cast("double") /
@@ -633,8 +635,8 @@ object Analytics2 extends QueryModule with MoneyArithmetic {
     val p = Tables.load(s, dir, "part").select("p_partkey", "p_retailprice")
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
     li(s, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastDim(s, dir, "part", p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.broadcastDim(s, dir, "supplier", sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(to_date(col("o_orderdate"))).as("o_year"))

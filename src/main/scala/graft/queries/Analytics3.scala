@@ -48,17 +48,19 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
     // selectivities instead of aggregating all of lineitem.
     val cost = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-      .join(broadcast(partKeys), col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(supp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(Tables.broadcastDim(s, dir, "part", partKeys),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.broadcastDim(s, dir, "supplier", supp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(dec2(col("l_extendedprice"))).as("cost"))
-    val sc = cost.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val sc = cost.join(Tables.broadcastDim(s, dir, "supplier", supp), col("l_suppkey") === col("s_suppkey"))
     val minc = sc.groupBy(col("l_partkey").as("pk")).agg(min("cost").as("min_cost"))
     val parts = Tables.load(s, dir, "part")
       .filter(col("p_type") === Q2Type && col("p_size") <= Q2MaxSize)
       .select("p_partkey", "p_brand")
     sc.join(minc, col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.broadcastDim(s, dir, "part", parts), col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         col("p_brand"), col("cost").cast("double").as("supply_cost"), col("s_suppkey"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -113,7 +115,7 @@ object Analytics3 extends QueryModule with MoneyArithmetic {
     // actions over this lineage — without materializing the compact
     // per-part frame the corpus aggregation would run twice.
     val value = Tables.load(s, dir, "lineitem")
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastDim(s, dir, "supplier", supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
       .agg(sum(discPrice).as("value"))
       .localCheckpoint()

@@ -55,33 +55,31 @@ object Analytics4 extends QueryModule {
   // two-phase rank.
   private val BasketK = 50
 
-  /** Per-order distinct part baskets — memoized: basket pairs, association
-    * rules and the triangle graph all start from this one aggregation of
-    * lineitem (r14, guide §1.2 step 1: three ops were each re-running the
-    * identical collect_set pass + pair explode + (a,b) count).
+  /** Per-order distinct part baskets — the one-scan kernel basket pairs,
+    * association rules and the triangle graph all derive from (the r14
+    * restructure that collapsed three lineitem scans into one per op).
+    * NOT memoized (r15; the r14 cross-query memo is gone per the r14
+    * verdict): each consumer pays its own single aggregation so its bench
+    * time measures the operator.
     */
   private[queries] def orderBaskets(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, "order_baskets", dir) {
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_orderkey").agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-    }
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
 
   /** Co-purchase pair support (a < b, count of co-ordering orders) — the
-    * shared kernel under orders_basket_pairs / orders_assoc_rules /
-    * graph_triangles, memoized once per (session, corpus).
+    * shared kernel shape under orders_basket_pairs / orders_assoc_rules /
+    * graph_triangles (un-memoized, see [[orderBaskets]]).
     */
   private[queries] def pairSupport(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, "copurchase_support", dir) {
-      orderBaskets(s, dir)
-        .select(explode(expr(
-          """CASE WHEN size(parts) < 2 THEN array()
-            |ELSE flatten(transform(sequence(1, size(parts) - 1), i ->
-            |  transform(sequence(i + 1, size(parts)), j ->
-            |    named_struct('a', parts[i - 1], 'b', parts[j - 1]))))
-            |END""".stripMargin)).as("e"))
-        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-        .agg(count(lit(1)).as("support"))
-    }
+    orderBaskets(s, dir)
+      .select(explode(expr(
+        """CASE WHEN size(parts) < 2 THEN array()
+          |ELSE flatten(transform(sequence(1, size(parts) - 1), i ->
+          |  transform(sequence(i + 1, size(parts)), j ->
+          |    named_struct('a', parts[i - 1], 'b', parts[j - 1]))))
+          |END""".stripMargin)).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
 
   private def basketPairs(s: SparkSession, dir: String): DataFrame = {
     val support = pairSupport(s, dir)
@@ -118,18 +116,21 @@ object Analytics4 extends QueryModule {
   // computation is constant work.
   private def assocRules(s: SparkSession, dir: String): DataFrame = {
     // per-part order counts and the order total both derive from the
-    // memoized basket frame (r14): parts is the per-order DISTINCT set, so
-    // exploding it reproduces op = SELECT DISTINCT (l_orderkey, l_partkey)
-    // exactly, and the basket row count IS the distinct-order count —
-    // three lineitem scans collapse into the one shared aggregation
+    // basket frame (r14 restructure): parts is the per-order DISTINCT set,
+    // so exploding it reproduces op = SELECT DISTINCT (l_orderkey,
+    // l_partkey) exactly, and the basket row count IS the distinct-order
+    // count — three lineitem scans collapse into one shared aggregation
+    // shape (the identical agg subtrees dedup via runtime exchange reuse)
     val baskets = orderBaskets(s, dir)
     val nOrders = SessionCache.memoVal(s, "n_basket_orders", dir)(baskets.count())
     val perPart = baskets.select(explode(col("parts")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
     val top = basketPairs(s, dir)
     top
-      .join(broadcast(perPart.select(col("l_partkey").as("p1"), col("n_part").as("n_a"))), "p1")
-      .join(broadcast(perPart.select(col("l_partkey").as("p2"), col("n_part").as("n_b"))), "p2")
+      .join(Tables.broadcastDim(s, dir, "part",
+        perPart.select(col("l_partkey").as("p1"), col("n_part").as("n_a"))), "p1")
+      .join(Tables.broadcastDim(s, dir, "part",
+        perPart.select(col("l_partkey").as("p2"), col("n_part").as("n_b"))), "p2")
       .select(col("rank"), col("p1"), col("p2"), col("support"), col("n_a"), col("n_b"),
         expr("support * 1000000 div n_a").as("conf_a_to_b_micro"),
         expr("support * 1000000 div n_b").as("conf_b_to_a_micro"),

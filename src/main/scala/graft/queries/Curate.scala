@@ -521,20 +521,28 @@ object Curate extends QueryModule {
     def row(area: String, metric: String, df: DataFrame): DataFrame =
       df.select(lit(area).as("area"), lit(metric).as("metric"), col("value"))
     val docs = Docs.enriched(s, dir)
-    // the four corpus-level metrics ride ONE aggregate pass over the cached
-    // docs (r14, guide §1.2: they were four separate passes — at 100 TB
-    // four corpus scans where one suffices; the two distincts group on
-    // narrow projections)
+    // TWO aggregate passes over the cached docs, each with at most ONE
+    // distinct column-set (r15, per the r14 verdict #7): the r14
+    // single-pass form put countDistinct(lang) and countDistinct(sha2)
+    // in one Aggregate, which plans an Expand replicating the docs frame
+    // 3x through the exchange — the exact shape Classify.statsDf removed.
+    // One distinct set + plain aggs plans as a plain two-level aggregate
+    // (AggUtils.planAggregateWithOneDistinct — no Expand), so splitting
+    // the two distincts costs one extra scan over the session-cached docs
+    // and removes the 3x replication at corpus scale.
     val corpusRows = docs.agg(
         count(lit(1)).as("v_docs"),
         sum(size(col("toks")).cast("long")).as("v_tokens"),
-        countDistinct(col("lang")).as("v_langs"),
-        (count(lit(1)) - countDistinct(expr("sha2(norm, 256)"))).as("v_dups"))
+        countDistinct(col("lang")).as("v_langs"))
       .select(expr(
-        "stack(4, 'corpus', 'n_docs', v_docs, 'corpus', 'n_tokens', v_tokens, " +
-          "'corpus', 'n_langs', v_langs, 'dedup', 'exact_dup_docs', v_dups)")
+        "stack(3, 'corpus', 'n_docs', v_docs, 'corpus', 'n_tokens', v_tokens, " +
+          "'corpus', 'n_langs', v_langs)")
         .as(Seq("area", "metric", "value")))
+    val dupRow = docs
+      .agg((count(lit(1)) - countDistinct(expr("sha2(norm, 256)"))).as("value"))
+      .select(lit("dedup").as("area"), lit("exact_dup_docs").as("metric"), col("value"))
     corpusRows
+      .unionByName(dupRow)
       .unionByName(row("dedup", "near_dup_pairs",
         Dedup.minhashLsh(s, dir).agg(count(lit(1)).as("value"))))
       .unionByName(row("quality", "low_quality_docs",

@@ -146,23 +146,18 @@ object DataVault extends QueryModule {
     * (bucketed vault repos make it shuffle-free on the stored side —
     * GoSpec pins that layout).
     */
-  /** The order-star vault objects both marts project from, built ONCE per
-    * session (r14, guide §1.2): dv_mart_star and dv_mart_auto each rebuilt
-    * link_orders + sat_orders + sat_customer — six builder passes (scan +
-    * canon + sha256 + distinct each) where three serve, exactly like a
-    * production mart layer reading ONE vault. Unordered: every mart
-    * consumer re-aggregates or re-orders its own output.
+  /** The order-star vault objects the marts project from. Unordered:
+    * every mart consumer re-aggregates or re-orders its own output.
+    * NOT memoized (r15; the r14 cross-query memo is gone per the r14
+    * verdict): each mart builds the objects it reads so its bench time
+    * measures the operator, and the hashCode-keyed memo entry the r15
+    * ADVICE flagged (32-bit spec-hash collision serving the wrong frame)
+    * is gone with it.
     */
-  // keyed by the STRUCTURAL spec (case-class hash): dv_mart_auto builds
-  // from the DERIVED plan — parity-proven equal to the literal specs, in
-  // which case the frames share; a drifted derivation gets its own entry
-  // instead of silently serving the literal build
   private def martLink(s: SparkSession, dir: String, spec: LinkSpec = linkOrders): DataFrame =
-    SessionCache.memo(s, s"mart_link_${spec.name}_${spec.hashCode}", dir)(
-      DvBuild.link(s, dir, spec, ordered = false))
+    DvBuild.link(s, dir, spec, ordered = false)
   private def martSat(s: SparkSession, dir: String, spec: SatSpec): DataFrame =
-    SessionCache.memo(s, s"mart_sat_${spec.name}_${spec.hashCode}", dir)(
-      DvBuild.sat(s, dir, spec, ordered = false))
+    DvBuild.sat(s, dir, spec, ordered = false)
 
   private def martStar(s: SparkSession, dir: String): DataFrame = {
     val fact = martLink(s, dir)

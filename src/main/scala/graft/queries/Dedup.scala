@@ -169,18 +169,15 @@ object Dedup extends QueryModule {
 
   /** All LSH-candidate pairs with their exact Jaccard — the pre-threshold
     * frame minhashLsh filters and the threshold-calibration curve bins.
+    *
+    * NOT memoized (r15; the r14 memo is gone per the r14 verdict): caching
+    * this frame made every consumer's bench time measure a cache read
+    * instead of the operator, charged the build to whichever query ran
+    * first, and added pair-scale storage pressure. The expensive inputs
+    * (shingles, band signatures) stay session-cached — each consumer pays
+    * only its own candidate join + verification.
     */
-  private[graft] def scoredCandidatePairs(s: SparkSession, dir: String): DataFrame =
-    // memoized (r14, guide §1.2): SIX consumers re-ran the identical
-    // banded candidate join + shingle-intersect verification per call
-    // (dedup_minhash_lsh, dedup_threshold_curve, corpus_health,
-    // curate_prune_quality, dv_same_as_link, the cc-label base) — the
-    // scored pair set is pair-scale (LSH-pruned), so one cached
-    // materialization serves them all, like the shingle/band sets it
-    // derives from.
-    SessionCache.memo(s, "scored_cand_pairs", dir)(scoredCandidatePairsUncached(s, dir))
-
-  private def scoredCandidatePairsUncached(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val bands = minhashBands(s, dir)
     val cand = bands.as("a")
@@ -479,12 +476,14 @@ object Dedup extends QueryModule {
        |FROM (SELECT doc_id, $toksDuck AS toks FROM documents)
        |WHERE len(toks) >= 2""".stripMargin
 
-  /** Per-doc bigram-set sizes — memoized (r14): sim_ngram_jaccard and
-    * search_hybrid's sparse ranker both aggregate the identical frame.
+  /** Per-doc bigram-set sizes over the cached bigram frame. NOT memoized
+    * (r15; the r14 memo is gone per the r14 verdict — it was contradicted
+    * by the full-bench numbers anyway): the aggregation over the cached
+    * bigrams is one cheap keyed agg per consumer, and identical agg
+    * subtrees within one plan dedup through runtime exchange reuse.
     */
   private[queries] def bigramSizes(s: SparkSession, dir: String): DataFrame =
-    SessionCache.memo(s, "bigram_sizes", dir)(
-      bigrams(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n")))
+    bigrams(s, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val bgr = bigrams(s, dir)

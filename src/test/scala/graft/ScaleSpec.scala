@@ -242,6 +242,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("forced dimension broadcasts are size-gated: hint fires at gate SF, drops above the threshold") {
+    // r14 verdict #5: part/supplier/customer-derived sides were hinted
+    // broadcast() unconditionally — at 100 TB those tables scale with SF
+    // and a forced broadcast OOMs. Tables.broadcastDim gates the hint on
+    // the SOURCE table's on-disk bytes. Pin BOTH directions with the
+    // planner's own broadcast heuristics off (threshold -1), so the only
+    // broadcast source is the hint itself: at the gate SF the hint fires
+    // (BroadcastHashJoin); with the gate forced to 0 bytes the hint is
+    // dropped and every dimension join provably falls back to a shuffle
+    // join — the scale behavior.
+    val prop = "graft.bcast.max.bytes"
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def bhjCount(plan: String): Int = "BroadcastHashJoin".r.findAllIn(plan).size
+    try {
+      // (query, join node the gated SF-scaling side must fall back to —
+      // nation/region hints stay, they are constant-cardinality; toString
+      // renders the join type AFTER the key lists, hence the regex)
+      for ((q, fallback) <- Seq(
+        "q2_min_cost_supplier" -> "SortMergeJoin .*LeftSemi".r,
+        "q16_supplier_cnt" -> "SortMergeJoin .*LeftAnti".r)) {
+        sys.props.remove(prop)
+        val hinted = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(hinted.contains("BroadcastHashJoin"),
+          s"$q: gate-SF plan lost its dimension broadcasts:\n$hinted")
+        assert(fallback.findFirstIn(hinted).isEmpty,
+          s"$q: gate-SF plan unexpectedly already shuffle-joins:\n$hinted")
+        sys.props(prop) = "0"
+        val gated = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(fallback.findFirstIn(gated).isDefined,
+          s"$q: above-threshold plan did not fall back to a shuffle join:\n$gated")
+        assert(bhjCount(gated) < bhjCount(hinted),
+          s"$q: gating removed no broadcast joins:\n$gated")
+      }
+    } finally {
+      sys.props.remove(prop)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    }
+  }
+
   test("simhash pair-chunk blocking: 15 keys per doc, bounded bucket occupancy") {
     val keyed = graft.queries.Dedup.simhashKeyed(spark, sfDir).cache()
     try {

@@ -17,6 +17,9 @@ Checks:
   B. The HIGHEST-round TESTS_r{N}.txt postdates the last commit touching
      src/ (git commit time if the log is committed, mtime if not yet) —
      i.e. the committed test log ran on the final tree.
+  C. Same staleness rule for the newest BENCH_r{N}_local.json (r14 verdict
+     #10: the r14 local bench artifact predated the round's batch-4 code
+     commit, so the committed numbers did not cover the final tree).
 
 Driver-written per-round files (VERDICT/ADVICE reference artifacts of
 rounds the judge produced) count as existing only if actually on disk —
@@ -52,13 +55,18 @@ def main():
                 if not os.path.exists(os.path.join(REPO, name)):
                     errs.append(f"{doc}:{ln_no} cites {name} which does not exist in the tree")
 
-    # B. newest TESTS log postdates the last src/ commit
-    tests = sorted(
-        (f for f in os.listdir(REPO) if re.fullmatch(r"TESTS_r\d+\.txt", f)),
-        key=lambda f: int(re.search(r"\d+", f).group()))
+    # B/C. newest TESTS log and newest local bench artifact postdate the
+    # last src/ commit (an artifact recorded before the final code change
+    # cannot be evidence about the final tree)
     src_ct = git("log", "-1", "--format=%ct", "--", "src/")
-    if tests and src_ct:
-        newest = tests[-1]
+
+    def check_stale(pattern, what):
+        arts = sorted(
+            (f for f in os.listdir(REPO) if re.fullmatch(pattern, f)),
+            key=lambda f: int(re.search(r"\d+", f).group()))
+        if not (arts and src_ct):
+            return arts
+        newest = arts[-1]
         committed_ct = git("log", "-1", "--format=%ct", "--", newest)
         dirty = bool(git("status", "--porcelain", "--", newest))
         # a re-recorded-but-not-yet-committed log is newer than its last
@@ -71,7 +79,11 @@ def main():
         if ts < int(src_ct):
             errs.append(
                 f"{newest} ({kind} {ts}) predates the last src/ commit ({src_ct}) — "
-                f"re-record the test log after the final code change")
+                f"re-record the {what} after the final code change")
+        return arts
+
+    tests = check_stale(r"TESTS_r\d+\.txt", "test log")
+    check_stale(r"BENCH_r\d+_local\.json", "local bench artifact")
 
     if errs:
         for e in errs:
