@@ -35,6 +35,20 @@ object ProbePollution {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum, infos.map(_.diskSize).sum, infos.length)
     }
+    // shuffle/blockmgr file accumulation: ContextCleaner only deletes
+    // shuffle files when the driver GC collects the referencing objects —
+    // with an 8 GB heap under low pressure that can be NEVER for a whole
+    // bench, so the block-manager dirs grow monotonically.
+    def blockFiles: (Long, Long) = {
+      val dirs = Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      val files = dirs.flatMap(walk)
+      (files.length.toLong, files.map(_.length()).sum)
+    }
     def time[T](f: => T): (Double, T) = {
       val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
     }
@@ -49,8 +63,10 @@ object ProbePollution {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       val (mem, disk, nRdd) = storage
+      val (nShuf, shufBytes) = blockFiles
       println(f"[probe] $label%-6s $n%-28s plan=$tPlan%6.2fs run=$tRun%6.2fs run2=$tRun2%6.2fs " +
-        f"gc=${gcMs / 1000.0}%7.1fs storMem=${mem / 1e6}%8.1fMB storDisk=${disk / 1e6}%8.1fMB nRdd=$nRdd%4d")
+        f"gc=${gcMs / 1000.0}%7.1fs storMem=${mem / 1e6}%8.1fMB nRdd=$nRdd%4d " +
+        f"shufFiles=$nShuf%6d shufMB=${shufBytes / 1e6}%8.1f")
     }
 
     probe("fresh")

@@ -91,12 +91,11 @@ object Classify {
   // ------------------------------------------------------------------
   // Spark side: one profiling agg per table, stacked to long form.
   // ------------------------------------------------------------------
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-
+  // r15: through SessionCache (was a local identityHashCode-keyed TrieMap
+  // — the GC'd-session collision hazard SessionCache's design notes warn
+  // about, and invisible to the bench's memo_builds accounting)
   private def statsDf(s: SparkSession, dir: String): DataFrame =
-    statsCache.getOrElseUpdate((System.identityHashCode(s).toString, dir),
-      statsDfUncached(s, dir).cache())
+    graft.queries.SessionCache.memo(s, "classify_stats", dir)(statsDfUncached(s, dir))
 
   private def statsDfUncached(s: SparkSession, dir: String): DataFrame = {
     val sigByTable = signals.groupBy(_.table)

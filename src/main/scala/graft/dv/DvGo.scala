@@ -452,7 +452,20 @@ object DvGo {
           Future {
             val drv = derivedFrames(name)
             val (drvN, drvSig) = sig(drv)
-            val parity = drv.schema == litDf.schema && (drvN, drvSig) == sig(litDf)
+            // r15: when the analyzer can PROVE the derived and literal
+            // frames compute the same result (sameResult — the
+            // CacheManager's own plan-equivalence test, expression-id
+            // normalized), the literal side's content aggregate is
+            // redundant: same plan ⟹ same rows ⟹ parity, by
+            // construction. That halves the op's corpus passes (22 → 11)
+            // in the no-drift steady state; ANY derivation drift makes
+            // sameResult false and the full content-signature compare
+            // runs exactly as before — the check never weakens, it just
+            // stops re-proving what the plan already proves.
+            val parity = drv.schema == litDf.schema && {
+              drv.queryExecution.analyzed.sameResult(litDf.queryExecution.analyzed) ||
+                (drvN, drvSig) == sig(litDf)
+            }
             (name, drvN, parity)
           }
         }), Duration.Inf)

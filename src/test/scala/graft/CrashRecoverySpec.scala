@@ -77,7 +77,7 @@ class CrashRecoverySpec extends SparkSpec {
       crashThenResume(dir,
         st => Streams.hubLoadSink(st, "user_id", s"$dir/hub", s"$dir/ckpt"),
         sliceA, sliceB)
-      val hub = spark.read.parquet(s"$dir/hub")
+      val hub = graft.dv.SinkRepo.read(spark, s"$dir/hub")
       // batch twin: one row per distinct user across both slices
       assert(hub.count() == 3, s"hub rows: ${hub.collect().mkString(", ")}")
       assert(hub.select("hub_hk").distinct().count() == 3, "duplicate hub keys after redelivery")
@@ -91,7 +91,7 @@ class CrashRecoverySpec extends SparkSpec {
       crashThenResume(dir,
         st => Streams.satLoadSink(st, "user_id", Seq("event_type"), s"$dir/sat", s"$dir/ckpt"),
         sliceA, sliceB)
-      val sat = spark.read.parquet(s"$dir/sat")
+      val sat = graft.dv.SinkRepo.read(spark, s"$dir/sat")
       // batch twin: one version per distinct (user, event_type):
       // (1,click) (2,click) (2,view) (3,buy) — 2's click re-arrival in
       // slice B and the whole replayed slice A must both be no-ops
@@ -107,7 +107,7 @@ class CrashRecoverySpec extends SparkSpec {
       crashThenResume(dir,
         st => Streams.linkLoadSink(st, Seq("user_id", "event_type"), s"$dir/link", s"$dir/ckpt"),
         sliceA, sliceB)
-      val link = spark.read.parquet(s"$dir/link")
+      val link = graft.dv.SinkRepo.read(spark, s"$dir/link")
       assert(link.count() == 4, s"link rows: ${link.collect().mkString(", ")}")
       assert(link.select("link_hk").distinct().count() == 4,
         "duplicate link keys after redelivery")

@@ -271,6 +271,43 @@ class StreamPlanSweepSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("standalone demo loaders' anti-join is Exchange-free on the bucketed stored side") {
+    // r15 (r14 verdict #9): the single-table teaching loaders (#40/#42/#45
+    // hub/sat/link + #47 mart refresh) took the same SinkRepo treatment as
+    // the pair/window sinks — stored rows live as ONE bucketed catalog
+    // object keyed by the anti-join key, so the per-micro-batch anti-join
+    // no longer reshuffles the whole store. Same pin as the sink test:
+    // forced shuffle joins, bucketed stored scan, no stored-side Exchange.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(
+        ("hub_load", Streams.hubLoadPlan(spark, ev.limit(50), "event_id", s"$tmp/hub", "t2")),
+        ("sat_load", Streams.satLoadPlan(spark, cust.limit(50), "c_custkey",
+          Seq("c_name", "c_acctbal"), s"$tmp/sat", "t2")),
+        ("link_load", Streams.linkLoadPlan(spark, ords.limit(50),
+          Seq("o_orderkey", "o_custkey"), s"$tmp/link", "t2")),
+        ("mart_refresh", Streams.martRefreshPlan(spark, ords.limit(50),
+          Streams.martDims(spark, sfDir), s"$tmp/mart", "t2"))
+      ).foreach { case (name, df) =>
+        val p = plan(df)
+        assert(p.contains("LeftAnti"), s"$name plan lost its anti-join:\n$p")
+        assert(p.contains("Bucketed: true") && p.contains("SelectedBucketsCount"),
+          s"$name stored side is not a bucketed scan:\n$p")
+        // batch-side exchanges only: the distinct/dedup agg + alignment to
+        // the bucket count; the stored side must contribute none. Mart's
+        // batch side additionally carries its per-key window exchange and
+        // the dim-lookup subtree's joins (SMJ under the forced-shuffle
+        // conf, hence the larger observed batch-side count) — one MORE
+        // exchange than the cap would mean the store reshuffles per
+        // micro-batch again.
+        val cap = if (name == "mart_refresh") 5 else 2
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+        assert(exchanges <= cap, s"$name stored side shuffled ($exchanges exchanges):\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sweep registry covers exactly the SURVEY §2.D streaming surface") {
     val surveyed = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
       .flatMap(l => "^\\|\\s*\\d+[a-z]?\\s*\\|\\s*`(stream_\\w+)`".r

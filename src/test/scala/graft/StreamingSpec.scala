@@ -81,7 +81,7 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Ev(4, day(0), 1, "b", 0)) // changed attribute -> one new version
     q.processAllAvailable()
     q.stop()
-    val sat = spark.read.parquet(s"$dir/sat")
+    val sat = graft.dv.SinkRepo.read(spark, s"$dir/sat")
     assert(sat.count() == 2) // two (hk, hd) versions despite four events
   }
 
@@ -145,7 +145,7 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
-    val hub = spark.read.parquet(s"$dir/hub")
+    val hub = graft.dv.SinkRepo.read(spark, s"$dir/hub")
     assert(hub.count() == 3 && hub.select("hub_hk").distinct().count() == 3)
   }
 
@@ -182,7 +182,7 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Ev(3, day(0), 1, "a", 0), Ev(4, day(0), 2, "a", 0)) // (1,a) repeats
     q.processAllAvailable()
     q.stop()
-    val link = spark.read.parquet(s"$dir/link")
+    val link = graft.dv.SinkRepo.read(spark, s"$dir/link")
     assert(link.count() == 3)
     assert(link.select("link_hk").distinct().count() == 3)
     // member hub hks and bk payload ride along
@@ -201,7 +201,7 @@ class StreamingSpec extends SparkSpec {
     mem.addData(Ev(3, day(0), 2, "a", 0), Ev(4, day(0), 3, "a", 0)) // user 2 repeats
     q.processAllAvailable()
     q.stop()
-    val hub = spark.read.parquet(s"$dir/hub")
+    val hub = graft.dv.SinkRepo.read(spark, s"$dir/hub")
     assert(hub.count() == 3)
     assert(hub.select("hub_hk").distinct().count() == 3)
   }
@@ -228,7 +228,7 @@ class StreamingSpec extends SparkSpec {
       Streams.OrderRow(9004L, 999999L, "O", 10.0))  // customer not in the dimension
     q.processAllAvailable()
     q.stop()
-    val mart = spark.read.parquet(s"$dir/mart")
+    val mart = graft.dv.SinkRepo.read(spark, s"$dir/mart")
     assert(mart.count() == 4)
     assert(mart.select("hub_order_hk").distinct().count() == 4)
     // within-batch same-key delivery kept ONE deterministic representative
